@@ -1,0 +1,118 @@
+"""Text-analysis column functions — tokenization, stopwords, language ID,
+quality scoring, token counting, document fingerprinting.
+
+Tokenization + stopword list re-express the reference indexer's pipeline
+(/root/reference/Indexer/src/edu/upenn/cis455/mapreduce/job/Indexer.java:28-56
+stopword list; :150-185 markup/punct skipping; lowercasing at
+FileManagement.java:121-134). The reference lemmatizes with StanfordCoreNLP;
+the rebuild uses a deterministic regex tokenizer (the text-equality invariant
+of the engine is on extracted text, not lemmas — SURVEY.md §2 O-X8).
+
+Language-ID / quality / token-count / fingerprint are the training-data
+pipeline additions; all pure Column expressions (JVM, codegen) so they run at
+corpus scale with zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# the reference's 25 hardcoded stopwords (Indexer.java:28-56)
+STOPWORDS = [
+    "a", "about", "an", "and", "are", "as", "at", "be", "by", "com", "for",
+    "from", "how", "in", "is", "it", "of", "on", "or", "that", "the", "this",
+    "to", "was", "what",
+]
+
+_TOKEN_SPLIT = r"[^a-z0-9]+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokenize(text: Column | str) -> Column:
+    """lowercase -> split on non-alphanumeric -> drop empties.
+    ARRAY<STRING>, JVM-side."""
+    toks = F.split(F.lower(_c(text)), _TOKEN_SPLIT)
+    return F.filter(toks, lambda t: t != "")
+
+
+def remove_stopwords(tokens: Column) -> Column:
+    """Drop the reference's 25 stopwords (O-F8)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace-delimited token count (cheap proxy for a BPE count)."""
+    t = F.trim(_c(text))
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def word_char_ratio(text: Column | str) -> Column:
+    """Fraction of characters that are alphanumeric/space — a quality signal."""
+    t = _c(text)
+    clean = F.length(F.regexp_replace(t, r"[^A-Za-z0-9 ]", ""))
+    return F.when(F.length(t) > 0, clean / F.length(t)).otherwise(F.lit(0.0))
+
+
+# tiny per-language stopword seeds for the n-gram-free heuristic language ID
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "los", "las", "es", "en", "una", "por", "con", "para", "del"],
+}
+
+
+def lang_marker_hits(text: Column | str, lang: str) -> Column:
+    """How many of `lang`'s marker words occur in the token set."""
+    toks = F.array_distinct(tokenize(text))
+    markers = F.array(*[F.lit(w) for w in _LANG_MARKERS[lang]])
+    return F.size(F.array_intersect(toks, markers))
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: the language whose marker words hit most;
+    'und' (undetermined) when no marker hits."""
+    hits = [
+        F.struct(lang_marker_hits(text, lang).alias("hits"), F.lit(lang).alias("lang"))
+        for lang in _LANG_MARKERS
+    ]
+    best = F.array_max(F.array(*hits))
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite [0,1] quality score: length band + alnum ratio + stopword
+    presence (C4/Gopher-style cheap filters, expressed as one column)."""
+    t = _c(text)
+    n_tok = token_count(t)
+    len_ok = F.when((n_tok >= 10) & (n_tok <= 100000), F.lit(1.0)).otherwise(F.lit(0.0))
+    ratio = word_char_ratio(t)
+    sw = F.array(*[F.lit(w) for w in STOPWORDS])
+    has_stop = F.when(
+        F.size(F.array_intersect(F.array_distinct(tokenize(t)), sw)) > 0, F.lit(1.0)
+    ).otherwise(F.lit(0.0))
+    return F.round((len_ok + ratio + has_stop) / F.lit(3.0), 6)
+
+
+def fingerprint64(text: Column | str) -> Column:
+    """64-bit document fingerprint (xxhash64 over the normalized text) — the
+    rolling-hash dedup key. Normalization: lowercase, collapse whitespace."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def shingles(tokens: Column, k: int = 3) -> Column:
+    """k-token shingles as strings — input to MinHash/Jaccard dedup.
+    JVM-side: transform over a sequence of start offsets."""
+    n = F.size(tokens)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", tokens))
+    )

@@ -1,0 +1,95 @@
+"""URL column functions — quirk-exact re-expressions of the reference crawler's
+URL handling, as pure JVM-side Column expressions (whole-stage codegen; no
+Python in the hot path).
+
+Reference semantics reproduced here (citations into /root/reference):
+  * host parse keeps the port and splits on '/' only
+    (Crawler/src/com/datformers/crawler/XPathCrawlerThread.java:65-73)
+  * SHA-1 over the URL string, hex form
+    (Crawler/src/com/datformers/crawler/XPathCrawler.java:296-331)
+  * link junk filter: hrefs starting with "http" are dropped when they contain
+    ':' / '#' / 'javascript' — since "http:" contains ':', ALL absolute hrefs
+    are dropped (XPathCrawlerThread.java:316-321,347-352)
+  * relative resolution is NOT RFC 3986: three branches keyed on the page URL
+    suffix (XPathCrawlerThread.java:301-315,329-346)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def host_of(url: Column | str) -> Column:
+    """Extract the 'domain' exactly as XPathCrawlerThread.getDomain does.
+
+    Java: if startswith("http") -> substring(indexOf('/')+2); then truncate at
+    the next '/'. The port stays inside the host (quirk: split on '/' only).
+    """
+    u = _c(url)
+    # indexOf('/') on "http://h/p" is the '/' of "://", +2 lands after "//".
+    after_proto = F.when(
+        u.startswith("http"), u.substr(F.instr(u, "/") + F.lit(2), F.length(u))
+    ).otherwise(u)
+    return F.substring_index(after_proto, "/", 1)
+
+
+def protocol_of(url: Column | str) -> Column:
+    """'https://' iff the URL starts with https, else 'http://'
+    (XPathCrawlerThread.java:496-501, isHttps flag)."""
+    u = _c(url)
+    return F.when(u.startswith("https"), F.lit("https://")).otherwise(F.lit("http://"))
+
+
+def sha1_hex(col: Column | str) -> Column:
+    """40-char lowercase hex SHA-1 — value-identical to the reference's
+    BigInteger(hex,16) keys for ASCII URLs (XPathCrawler.java:296-331).
+    Kept as a hex STRING: equality and ordering preserved, no 160-bit
+    decimal overflow anywhere in Spark."""
+    return F.sha1(_c(col).cast("string"))
+
+
+def url_hash_bucket(url_hash_hex: Column | str, num_buckets: int) -> Column:
+    """Deterministic bucket id from the hex sha1 — the rebuild's analogue of
+    the reference's SHA-1 hash-range worker sharding
+    (Crawler/src/com/datformers/crawler/resources/OutgoingMap.java:27-58).
+    15 hex chars = 60 bits, fits a long exactly."""
+    h = _c(url_hash_hex)
+    return F.pmod(F.conv(F.substring(h, 1, 15), 16, 10).cast("long"), F.lit(num_buckets)).cast(
+        "int"
+    )
+
+
+def resolve_href(page_url: Column | str, href: Column | str) -> Column:
+    """Resolve one extracted href against its page URL, returning NULL for
+    hrefs the reference drops.
+
+    Branches (XPathCrawlerThread.java:301-321, identical for <a> at :329-352 —
+    the <a> branch's `toAdd` variable is dead code):
+      href startswith "http":
+          contains ':' or '#' or lowercase-contains 'javascript' -> DROP
+          (http: always contains ':' -> all absolute hrefs drop); otherwise
+          the href is taken verbatim (unreachable for real absolute URLs).
+      else (treated as relative, even mailto:/ftp: etc. — quirk):
+          page endswith .html|.htm -> proto + host(page) + '/' + href
+          page endswith '/'        -> page + href
+          else                     -> page + '/' + href
+    """
+    u = _c(page_url)
+    h = _c(href)
+    junk = (
+        h.contains(":") | h.contains("#") | F.lower(h).contains("javascript")
+    )
+    rel = (
+        F.when(
+            u.endswith(".html") | u.endswith(".htm"),
+            F.concat(protocol_of(u), host_of(u), F.lit("/"), h),
+        )
+        .when(u.endswith("/"), F.concat(u, h))
+        .otherwise(F.concat(u, F.lit("/"), h))
+    )
+    return F.when(h.startswith("http"), F.when(junk, F.lit(None)).otherwise(h)).otherwise(rel)

@@ -1,0 +1,128 @@
+"""URL-seen-set dedup: exact anti-join plus a partitioned Bloom-filter
+pre-filter sidecar.
+
+Re-expresses the reference's two-tier membership check — in-memory TreeSet
+probe before the BerkeleyDB get (XPathCrawlerThread.java:357-366,370-375) —
+as the scale-correct Spark shape (north_rule: "partitioned bloom/cuckoo
+URL-seen set"):
+
+  1. candidates carry `url_hash` (40-char sha1 hex) and a bucket id
+     (url_hash_bucket). The seen table is laid out bucketed the same way
+     (Iceberg: PARTITIONED BY bucket(N, url_hash) -> storage-partitioned
+     anti-join, no shuffle of the big side).
+  2. a per-bucket Bloom bitmap sidecar (built with applyInPandas over the
+     seen buckets) is broadcast; an Arrow-batched UDF splits candidates into
+     definitely-new (bloom says absent — skips the anti-join entirely) and
+     maybe-seen (exact left_anti join only on this usually-small slice).
+
+Exactness is preserved: Bloom has no false negatives, and every maybe-seen
+candidate still goes through the exact anti-join.
+
+The Bloom probe positions are sliced directly out of the sha1 hex (already a
+cryptographic hash) — k=4 independent 40-bit slices, no rehashing.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _probe_positions(hash_hex: str, n_bits: int) -> tuple[int, int, int, int]:
+    return (
+        int(hash_hex[0:10], 16) % n_bits,
+        int(hash_hex[10:20], 16) % n_bits,
+        int(hash_hex[20:30], 16) % n_bits,
+        int(hash_hex[30:40], 16) % n_bits,
+    )
+
+
+def build_bloom_sidecar(
+    seen: DataFrame,
+    num_buckets: int,
+    bits_per_key: int = 10,
+    min_bits: int = 1 << 12,
+) -> DataFrame:
+    """(bucket INT, n_bits INT, bitmap BINARY) — one Bloom bitmap per seen
+    bucket, built distributed via applyInPandas over groupBy(bucket)."""
+    from ..functions.urls import url_hash_bucket
+
+    counts = (
+        seen.groupBy(url_hash_bucket("url_hash", num_buckets).alias("bucket"))
+        .count()
+        .collect()
+    )
+    sizes = {r["bucket"]: max(min_bits, int(r["count"] * bits_per_key)) for r in counts}
+
+    def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        bucket = int(key[0])
+        n_bits = sizes.get(bucket, min_bits)
+        bits = np.zeros(n_bits, dtype=bool)
+        for h in pdf["url_hash"]:
+            for p in _probe_positions(h, n_bits):
+                bits[p] = True
+        return pd.DataFrame(
+            {"bucket": [bucket], "n_bits": [n_bits], "bitmap": [np.packbits(bits).tobytes()]}
+        )
+
+    with_bucket = seen.withColumn("bucket", url_hash_bucket("url_hash", num_buckets))
+    return with_bucket.groupBy("bucket").applyInPandas(
+        _build, schema="bucket int, n_bits int, bitmap binary"
+    )
+
+
+def split_by_bloom(
+    spark, candidates: DataFrame, sidecar: DataFrame, num_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Return (definitely_new, maybe_seen). candidates must carry url_hash."""
+    from ..functions.urls import url_hash_bucket
+
+    rows = sidecar.collect()
+    blooms = {
+        r["bucket"]: (r["n_bits"], np.unpackbits(np.frombuffer(r["bitmap"], dtype=np.uint8)))
+        for r in rows
+    }
+    bc = spark.sparkContext.broadcast(blooms)
+
+    @F.pandas_udf(T.BooleanType())
+    def maybe_in_bloom(url_hash: pd.Series, bucket: pd.Series) -> pd.Series:
+        local = bc.value
+
+        def probe(args):
+            h, b = args
+            entry = local.get(b)
+            if entry is None:
+                return False
+            n_bits, bits = entry
+            return all(bits[p] for p in _probe_positions(h, n_bits))
+
+        return pd.Series(map(probe, zip(url_hash, bucket)))
+
+    tagged = candidates.withColumn(
+        "_maybe", maybe_in_bloom("url_hash", url_hash_bucket("url_hash", num_buckets))
+    )
+    return (
+        tagged.filter(~F.col("_maybe")).drop("_maybe"),
+        tagged.filter(F.col("_maybe")).drop("_maybe"),
+    )
+
+
+def anti_join_seen(
+    candidates: DataFrame,
+    seen: DataFrame | None,
+    spark=None,
+    sidecar: DataFrame | None = None,
+    num_buckets: int = 32,
+) -> DataFrame:
+    """Drop candidates whose url_hash is in the seen set (exact), optionally
+    routed through the Bloom pre-filter."""
+    if seen is None:
+        return candidates
+    seen_keys = seen.select("url_hash")
+    if sidecar is None:
+        return candidates.join(seen_keys, "url_hash", "left_anti")
+    definitely_new, maybe = split_by_bloom(spark, candidates, sidecar, num_buckets)
+    return definitely_new.unionByName(maybe.join(seen_keys, "url_hash", "left_anti"))

@@ -1,0 +1,280 @@
+"""Near-duplicate detection for a large-scale training-data pipeline:
+exact hash, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
+
+All shuffle-aware shapes: candidate generation via band/bucket equi-joins
+(never an O(n^2) cross join), verification only within buckets. MinHash
+signatures are computed in one vectorized pandas UDF (Arrow batches, numpy
+matrix ops) — the only Python on the path; everything else is JVM columns.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint64, shingles, tokenize
+
+_MERSENNE = (1 << 61) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Keep the min-id representative per normalized-text fingerprint —
+    a hash groupBy, map-side combinable."""
+    fp = df.withColumn("fp", fingerprint64(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "fp")
+    )
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 3,
+    seed: int = 7,
+) -> DataFrame:
+    """(id, sig ARRAY<LONG>) — MinHash over k-token shingles."""
+    a, b = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(sh: pd.Series) -> pd.Series:
+        from hashlib import blake2b
+
+        def stable_h(v: str) -> int:
+            # process-independent 63-bit hash (Python's hash() is salted)
+            return int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "little") >> 1
+
+        def one(vals):
+            if vals is None or len(vals) == 0:
+                return [0] * num_hashes
+            h = np.array([stable_h(v) for v in vals], dtype=np.int64)
+            # (a*h + b) mod p, rowwise min — object dtype to dodge overflow
+            m = (
+                (h[None, :].astype(object) * a[:, None].astype(object) + b[:, None])
+                % _MERSENNE
+            )
+            return [int(x) for x in np.min(m, axis=1)]
+
+        return sh.map(one)
+
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        shingles(tokenize(F.col(text_col)), shingle_k).alias("sh"),
+    )
+    return sh.select("id", _sig("sh").alias("sig"))
+
+
+def minhash_lsh_pairs(
+    signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
+) -> DataFrame:
+    """Candidate duplicate pairs via banding: equal band-slice -> same bucket
+    -> self-join within bucket only. (id_a < id_b, distinct.)"""
+    assert bands * rows_per_band <= 10_000
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(",", *[
+                            F.col("sig")[i].cast("string")
+                            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+                        ])
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+    return pairs
+
+
+def minhash_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
+    """Estimated Jaccard per candidate pair = fraction of equal sig slots."""
+    sa = signatures.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = signatures.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    j = (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "est_jaccard",
+            F.size(
+                F.filter(
+                    F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda z: z
+                )
+            )
+            / F.size("sig_a"),
+        )
+    )
+    return j.select("id_a", "id_b", "est_jaccard")
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, simhash LONG) — 64-bit SimHash over tokens, pure JVM columns:
+    per bit b, sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
+    bit_sums = toks.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for b in range(64):
+        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+    return bit_sums.select("id", sim.alias("simhash"))
+
+
+def hamming64(a, b):
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs by 4-block SimHash banding (any identical 16-bit block
+    -> bucket join), verified by exact Hamming distance. By pigeonhole this
+    finds ALL pairs with distance <= 3."""
+    blocks = sim_df.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                    for i in range(4)
+                ]
+            )
+        ).alias("block", "key"),
+    )
+    l, r = blocks.alias("l"), blocks.alias("r")
+    cands = (
+        l.join(
+            r,
+            (F.col("l.block") == F.col("r.block"))
+            & (F.col("l.key") == F.col("r.key"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.simhash").alias("sh_a"),
+            F.col("r.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return cands.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b"))).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard >= threshold via shingle inverted lists:
+    explode shingles -> self-join on shingle -> count common / (|A|+|B|-common).
+    Distributed set-similarity join; no signatures, exact answer."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("sh"),
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
+    l, r = sh.alias("l"), sh.alias("r")
+    common = (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .agg(F.count("*").alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_near_dups(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: random-hyperplane LSH bucket join +
+    exact cosine verify inside buckets (JVM F.aggregate/F.zip_with math)."""
+    dim = len(emb.select(vec_col).first()[0])
+    rng = np.random.RandomState(seed)
+    planes = rng.randn(n_planes, dim)
+
+    def _dot_lit(plane) -> F.Column:
+        arr = F.array(*[F.lit(float(x)) for x in plane])
+        return F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    sig = F.concat_ws(
+        "", *[F.when(_dot_lit(p) >= 0, "1").otherwise("0") for p in planes]
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform(F.col(vec_col), lambda x: x * x), F.lit(0.0), lambda a, x: a + x
+        )
+    )
+    tagged = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"),
+        norm.alias("nrm"),
+    )
+    l, r = tagged.alias("l"), tagged.alias("r")
+    dot = F.aggregate(
+        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        l.join(
+            r,
+            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+        )
+        .withColumn("cosine", dot / (F.col("l.nrm") * F.col("r.nrm")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
+    )

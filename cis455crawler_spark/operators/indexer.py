@@ -1,0 +1,95 @@
+"""Inverted-index build with the reference's (bug-compatible) tf-idf rank.
+
+The reference's whole map/spool/sort/reduce pipeline
+(/root/reference/Indexer/src/edu/upenn/cis455/mapreduce/...) collapses into
+one shuffle-bounded DataFrame DAG:
+
+    docs -> tokenize -> explode -> groupBy(doc,word).count        [O-A1]
+         -> window max tf per doc, df per word                    [O-A2]
+         -> rank columns                                          [O-A3]
+         -> groupBy(word).agg(sort_array(collect_list(...)))      [O-A4]
+
+Rank formula (Indexer.java:212-232, Reducer.java:50-64), INTEGER DIVISIONS
+kept bug-compatible when bug_compatible=True:
+    tf' = 0.5 + 0.5 * (tf DIV maxFreq)        (Java int division, :220-221)
+    idf = ln(100000 DIV df)                   (:222-223)
+    rank = 0.5*tf'*idf + 0.3*isTitle + 0.2*isMeta   (:224-226)
+With bug_compatible=False the divisions are real-valued (the sane formula).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import remove_stopwords, tokenize
+
+IDF_CORPUS = 100_000  # Indexer.java:222
+W_TFIDF, W_TITLE, W_META = 0.5, 0.3, 0.2  # Indexer.java:224-226
+
+
+def postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    title_col: str | None = None,
+    meta_col: str | None = None,
+    bug_compatible: bool = True,
+) -> DataFrame:
+    """(doc_id, word, tf, max_tf, df, is_title, is_meta, rank) — the exploded
+    relational index (Spark-preferred form of WordIndexEntity)."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
+        *(
+            [F.lower(F.col(title_col)).alias("_title")] if title_col else []
+        ),
+        *([F.lower(F.col(meta_col)).alias("_meta")] if meta_col else []),
+    )
+    tf = toks.groupBy(
+        "doc_id",
+        "word",
+        *(["_title"] if title_col else []),
+        *(["_meta"] if meta_col else []),
+    ).agg(F.count("*").alias("tf"))
+
+    w_doc = Window.partitionBy("doc_id")
+    w_word = Window.partitionBy("word")
+    out = tf.withColumn("max_tf", F.max("tf").over(w_doc)).withColumn(
+        "df", F.count("*").over(w_word)
+    )
+    is_title = (
+        F.when(F.col("_title").contains(F.col("word")), 1).otherwise(0)
+        if title_col
+        else F.lit(0)
+    )
+    is_meta = (
+        F.when(F.col("_meta").contains(F.col("word")), 1).otherwise(0)
+        if meta_col
+        else F.lit(0)
+    )
+    out = out.withColumn("is_title", is_title).withColumn("is_meta", is_meta)
+
+    if bug_compatible:
+        tf_prime = 0.5 + 0.5 * F.floor(F.col("tf") / F.col("max_tf"))
+        idf = F.log(F.floor(F.lit(IDF_CORPUS) / F.col("df")).cast("double"))
+    else:
+        tf_prime = 0.5 + 0.5 * (F.col("tf") / F.col("max_tf"))
+        idf = F.log(F.lit(float(IDF_CORPUS)) / F.col("df"))
+    out = out.withColumn(
+        "rank",
+        F.lit(W_TFIDF) * tf_prime * idf
+        + F.lit(W_TITLE) * F.col("is_title")
+        + F.lit(W_META) * F.col("is_meta"),
+    )
+    return out.select("doc_id", "word", "tf", "max_tf", "df", "is_title", "is_meta", "rank")
+
+
+def inverted_index(postings_df: DataFrame) -> DataFrame:
+    """(word, postings ARRAY<STRUCT<rank,doc_id>>) rank-descending — the
+    WordIndexEntity parallel-array shape (FileManagement.java:429-446)."""
+    return postings_df.groupBy("word").agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("rank"), F.col("doc_id"))), asc=False
+        ).alias("postings")
+    )

@@ -1,0 +1,87 @@
+"""PageRank over the crawled link graph — iterative DataFrame joins.
+
+Re-expresses the reference's three-job MapReduce pipeline
+(/root/reference/Ranker/src/edu/upenn/cis455/mapreduce/job/):
+  FindSinks.java:15-49   — label nodes parent/child, keep edges whose target
+                           has both labels (drops edges into sinks)
+  RemoveSinks.java:21-29 — seed every node's rank with 1.0
+  Ranker.java:37-73      — per iteration: each node sends rank/outdegree to
+                           each outlink; new rank = 0.15 + 0.85 * sum
+
+The reference re-emits the adjacency list through every shuffle (its reduce
+must rebuild outlinks, Ranker.java:52-73); the DataFrame form keeps edges as
+their own cached relation so the adjacency never reshuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+DAMPING = 0.85  # Ranker.java:70
+BASE = 0.15
+
+
+def remove_sink_edges(edges: DataFrame) -> DataFrame:
+    """Keep edges whose dst also appears as a src (has outlinks) — one semi
+    join replaces FindSinks' parent/child label trick."""
+    sources = edges.select(F.col("src").alias("node")).distinct()
+    return edges.join(sources, edges.dst == sources.node, "left_semi")
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    drop_sinks: bool = True,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """ranks(node STRING, rank DOUBLE) after `iterations` steps on the
+    (optionally sink-free) graph. Nodes = all srcs (reference ranks only
+    pages with outlinks after RemoveSinks prefixes rank to adjacency rows)."""
+    if drop_sinks:
+        edges = remove_sink_edges(edges)
+    edges = edges.select("src", "dst").distinct().cache()
+
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    ranks = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
+
+    for i in range(iterations):
+        contribs = (
+            edges.join(ranks, edges.src == ranks.node)
+            .join(outdeg, "src")
+            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+        )
+        incoming = contribs.groupBy("node").agg(
+            (F.lit(BASE) + F.lit(DAMPING) * F.sum("c")).alias("rank")
+        )
+        # nodes with no inbound contributions keep the teleport base
+        ranks = (
+            outdeg.select(F.col("src").alias("node"))
+            .join(incoming, "node", "left")
+            .select("node", F.coalesce("rank", F.lit(BASE)).alias("rank"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            ranks = ranks.localCheckpoint()  # cut lineage across iterations
+    return ranks
+
+
+def pagerank_py_oracle(
+    edge_list: list[tuple[str, str]], iterations: int = 5, drop_sinks: bool = True
+) -> dict[str, float]:
+    """Driver-side reference implementation for tests."""
+    edges = sorted(set(edge_list))
+    if drop_sinks:
+        sources = {s for s, _ in edges}
+        edges = [(s, d) for s, d in edges if d in sources]
+    adj: dict[str, list[str]] = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    ranks = {n: 1.0 for n in adj}
+    for _ in range(iterations):
+        incoming: dict[str, float] = {}
+        for s, outs in adj.items():
+            share = ranks[s] / len(outs)
+            for d in outs:
+                incoming[d] = incoming.get(d, 0.0) + share
+        ranks = {n: BASE + DAMPING * incoming[n] if n in incoming else BASE for n in adj}
+    return ranks

@@ -1,0 +1,132 @@
+"""SnapshotStore — versioned, atomically-committed state tables on parquet.
+
+This is the sandbox stand-in for Iceberg tables (no Iceberg runtime jars are
+available in this container). Semantics mirror what the design maps to on a
+real cluster:
+
+  * every crawl round commits ONE new snapshot: appended delta dirs for
+    append-tables (seen/parsed/metrics) and a replacement dir for the
+    frontier, then a manifest JSON swapped in atomically via os.replace —
+    readers only ever see fully-committed rounds (Iceberg snapshot isolation).
+  * resume = read the latest manifest; orphan dirs from a crashed round are
+    simply unreferenced (Iceberg's uncommitted data files).
+  * the seen table is written partitioned by a url-hash bucket column — the
+    layout that becomes `PARTITIONED BY (bucket(N, url_hash))` in Iceberg so
+    the frontier anti-join can run storage-partitioned (no shuffle of the
+    10^10-row seen side).
+
+It replaces the reference's checkpoint spool machinery
+(/root/reference/Crawler/src/com/datformers/servlets/WorkerServlet.java:389-473
+and XPathCrawler.java:82-110) — the whole HTTP pushdata path collapses into
+snapshot commit + read.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class SnapshotStore:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # -- manifest ---------------------------------------------------------
+    @property
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, "manifest.json")
+
+    def manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"round": -1, "tables": {}, "history": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def current_round(self) -> int:
+        return self.manifest()["round"]
+
+    # -- reads ------------------------------------------------------------
+    def read(self, table: str) -> DataFrame | None:
+        dirs = self.manifest()["tables"].get(table, [])
+        paths = [os.path.join(self.root, d) for d in dirs]
+        paths = [p for p in paths if os.path.exists(p)]
+        if not paths:
+            return None
+        if len(paths) == 1:
+            return self.spark.read.parquet(paths[0])
+        # delta dirs may be hive-partitioned individually; read each with its
+        # own basePath and union (Iceberg resolves this via its own manifests)
+        dfs = [self.spark.read.option("basePath", p).parquet(p) for p in paths]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    # -- commit -----------------------------------------------------------
+    def commit_round(
+        self,
+        round_no: int,
+        appends: dict[str, DataFrame] | None = None,
+        replaces: dict[str, DataFrame] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+        extra: dict | None = None,
+    ) -> None:
+        """Write data dirs first, swap the manifest last (atomic commit)."""
+        m = self.manifest()
+        tables = dict(m["tables"])
+        partition_by = partition_by or {}
+
+        def _write(table: str, df: DataFrame) -> str:
+            rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
+            writer = df.write.mode("overwrite")
+            if table in partition_by:
+                writer = writer.partitionBy(*partition_by[table])
+            writer.parquet(os.path.join(self.root, rel))
+            return rel
+
+        for table, df in (appends or {}).items():
+            rel = _write(table, df)
+            tables.setdefault(table, []).append(rel)
+        for table, df in (replaces or {}).items():
+            rel = _write(table, df)
+            tables[table] = [rel]
+
+        new_manifest = {
+            "round": round_no,
+            "tables": tables,
+            "history": m.get("history", []) + [{"round": round_no, **(extra or {})}],
+        }
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)  # the atomic snapshot swap
+
+    # -- maintenance ------------------------------------------------------
+    def compact(self, table: str, partition_cols: list[str] | None = None) -> None:
+        """Rewrite an append-table's many delta dirs into one (Iceberg
+        rewrite_data_files). Commits a new manifest; old dirs removed after."""
+        df = self.read(table)
+        if df is None:
+            return
+        m = self.manifest()
+        old_dirs = list(m["tables"].get(table, []))
+        rel = f"{table}/compact_{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("overwrite")
+        if partition_cols:
+            writer = writer.partitionBy(*partition_cols)
+        writer.parquet(os.path.join(self.root, rel))
+        tables = dict(m["tables"])
+        tables[table] = [rel]
+        new_manifest = {**m, "tables": tables}
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        for d in old_dirs:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)

@@ -1,0 +1,193 @@
+"""Single-process Python oracle for the crawl semantics (SURVEY.md §5).
+
+Independent re-implementation of the reference's *logical* behavior
+(/root/reference/Crawler/src/com/datformers/crawler/XPathCrawlerThread.java)
+used as ground truth for the Spark engine:
+
+  * quirk link resolution + absolute-href rejection (:301-352)
+  * robots filter with deny-by-default / '*'-stops-scan / substring matching
+    (:436-491), denied URLs enter the seen set
+  * crawl-delay via lowercase-agent quirk (DomainRules.java:20-22)
+  * BFS rounds with per-host budget max(1, floor(duration/delay)), within-
+    round order = url ascending (the rebuild's canonical determinization)
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+from dataclasses import dataclass, field
+
+_TAG = re.compile(r"<(link|a)\b[^>]*>", re.IGNORECASE | re.DOTALL)
+_HREF = re.compile(r"""href\s*=\s*(?:"([^"]*)"|'([^']*)'|([^\s>]+))""", re.IGNORECASE)
+
+
+def o_host(url: str) -> str:
+    h = url
+    if url.startswith("http"):
+        h = url[url.index("/") + 2 :]
+    if "/" in h:
+        h = h[: h.index("/")]
+    return h
+
+
+def o_sha1(url: str) -> str:
+    return hashlib.sha1(url.encode("iso-8859-1")).hexdigest()
+
+
+def o_extract_hrefs(html: bytes) -> list[str]:
+    s = html.decode("iso-8859-1")
+    link, a = [], []
+    for m in _TAG.finditer(s):
+        hm = _HREF.search(m.group(0))
+        if not hm:
+            continue
+        v = next(g for g in hm.groups() if g is not None)
+        (link if m.group(1).lower() == "link" else a).append(v)
+    return link + a
+
+
+def o_resolve(page_url: str, href: str) -> str | None:
+    if href.startswith("http"):
+        if ":" in href or "#" in href or "javascript" in href.lower():
+            return None
+        return href
+    proto = "https://" if page_url.startswith("https") else "http://"
+    if page_url.endswith(".html") or page_url.endswith(".htm"):
+        return proto + o_host(page_url) + "/" + href
+    if page_url.endswith("/"):
+        return page_url + href
+    return page_url + "/" + href
+
+
+def o_parse_robots(body: str) -> dict:
+    disallow: dict = {}
+    delays: dict = {}
+    agent = None
+    for line in body.splitlines():
+        if ":" not in line:
+            continue
+        f = line.split(":")
+        key, val = f[0].strip(), (f[1].strip() if len(f) > 1 else "")
+        kl = key.lower()
+        if kl == "disallow":
+            disallow.setdefault(agent, []).append(val)
+        elif kl == "user-agent":
+            agent = val
+        elif kl == "crawl-delay":
+            try:
+                delays[agent] = int(val)
+            except ValueError:
+                pass
+    return {"disallow": disallow, "delays": delays}
+
+
+def o_allowed(url: str, robots: dict | None) -> bool:
+    if robots is None:
+        return True
+    d = robots["disallow"]
+    rules = d.get("cis455Crawler", d.get("*"))
+    if not rules:
+        return False  # deny-by-default quirk
+    if rules[0].lower() == "/":
+        return False
+    for r in rules:
+        if "*" in r:
+            break
+        if r in url:
+            return False
+    return True
+
+
+def o_delay(robots: dict | None) -> int:
+    if robots is None:
+        return 0
+    delays = robots["delays"]
+    d = delays.get("cis455crawler", 0)  # lowercase-key quirk
+    if d <= 0:
+        d = delays.get("*", 0)
+    return max(d, 0)
+
+
+@dataclass
+class OracleResult:
+    seen: set[str] = field(default_factory=set)
+    frontiers: list[set[str]] = field(default_factory=list)  # candidate set per round
+    scheduled_rounds: list[set[str]] = field(default_factory=list)
+    edges: list[tuple[str, str]] = field(default_factory=list)
+    text: dict[str, str] = field(default_factory=dict)
+    metrics: list[dict] = field(default_factory=list)
+
+
+def oracle_crawl(
+    pages: dict[str, bytes],
+    seeds: list[str],
+    max_rounds: int = 50,
+    max_pages: int = 100_000,
+    round_duration_s: int = 60,
+) -> OracleResult:
+    robots_by_host: dict[str, dict] = {}
+    for url, html in pages.items():
+        if url.endswith("/robots.txt"):
+            robots_by_host[o_host(url)] = o_parse_robots(html.decode("iso-8859-1"))
+
+    res = OracleResult()
+    frontier: dict[str, int] = {u: 0 for u in seeds}
+    total_sched = 0
+    for round_no in range(1, max_rounds + 1):
+        if not frontier or total_sched >= max_pages:
+            break
+        cand = {u: d for u, d in frontier.items() if o_sha1(u) not in res.seen}
+        res.frontiers.append(set(frontier))
+        urls_in = len(frontier)
+
+        denied, by_host = [], {}
+        for u in sorted(cand):
+            rb = robots_by_host.get(o_host(u))
+            if o_allowed(u, rb):
+                by_host.setdefault(o_host(u), []).append(u)
+            else:
+                denied.append(u)
+        scheduled, deferred = [], []
+        for host, urls in by_host.items():
+            delay = o_delay(robots_by_host.get(host))
+            budget = max(1, round_duration_s // delay) if delay > 0 else math.inf
+            urls.sort()
+            for i, u in enumerate(urls):
+                (scheduled if i < budget else deferred).append(u)
+
+        for u in denied + scheduled:
+            res.seen.add(o_sha1(u))
+        res.scheduled_rounds.append(set(scheduled))
+        total_sched += len(scheduled)
+
+        new_links: dict[str, int] = {}
+        hits = 0
+        for u in scheduled:
+            html = pages.get(u)
+            if html is None:
+                continue
+            hits += 1
+            for href in o_extract_hrefs(html):
+                dst = o_resolve(u, href)
+                if dst is None:
+                    continue
+                res.edges.append((u, dst))
+                if o_sha1(dst) not in res.seen and dst not in new_links:
+                    new_links[dst] = cand[u] + 1
+
+        frontier = dict(new_links)
+        for u in deferred:
+            frontier.setdefault(u, cand[u])
+        res.metrics.append(
+            {
+                "round": round_no,
+                "urls_in": urls_in,
+                "robots_denied": len(denied),
+                "politeness_deferred": len(deferred),
+                "scheduled": len(scheduled),
+                "fetch_hits": hits,
+            }
+        )
+    return res

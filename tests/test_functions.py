@@ -1,0 +1,152 @@
+"""Unit tests: URL quirk functions, robots predicate, HTML extraction.
+
+Each Spark column function is checked against the independent pure-Python
+oracle implementation in tests/oracle.py.
+"""
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.functions.html import extract_hrefs_py, extract_text_py
+from cis455crawler_spark.functions.robots import (
+    build_robots_df,
+    crawl_allowed,
+    effective_delay,
+    effective_disallow,
+    parse_robots_txt,
+)
+from cis455crawler_spark.functions.urls import host_of, resolve_href, sha1_hex
+
+from .oracle import o_allowed, o_delay, o_extract_hrefs, o_host, o_parse_robots, o_resolve, o_sha1
+
+URLS = [
+    "http://host-1.test/p0.html",
+    "http://host-3.test:8080/dir2/",
+    "https://secure.test/doc7",
+    "http://host-0.test/",
+    "no-protocol.test/x/y",
+    "http://host-2.test/a/b/c.htm",
+]
+
+HREFS = [
+    "p4.html",
+    "dir8/",
+    "doc5",
+    "http://other.test/p0.html",  # absolute -> dropped (':' quirk)
+    "httpx-no-colon-nor-hash",  # startswith http, survives verbatim
+    "mailto:bob@x.test",  # relative branch (quirk)
+    "javascript:void(0)",  # relative branch (quirk: not startswith http)
+    "sec#frag",  # relative branch keeps '#'
+    "/abs/path.html",
+]
+
+
+def test_host_of_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [r["h"] for r in df.select(host_of("url").alias("h")).collect()]
+    assert got == [o_host(u) for u in URLS]
+
+
+def test_sha1_hex_matches_oracle(spark):
+    df = spark.createDataFrame([(u,) for u in URLS], "url string")
+    got = [r["h"] for r in df.select(sha1_hex("url").alias("h")).collect()]
+    assert got == [o_sha1(u) for u in URLS]
+
+
+def test_resolve_href_matches_oracle(spark):
+    rows = [(u, h) for u in URLS for h in HREFS]
+    df = spark.createDataFrame(rows, "url string, href string")
+    got = df.select("url", "href", resolve_href("url", "href").alias("r")).collect()
+    for r in got:
+        assert r["r"] == o_resolve(r["url"], r["href"]), (r["url"], r["href"])
+
+
+def test_extract_hrefs_doc_order():
+    html = (
+        b'<html><head><link rel="a" href="l1.html"><link href=\'l2/\'></head>'
+        b'<body><a href="a1.html">x</a><p><a name="noref">y</a></p>'
+        b"<a href=a2-unquoted>z</a></body></html>"
+    )
+    assert extract_hrefs_py(html) == ["l1.html", "l2/", "a1.html", "a2-unquoted"]
+    assert extract_hrefs_py(html) == o_extract_hrefs(html)
+
+
+def test_extract_text_strips_script_style_entities():
+    html = (
+        b"<html><head><title>T</title><style>.x{}</style></head>"
+        b"<body><script>var q='<a href=x>';</script><p>fish &amp; chips</p>"
+        b"<!-- comment --></body></html>"
+    )
+    assert extract_text_py(html) == "T fish & chips"
+
+
+ROBOTS_CASES = [
+    # (body_or_None, url, expect_allowed)
+    (None, "http://h.test/x", True),  # no robots record
+    ("User-agent: *\nDisallow: /private\n", "http://h.test/private/x", False),
+    ("User-agent: *\nDisallow: /private\n", "http://h.test/pub/x", True),
+    ("User-agent: *\nDisallow: /\n", "http://h.test/anything", False),  # deny-all
+    ("User-agent: OtherBot\nDisallow: /x\n", "http://h.test/y", False),  # deny-by-default
+    ("User-agent: *\nAllow: /\n", "http://h.test/y", False),  # no disallow list -> deny
+    # '*' entry stops the scan BEFORE /private is checked -> allowed
+    ("User-agent: *\nDisallow: /never*\nDisallow: /private\n", "http://h.test/private/x", True),
+    # agent-specific list wins over '*'
+    (
+        "User-agent: cis455Crawler\nDisallow: /tmp\n\nUser-agent: *\nDisallow: /\n",
+        "http://h.test/ok",
+        True,
+    ),
+    (
+        "User-agent: cis455Crawler\nDisallow: /tmp\n\nUser-agent: *\nDisallow: /\n",
+        "http://h.test/tmp/x",
+        False,
+    ),
+    # substring (not prefix) matching
+    ("User-agent: *\nDisallow: secret\n", "http://h.test/a/secret-page", False),
+]
+
+
+def test_crawl_allowed_matches_oracle(spark):
+    rows = []
+    for body, url, expect in ROBOTS_CASES:
+        if body is None:
+            rows.append((url, False, None, expect))
+        else:
+            parsed = parse_robots_txt(body)
+            rows.append((url, True, effective_disallow(parsed), expect))
+        # oracle agreement
+        assert o_allowed(url, o_parse_robots(body) if body else None) == expect, (body, url)
+    df = spark.createDataFrame(
+        rows, "url string, has_robots boolean, disallow array<string>, expect boolean"
+    )
+    got = df.withColumn(
+        "got", crawl_allowed(F.col("url"), F.col("has_robots"), F.col("disallow"))
+    ).collect()
+    for r in got:
+        assert r["got"] == r["expect"], r["url"]
+
+
+def test_crawl_delay_lowercase_quirk():
+    # delay declared under cis455Crawler is MISSED (lookup key is lowercase);
+    # falls back to '*'
+    body = "User-agent: cis455Crawler\nCrawl-delay: 9\nUser-agent: *\nCrawl-delay: 3\n"
+    parsed = parse_robots_txt(body)
+    assert effective_delay(parsed) == 3
+    assert o_delay(o_parse_robots(body)) == 3
+    body2 = "User-agent: cis455crawler\nCrawl-delay: 7\n"
+    assert effective_delay(parse_robots_txt(body2)) == 7
+
+
+def test_build_robots_df(spark):
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df
+
+    pages = pages_spark_df(spark, CorpusSpec.smoke())
+    robots = build_robots_df(spark, pages)
+    rows = {r["host"]: r for r in robots.collect()}
+    # pattern 0 host has no robots row at all
+    assert "host-0.test" not in rows
+    # pattern 3 host: deny-all
+    assert rows["host-3.test:8080"]["disallow"] == ["/"]
+    # pattern 5 host: wildcard first
+    assert rows["host-5.test"]["disallow"][0] == "/never*"
+    assert rows["host-5.test"]["crawl_delay"] == 5

@@ -1,0 +1,119 @@
+"""Operator-family tests: scheduler, pagerank, indexer, search, resume."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.operators.pagerank import pagerank, pagerank_py_oracle
+from cis455crawler_spark.operators.indexer import postings, inverted_index
+from cis455crawler_spark.operators.scheduler import host_budget, pop_host_batches
+from cis455crawler_spark.operators.search import search
+
+
+def test_pop_host_batches_exact_topk(spark):
+    rows = []
+    for h, n, budget in [("a.test", 20, 3), ("b.test", 5, None), ("c.test", 7, 7)]:
+        for i in range(n):
+            rows.append((f"http://{h}/p{i:03d}", h, budget))
+    df = spark.createDataFrame(rows, "url string, host string, budget int")
+    scheduled, deferred = pop_host_batches(df, salt_buckets=4)
+    sched = sorted(r["url"] for r in scheduled.collect())
+    defr = sorted(r["url"] for r in deferred.collect())
+    want_sched = sorted(
+        [f"http://a.test/p{i:03d}" for i in range(3)]
+        + [f"http://b.test/p{i:03d}" for i in range(5)]
+        + [f"http://c.test/p{i:03d}" for i in range(7)]
+    )
+    assert sched == want_sched
+    assert defr == [f"http://a.test/p{i:03d}" for i in range(3, 20)]
+
+
+def test_host_budget_semantics(spark):
+    df = spark.createDataFrame([(0,), (1,), (2,), (5,), (90,), (None,)], "delay int")
+    got = df.select(host_budget(F.col("delay"), 60).alias("b")).collect()
+    assert [r["b"] for r in got] == [None, 60, 30, 12, 1, None]
+
+
+def test_pagerank_matches_py_oracle(spark):
+    edge_list = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("d", "c"), ("c", "sink"),
+    ]
+    edges = spark.createDataFrame(edge_list, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    want = pagerank_py_oracle(edge_list, iterations=5)
+    assert set(got) == set(want)
+    for n in want:
+        assert math.isclose(got[n], want[n], rel_tol=1e-9), n
+
+
+DOCS = [
+    (1, "apple banana apple cherry", "apple pie", "fruit"),
+    (2, "banana banana banana", "banana", ""),
+    (3, "cherry apple", "other", "cherry jam"),
+    (4, "the and of to is", "stop", ""),  # all stopwords
+]
+
+
+def test_postings_rank_bug_compatible(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, title string, meta string")
+    p = postings(docs, title_col="title", meta_col="meta", bug_compatible=True)
+    rows = {(r["doc_id"], r["word"]): r for r in p.collect()}
+    # doc 4 contributes nothing (all stopwords)
+    assert not any(d == 4 for d, _ in rows)
+    r = rows[(1, "apple")]
+    assert r["tf"] == 2 and r["max_tf"] == 2 and r["df"] == 2
+    # bug-compatible: tf'=0.5+0.5*floor(2/2)=1.0; idf=ln(floor(100000/2))
+    want_rank = 0.5 * 1.0 * math.log(50000) + 0.3 * 1 + 0.2 * 0
+    assert math.isclose(r["rank"], want_rank, rel_tol=1e-12)
+    # tf < max_tf -> integer division zeroes the tf term
+    r2 = rows[(1, "banana")]
+    assert math.isclose(
+        r2["rank"], 0.5 * 0.5 * math.log(50000) + 0.3 * 1, rel_tol=1e-12
+    )
+
+
+def test_inverted_index_rank_desc(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, title string, meta string")
+    idx = inverted_index(postings(docs, title_col="title", meta_col="meta"))
+    row = {r["word"]: r["postings"] for r in idx.collect()}["apple"]
+    ranks = [p["rank"] for p in row]
+    assert ranks == sorted(ranks, reverse=True)
+
+
+def test_search_intersection_bonus(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string, title string, meta string")
+    p = postings(docs, title_col="title", meta_col="meta")
+    res = {r["doc_id"]: r["score"] for r in search(p, "apple cherry").collect()}
+    # docs 1 and 3 contain both terms -> +100; doc 2 has neither
+    assert res[1] == 2 + 100 and res[3] == 2 + 100
+    assert 2 not in res
+
+
+def test_resume_no_refetch(spark, tmp_path):
+    """Kill after round k, resume: final state identical, rounds <= k not
+    re-run (FIXTURES invariant 4)."""
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=6, pages_per_host=12)
+    pages = pages_spark_df(spark, spec)
+    cfg_short = CrawlConfig(max_rounds=2, compact_every=0)
+    cfg_full = CrawlConfig(max_rounds=10, compact_every=0)
+
+    state = str(tmp_path / "resume_state")
+    store1, m1 = run_crawl(spark, pages, seed_urls(spec), state, cfg_short)
+    rounds_before = [h["round"] for h in store1.manifest()["history"]]
+    # resume to completion
+    store2, m2 = run_crawl(spark, pages, seed_urls(spec), state, cfg_full, resume=True)
+    hist = store2.manifest()["history"]
+    # earlier rounds were not re-executed (history strictly extends)
+    assert [h["round"] for h in hist][: len(rounds_before)] == rounds_before
+
+    # equals a never-killed run
+    ref_store, _ = run_crawl(
+        spark, pages, seed_urls(spec), str(tmp_path / "ref_state"), cfg_full
+    )
+    seen_a = {r["url_hash"] for r in store2.read("seen").collect()}
+    seen_b = {r["url_hash"] for r in ref_store.read("seen").collect()}
+    assert seen_a == seen_b

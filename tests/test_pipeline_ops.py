@@ -1,0 +1,157 @@
+"""Training-data pipeline operators: dedup families, similarity search,
+multimodal plumbing, text analysis, streaming batch-equivalents."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.operators.dedup_fuzzy import (
+    embedding_near_dups,
+    exact_dedup,
+    minhash_jaccard,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_pairs,
+)
+from cis455crawler_spark.operators.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_ivf,
+    train_centroids,
+)
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again"),
+    (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup of 1
+    (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+    (4, "completely different text about spark dataframes and shuffles here"),
+    (5, "   THE  quick   brown fox jumps over the lazy dog again and again "),  # ws/case dup
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    # 2 and 5 collapse into 1 (normalized fingerprint)
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, num_hashes=64).cache()
+    pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # identical text must collide in every band
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_jaccard(pairs, sigs).collect()
+    }
+    assert est[(1, 2)] == 1.0
+    if (1, 3) in est:
+        assert est[(1, 3)] > 0.3
+    assert (1, 4) not in est or est[(1, 4)] < 0.3
+
+
+def test_simhash_near_pairs(spark, docs):
+    sim = simhash64(docs).cache()
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals[1] == vals[2]  # identical token multiset
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_pairs(sim, 10).collect()}
+    assert pairs.get((1, 2)) == 0
+    if (1, 3) in pairs:
+        assert pairs[(1, 3)] <= 10
+
+
+def test_ngram_jaccard_exact(spark, docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 4) not in pairs
+    # 1 vs 3: one word differs -> 3 of 10 shingles differ -> J = 7/13
+    assert abs(pairs[(1, 3)] - 7 / 13) < 1e-9
+
+
+def test_embedding_near_dups_and_ann(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    dups = embedding_near_dups(emb, threshold=0.99, n_planes=6)
+    # LSH bucket pairs must be a subset of all >=0.99 pairs (exactness of verify)
+    for r in dups.take(5):
+        assert r["cosine"] >= 0.99
+
+    queries = emb.limit(3).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    bf = cosine_topk_bruteforce(emb, queries, k=5)
+    got = {(r["q_id"], r["rn"]): r["vec_id"] for r in bf.collect()}
+    # rank-1 neighbor of a vector is itself (cosine 1.0)
+    for q in [r["q_id"] for r in queries.collect()]:
+        assert got[(q, 1)] == q
+
+    cent = train_centroids(emb, n_centroids=8, iters=3, sample=256)
+    ivf = cosine_topk_ivf(emb, queries, cent, k=5, nprobe=3)
+    ivf_rows = ivf.collect()
+    assert len(ivf_rows) > 0
+    # self-match survives IVF (query's own cell is always probed first)
+    ivf_top = {r["q_id"]: r["vec_id"] for r in ivf_rows if r["rn"] == 1}
+    for q, v in ivf_top.items():
+        assert v == q
+
+
+def test_multimodal_plumbing(spark):
+    from cis455crawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_fake_media,
+        frame_sample,
+        with_media_meta,
+    )
+
+    rows = [encode_fake_media(i, "video", 640, 480, 3500) for i in range(10)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    meta = with_media_meta(df)
+    got = meta.select("media_id", "width", "height", "dur_ms").collect()
+    assert all(r["width"] == 640 and r["height"] == 480 and r["dur_ms"] == 3500 for r in got)
+    frames = frame_sample(df, every_ms=1000)
+    assert frames.count() == 10 * 4  # ts 0,1000,2000,3000
+
+
+def test_text_analysis_cols(spark, sf_dir):
+    from cis455crawler_spark.functions.text import (
+        lang_id,
+        quality_score,
+        token_count,
+        fingerprint64,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n_tok"),
+        quality_score("text").alias("q"),
+        lang_id("text").alias("lang_guess"),
+        fingerprint64("text").alias("fp"),
+    )
+    rows = out.collect()
+    assert all(0 <= r["q"] <= 1 for r in rows)
+    assert all(r["n_tok"] >= 0 for r in rows)
+    # deterministic across evaluations
+    rows2 = out.collect()
+    assert {r["doc_id"]: r["fp"] for r in rows} == {r["doc_id"]: r["fp"] for r in rows2}
+
+
+def test_sessionize_and_windows(spark, sf_dir):
+    from cis455crawler_spark.streaming.events import sessionize, tumbling_event_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    tw = tumbling_event_counts(events, window="1 hour")
+    assert tw.count() > 0
+    sess = sessionize(events, gap_minutes=30)
+    agg = sess.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+    assert agg == events.count()
