@@ -1,38 +1,767 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+queries() exposes the engine's operator inventory (SURVEY.md §2 + the
+training-pipeline additions) over the driver's parquet tables; oracle_sql()
+gives the DuckDB-equivalent ANSI SQL for every SQL-expressible entry.
+
+Crawl-specific operators (host parse, quirk URL resolution, sharding,
+seen-set anti-join, politeness budget window, robots substring filter,
+tf-idf indexer, search scoring, PageRank) are expressed over a URL table
+synthesized deterministically from `documents` (same expression on both
+sides), so DuckDB can verify the exact semantics. Operators whose semantics
+are not SQL-expressible (minhash LSH, simhash, IVF ANN, streaming state)
+have queries() entries without oracle_sql() (rows-only check) and full
+pytest coverage against Python oracles in tests/.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.functions.text import STOPWORDS
+from cis455crawler_spark.functions.urls import host_of, resolve_href
+
+# ---------------------------------------------------------------------------
+# shared synthetic-URL scaffolding (MUST stay in lockstep with the SQL below)
+# ---------------------------------------------------------------------------
+
+_N_HOSTS = 37
+_SW_LIST = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + a deterministic absolute url per doc (3 path shapes that
+    exercise every branch of the quirk resolver)."""
+    docs = _load(spark, sf_dir, "documents")
+    host = F.concat(F.lit("http://host-"), (F.col("doc_id") % _N_HOSTS).cast("string"), F.lit(".test"))
+    path = (
+        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html")))
+        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/dir"), F.col("doc_id").cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/doc"), F.col("doc_id").cast("string")))
+    )
+    return docs.withColumn("url", F.concat(host, path))
+
+
+_DOC_URL_SQL = """
+  SELECT d.*,
+         'http://host-' || CAST(d.doc_id % 37 AS VARCHAR) || '.test' ||
+         CASE WHEN d.doc_id % 3 = 0 THEN '/p' || CAST(d.doc_id AS VARCHAR) || '.html'
+              WHEN d.doc_id % 3 = 1 THEN '/dir' || CAST(d.doc_id AS VARCHAR) || '/'
+              ELSE '/doc' || CAST(d.doc_id AS VARCHAR) END AS url
+  FROM documents d
+"""
+
+_TOKENS_SQL = f"""
+  SELECT doc_id, u.tok AS word
+  FROM documents, UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                     x -> x <> '' AND x NOT IN ({_SW_LIST}))) AS u(tok)
+"""
+
+
+def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _load(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda t: (t != "") & ~t.isin(STOPWORDS),
+    )
+    return docs.select("doc_id", F.explode(toks).alias("word"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: one frontier-scheduling round (canonicalize -> sha1 ->
+    seen anti-join -> per-host budget window pop) over sf0.001."""
+    sf_dir = "/root/testdata/sf0.001"
+    frontier = _doc_urls(spark, sf_dir).select("url", "doc_id")
+    seen = frontier.filter(F.col("doc_id") % 5 == 0).select(F.md5("url").alias("url_hash"))
+    cand = (
+        frontier.withColumn("url_hash", F.md5("url"))
+        .join(seen, "url_hash", "left_anti")
+        .withColumn("host", host_of("url"))
+    )
+    w = Window.partitionBy("host").orderBy("url")
+    return (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("host", "url", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # ---- relational core (O-A*, O-J*, O-T*, O-U*) ----
+    def q1_pricing_summary(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        return (
+            li.filter(F.col("l_shipdate") <= "1998-09-02")
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("sum_base_price"),
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
+                ).alias("sum_disc_price"),
+                F.count("*").alias("count_order"),
+            )
+            .orderBy("l_returnflag", "l_linestatus")
+        )
+
+    q["q1_pricing_summary"] = q1_pricing_summary
+
+    def q3_shipping_priority(spark, sf):
+        c = _load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+        o = _load(spark, sf, "orders").filter(F.col("o_orderdate") < "2024-06-01")
+        li = _load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "2024-06-01")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+            .groupBy("l_orderkey")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
+                ).alias("revenue")
+            )
+            .orderBy(F.desc("revenue"), "l_orderkey")
+            .limit(10)
+        )
+
+    q["q3_shipping_priority"] = q3_shipping_priority
+
+    def q5_revenue_by_nation(spark, sf):
+        r = _load(spark, sf, "region")
+        n = _load(spark, sf, "nation")
+        c = _load(spark, sf, "customer")
+        o = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem")
+        return (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .join(c, o.o_custkey == c.c_custkey)
+            .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+            .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+            .groupBy("n_name")
+            .agg(
+                F.sum(
+                    (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
+                ).alias("revenue")
+            )
+            .orderBy("n_name")
+        )
+
+    q["q5_revenue_by_nation"] = q5_revenue_by_nation
+
+    def semi_join_orders(spark, sf):
+        o = _load(spark, sf, "orders")
+        li = _load(spark, sf, "lineitem").filter(F.col("l_quantity") >= 45)
+        return (
+            o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+            .groupBy("o_orderstatus")
+            .agg(F.count("*").alias("n_orders"))
+            .orderBy("o_orderstatus")
+        )
+
+    q["semi_join_orders"] = semi_join_orders
+
+    def anti_join_customers(spark, sf):
+        c = _load(spark, sf, "customer")
+        o = _load(spark, sf, "orders")
+        return (
+            c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+            .select("c_custkey", "c_name")
+            .orderBy("c_custkey")
+        )
+
+    q["anti_join_customers"] = anti_join_customers
+
+    def window_topk_orders(spark, sf):
+        o = _load(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+        return (
+            o.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("o_custkey", "o_orderkey", "rn")
+        )
+
+    q["window_topk_orders"] = window_topk_orders
+
+    def rollup_lineitem(spark, sf):
+        li = _load(spark, sf, "lineitem")
+        return (
+            li.rollup("l_returnflag", "l_linestatus")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+            )
+            .select(
+                F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
+                F.coalesce("l_linestatus", F.lit("ALL")).alias("ls"),
+                "n",
+                "sum_qty",
+            )
+        )
+
+    q["rollup_lineitem"] = rollup_lineitem
+
+    def set_ops_users(spark, sf):
+        ev = _load(spark, sf, "events")
+        clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+        buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+        errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+        return clickers.intersect(buyers).exceptAll(errs).orderBy("user_id")
+
+    q["set_ops_users"] = set_ops_users
+
+    def agg_distinct_events(spark, sf):
+        ev = _load(spark, sf, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(
+                F.countDistinct("user_id").alias("n_users"),
+                F.count("*").alias("n_events"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["agg_distinct_events"] = agg_distinct_events
+
+    def tumbling_hour_counts(spark, sf):
+        ev = _load(spark, sf, "events")
+        return (
+            ev.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .orderBy("hour", "event_type")
+        )
+
+    q["tumbling_hour_counts"] = tumbling_hour_counts
+
+    def sessionize_events(spark, sf):
+        from cis455crawler_spark.streaming.events import sessionize
+
+        ev = _load(spark, sf, "events")
+        return sessionize(ev, gap_minutes=30).select(
+            "user_id", "session_seq", "session_start", "session_end", "n_events"
+        )
+
+    q["sessionize_events"] = sessionize_events
+
+    # ---- crawl-operator family over synthesized URLs ----
+    def url_host_parse(spark, sf):
+        return _doc_urls(spark, sf).select(
+            "doc_id", "url", host_of("url").alias("host")
+        )
+
+    q["url_host_parse"] = url_host_parse
+
+    def url_resolve_quirk(spark, sf):
+        d = _doc_urls(spark, sf)
+        href = (
+            F.when(F.col("doc_id") % 4 == 0, F.lit("page9.html"))
+            .when(F.col("doc_id") % 4 == 1, F.concat(F.lit("http://abs-"), F.col("doc_id").cast("string"), F.lit(".test/x")))
+            .when(F.col("doc_id") % 4 == 2, F.lit("mailto:bob@x.test"))
+            .otherwise(F.lit("sub/dir9/"))
+        )
+        return d.select(
+            "doc_id", "url", href.alias("href"), resolve_href("url", href).alias("resolved")
+        )
+
+    q["url_resolve_quirk"] = url_resolve_quirk
+
+    def url_shard(spark, sf):
+        d = _doc_urls(spark, sf)
+        return d.select(
+            "doc_id", "url", F.substring(F.md5("url"), 1, 2).alias("shard_key")
+        )
+
+    q["url_shard"] = url_shard
+
+    def seen_anti_join(spark, sf):
+        d = _doc_urls(spark, sf).withColumn("url_hash", F.md5("url"))
+        seen = d.filter(F.col("doc_id") % 5 == 0).select("url_hash")
+        return d.join(seen, "url_hash", "left_anti").select("doc_id", "url").orderBy("doc_id")
+
+    q["seen_anti_join"] = seen_anti_join
+
+    def host_budget_window(spark, sf):
+        d = _doc_urls(spark, sf).withColumn("host", host_of("url"))
+        w = Window.partitionBy("host").orderBy("url")
+        return (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 3)
+            .select("host", "url", "rn")
+        )
+
+    q["host_budget_window"] = host_budget_window
+
+    def robots_substring_filter(spark, sf):
+        # per-host single-rule robots: hosts h%4==0 disallow substring 'doc',
+        # h%4==1 disallow '/p', others no robots record (allow);
+        # substring (not prefix) semantics, exactly O-F4's match rule
+        d = _doc_urls(spark, sf).withColumn("h", F.col("doc_id") % _N_HOSTS)
+        rule = (
+            F.when(F.col("h") % 4 == 0, F.lit("doc"))
+            .when(F.col("h") % 4 == 1, F.lit("/p"))
+            .otherwise(F.lit(None))
+        )
+        allowed = F.when(rule.isNull(), F.lit(True)).otherwise(~F.col("url").contains(rule))
+        return d.select("doc_id", "url", allowed.alias("allowed")).orderBy("doc_id")
+
+    q["robots_substring_filter"] = robots_substring_filter
+
+    # ---- indexer / search (O-A1..A4, O-J4/J5, O-T2) ----
+    def tokenize_stopwords(spark, sf):
+        t = _tokens(spark, sf)
+        return t.groupBy("doc_id").agg(F.count("*").alias("n_tokens")).orderBy("doc_id")
+
+    q["tokenize_stopwords"] = tokenize_stopwords
+
+    def tfidf_postings(spark, sf):
+        t = _tokens(spark, sf)
+        tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        w_doc = Window.partitionBy("doc_id")
+        w_word = Window.partitionBy("word")
+        return (
+            tf.withColumn("max_tf", F.max("tf").over(w_doc))
+            .withColumn("df", F.count("*").over(w_word))
+            .withColumn(
+                "rank",
+                F.round(
+                    0.5
+                    * (0.5 + 0.5 * F.floor(F.col("tf") / F.col("max_tf")))
+                    * F.log(F.floor(F.lit(100000) / F.col("df")).cast("double")),
+                    6,
+                ),
+            )
+            .select("doc_id", "word", "tf", "max_tf", "df", "rank")
+        )
+
+    q["tfidf_postings"] = tfidf_postings
+
+    def term_search_top100(spark, sf):
+        t = _tokens(spark, sf)
+        hits = t.filter(F.col("word").isin("spark", "window"))
+        scored = hits.groupBy("doc_id").agg(
+            F.count("*").alias("n_hits"), F.countDistinct("word").alias("n_words")
+        )
+        return (
+            scored.select(
+                "doc_id",
+                (
+                    F.col("n_hits")
+                    + F.when(F.col("n_words") == 2, F.lit(100)).otherwise(0)
+                ).alias("score"),
+            )
+            .orderBy(F.desc("score"), "doc_id")
+            .limit(100)
+        )
+
+    q["term_search_top100"] = term_search_top100
+
+    # ---- dedup family ----
+    def dedup_exact_docs(spark, sf):
+        docs = _load(spark, sf, "documents")
+        fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
+        w = Window.partitionBy("fp").orderBy("doc_id")
+        return (
+            docs.withColumn("fp", fp)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "fp")
+            .orderBy("doc_id")
+        )
+
+    q["dedup_exact_docs"] = dedup_exact_docs
+
+    def ngram_jaccard_dups(spark, sf):
+        from cis455crawler_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+        docs = _load(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+        return pairs.select(
+            "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+        ).orderBy("id_a", "id_b")
+
+    q["ngram_jaccard_dups"] = ngram_jaccard_dups
+
+    def minhash_lsh_dups(spark, sf):  # rows-only (engine-specific hashing)
+        from cis455crawler_spark.operators.dedup_fuzzy import (
+            minhash_jaccard,
+            minhash_lsh_pairs,
+            minhash_signatures,
+        )
+
+        docs = _load(spark, sf, "documents")
+        sigs = minhash_signatures(docs, num_hashes=64)
+        pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
+        return minhash_jaccard(pairs, sigs).filter(F.col("est_jaccard") >= 0.7)
+
+    q["minhash_lsh_dups"] = minhash_lsh_dups
+
+    def simhash_dups(spark, sf):  # rows-only
+        from cis455crawler_spark.operators.dedup_fuzzy import simhash64, simhash_near_pairs
+
+        docs = _load(spark, sf, "documents")
+        return simhash_near_pairs(simhash64(docs), max_hamming=3)
+
+    q["simhash_dups"] = simhash_dups
+
+    def embedding_cosine_topk(spark, sf):
+        emb = _load(spark, sf, "embeddings")
+        dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        v = emb.select("vec_id", dvec.alias("v"))
+        queries_df = v.filter(F.col("vec_id").isin(1, 2, 3)).select(
+            F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        )
+        dot = F.aggregate(
+            F.zip_with("v", "qv", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+        )
+        nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
+        scored = v.crossJoin(F.broadcast(queries_df)).withColumn("cosine", dot / (nv * nq))
+        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 5)
+            .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn")
+        )
+
+    q["embedding_cosine_topk"] = embedding_cosine_topk
+
+    def ann_ivf_topk(spark, sf):  # rows-only (approximate by design)
+        from cis455crawler_spark.operators.similarity import (
+            cosine_topk_ivf,
+            train_centroids,
+        )
+
+        emb = _load(spark, sf, "embeddings")
+        queries_df = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        cent = train_centroids(emb, n_centroids=8, iters=3, sample=512)
+        return cosine_topk_ivf(emb, queries_df, cent, k=5, nprobe=3)
+
+    q["ann_ivf_topk"] = ann_ivf_topk
+
+    # ---- text analysis ----
+    def text_quality(spark, sf):
+        from cis455crawler_spark.functions.text import quality_score, token_count, word_char_ratio
+
+        docs = _load(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            token_count("text").alias("n_tok"),
+            F.round(word_char_ratio("text"), 6).alias("alnum_ratio"),
+            quality_score("text").alias("quality"),
+        ).orderBy("doc_id")
+
+    q["text_quality"] = text_quality
+
+    def lang_id_docs(spark, sf):
+        from cis455crawler_spark.functions.text import lang_id
+
+        docs = _load(spark, sf, "documents")
+        return docs.select("doc_id", lang_id("text").alias("lang_guess")).orderBy("doc_id")
+
+    q["lang_id_docs"] = lang_id_docs
+
+    def doc_fingerprint(spark, sf):  # rows-only (xxhash64 engine-specific)
+        from cis455crawler_spark.functions.text import fingerprint64
+
+        docs = _load(spark, sf, "documents")
+        return docs.select("doc_id", fingerprint64("text").alias("fp"))
+
+    q["doc_fingerprint"] = doc_fingerprint
+
+    def pagerank_5iter(spark, sf):  # rows-only (iterative; pytest-verified)
+        from cis455crawler_spark.operators.pagerank import pagerank
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string")).alias("dst"),
+        )
+        pr = pagerank(edges, iterations=5)
+        return pr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+    q["pagerank_5iter"] = pagerank_5iter
+
+    return q
+
+
+# ---------------------------------------------------------------------------
+# DuckDB oracles
+# ---------------------------------------------------------------------------
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    doc_urls = f"WITH doc_urls AS ({_DOC_URL_SQL})"
+    tokens = f"WITH tokens AS ({_TOKENS_SQL})"
+    return {
+        "q1_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
+                   SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS sum_disc_price,
+                   COUNT(*) AS count_order
+            FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
+        """,
+        "q3_shipping_priority": """
+            SELECT l_orderkey,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '2024-06-01'
+              AND l_shipdate  > TIMESTAMP '2024-06-01'
+            GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
+        """,
+        "q5_revenue_by_nation": """
+            SELECT n_name,
+                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "semi_join_orders": """
+            SELECT o_orderstatus, COUNT(*) AS n_orders FROM orders
+            WHERE EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey AND l_quantity >= 45)
+            GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            ORDER BY c_custkey
+        """,
+        "window_topk_orders": """
+            SELECT o_custkey, o_orderkey, rn FROM (
+              SELECT o_custkey, o_orderkey,
+                     ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey) AS rn
+              FROM orders) WHERE rn <= 3
+        """,
+        "rollup_lineitem": """
+            SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
+                   COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "set_ops_users": """
+            (SELECT DISTINCT user_id FROM events WHERE event_type='click'
+             INTERSECT
+             SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+            EXCEPT
+            SELECT DISTINCT user_id FROM events WHERE event_type='error'
+            ORDER BY user_id
+        """,
+        "agg_distinct_events": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "tumbling_hour_counts": """
+            SELECT date_trunc('hour', ts) AS hour, event_type, COUNT(*) AS n
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "sessionize_events": """
+            WITH lagged AS (
+              SELECT user_id, ts, value,
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+              FROM events),
+            flagged AS (
+              SELECT *, CASE WHEN prev_ts IS NULL
+                              OR epoch(ts) - epoch(prev_ts) > 1800 THEN 1 ELSE 0 END AS is_new
+              FROM lagged),
+            sessed AS (
+              SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS UNBOUNDED PRECEDING) AS session_seq
+              FROM flagged)
+            SELECT user_id, session_seq, MIN(ts) AS session_start,
+                   MAX(ts) AS session_end, COUNT(*) AS n_events
+            FROM sessed GROUP BY user_id, session_seq
+        """,
+        "url_host_parse": f"""
+            {doc_urls}
+            SELECT doc_id, url, regexp_extract(url, '://([^/]+)', 1) AS host FROM doc_urls
+        """,
+        "url_resolve_quirk": f"""
+            {doc_urls},
+            with_href AS (
+              SELECT doc_id, url,
+                     CASE WHEN doc_id % 4 = 0 THEN 'page9.html'
+                          WHEN doc_id % 4 = 1 THEN 'http://abs-' || CAST(doc_id AS VARCHAR) || '.test/x'
+                          WHEN doc_id % 4 = 2 THEN 'mailto:bob@x.test'
+                          ELSE 'sub/dir9/' END AS href
+              FROM doc_urls)
+            SELECT doc_id, url, href,
+                   CASE WHEN href LIKE 'http%' THEN
+                          CASE WHEN href LIKE '%:%' OR href LIKE '%#%'
+                                 OR lower(href) LIKE '%javascript%' THEN NULL
+                               ELSE href END
+                        WHEN url LIKE '%.html' OR url LIKE '%.htm' THEN
+                          'http://' || regexp_extract(url, '://([^/]+)', 1) || '/' || href
+                        WHEN url LIKE '%/' THEN url || href
+                        ELSE url || '/' || href END AS resolved
+            FROM with_href
+        """,
+        "url_shard": f"""
+            {doc_urls}
+            SELECT doc_id, url, substring(md5(url), 1, 2) AS shard_key FROM doc_urls
+        """,
+        "seen_anti_join": f"""
+            {doc_urls}
+            SELECT doc_id, url FROM doc_urls d
+            WHERE NOT EXISTS (SELECT 1 FROM doc_urls s
+                              WHERE s.doc_id % 5 = 0 AND md5(s.url) = md5(d.url))
+            ORDER BY doc_id
+        """,
+        "host_budget_window": f"""
+            {doc_urls}
+            SELECT host, url, rn FROM (
+              SELECT regexp_extract(url, '://([^/]+)', 1) AS host, url,
+                     ROW_NUMBER() OVER (PARTITION BY regexp_extract(url, '://([^/]+)', 1)
+                                        ORDER BY url) AS rn
+              FROM doc_urls) WHERE rn <= 3
+        """,
+        "robots_substring_filter": f"""
+            {doc_urls},
+            ruled AS (
+              SELECT doc_id, url,
+                     CASE WHEN (doc_id % 37) % 4 = 0 THEN 'doc'
+                          WHEN (doc_id % 37) % 4 = 1 THEN '/p'
+                          ELSE NULL END AS rule
+              FROM doc_urls)
+            SELECT doc_id, url,
+                   CASE WHEN rule IS NULL THEN TRUE
+                        ELSE NOT contains(url, rule) END AS allowed
+            FROM ruled ORDER BY doc_id
+        """,
+        "tokenize_stopwords": f"""
+            {tokens}
+            SELECT doc_id, COUNT(*) AS n_tokens FROM tokens GROUP BY doc_id ORDER BY doc_id
+        """,
+        "tfidf_postings": f"""
+            {tokens},
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word)
+            SELECT doc_id, word, tf,
+                   MAX(tf) OVER (PARTITION BY doc_id) AS max_tf,
+                   COUNT(*) OVER (PARTITION BY word) AS df,
+                   ROUND(0.5 * (0.5 + 0.5 * FLOOR(tf / (MAX(tf) OVER (PARTITION BY doc_id))))
+                         * LN(FLOOR(100000 / (COUNT(*) OVER (PARTITION BY word)))), 6) AS rank
+            FROM tf
+        """,
+        "term_search_top100": f"""
+            {tokens},
+            hits AS (SELECT doc_id, word FROM tokens WHERE word IN ('spark','window')),
+            scored AS (SELECT doc_id, COUNT(*) AS n_hits, COUNT(DISTINCT word) AS n_words
+                       FROM hits GROUP BY doc_id)
+            SELECT doc_id, n_hits + CASE WHEN n_words = 2 THEN 100 ELSE 0 END AS score
+            FROM scored ORDER BY score DESC, doc_id LIMIT 100
+        """,
+        "dedup_exact_docs": r"""
+            SELECT doc_id, fp FROM (
+              SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'))
+                       ORDER BY doc_id) AS rn
+              FROM documents) WHERE rn = 1 ORDER BY doc_id
+        """,
+        "ngram_jaccard_dups": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, u.s AS sh FROM toks, UNNEST(
+                CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+                ELSE [array_to_string(t, ' ')] END) AS u(s)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b,
+                   ROUND(CAST(c AS DOUBLE) / (sa.n + sb.n - c), 6) AS jaccard
+            FROM common JOIN sizes sa ON sa.doc_id = id_a
+                        JOIN sizes sb ON sb.doc_id = id_b
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
+            ORDER BY id_a, id_b
+        """,
+        "embedding_cosine_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id IN (1,2,3)),
+            scored AS (
+              SELECT q.q_id, v.vec_id,
+                     list_dot_product(v.v, q.qv) /
+                       (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                       AS cosine
+              FROM v CROSS JOIN q)
+            SELECT q_id, vec_id, ROUND(cosine, 4) AS cosine, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+            WHERE rn <= 5
+        """,
+        "text_quality": rf"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                     CASE WHEN len(text) > 0 THEN
+                            CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                            / len(text)
+                          ELSE 0.0 END AS ratio,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks
+              FROM documents)
+            SELECT doc_id, n_tok, ROUND(ratio, 6) AS alnum_ratio,
+                   ROUND(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                          + ratio
+                          + (CASE WHEN len(list_intersect(list_distinct(toks),
+                               [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+            FROM base ORDER BY doc_id
+        """,
+        "lang_id_docs": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS toks
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS h_en,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','sich'])) AS h_de,
+                len(list_intersect(toks, ['le','la','les','et','est','des','une','dans','que','pour'])) AS h_fr,
+                len(list_intersect(toks, ['el','los','las','es','en','una','por','con','para','del'])) AS h_es
+              FROM base)
+            -- tie-break mirrors Spark's struct max: (hits, lang) lexicographic,
+            -- so ties go to the lexicographically LARGEST language code
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                        WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                        WHEN h_en >= h_de THEN 'en'
+                        ELSE 'de' END AS lang_guess
+            FROM hits ORDER BY doc_id
+        """,
+    }

@@ -1,0 +1,125 @@
+"""Benchmark harness (driver contract: prints ONE JSON line).
+
+Headline metric: crawl-round throughput — URLs scheduled+deduped per second
+over the synthetic bench corpus (the north-star metric of BASELINE.json),
+plus per-query wall times for the headline queries() entries at
+$SPARK_GRAFT_SF_DIR.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS     local[N] cores (default 32)
+  BENCH_HOSTS/BENCH_PAGES/BENCH_HOT   crawl corpus tier (default 200x400, hot 10)
+  BENCH_ROUNDS         crawl rounds to run (default 4)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_revenue_by_nation",
+    "window_topk_orders",
+    "agg_distinct_events",
+    "sessionize_events",
+    "host_budget_window",
+    "seen_anti_join",
+    "tfidf_postings",
+    "term_search_top100",
+    "dedup_exact_docs",
+    "minhash_lsh_dups",
+    "simhash_dups",
+    "embedding_cosine_topk",
+    "pagerank_5iter",
+]
+
+
+def corpus_parquet(hosts: int, pages: int, hot: int) -> str:
+    """Deterministic corpus cached on disk across bench runs."""
+    from cis455crawler_spark.sources.corpus import CorpusSpec, write_pages_parquet
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}.parquet"
+    )
+    if not os.path.exists(path):
+        write_pages_parquet(CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot), path)
+    return path
+
+
+def crawl_throughput(spark, rounds: int, hosts: int, pages: int, hot: int) -> dict:
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import CorpusSpec, seed_urls
+
+    spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
+    pages_df = spark.read.parquet(corpus_parquet(hosts, pages, hot)).cache()
+    pages_df.count()
+
+    state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
+    cfg = CrawlConfig(
+        max_rounds=rounds, max_pages=10_000_000, round_duration_s=3600, compact_every=0
+    )
+    t0 = time.time()
+    _, metrics = run_crawl(spark, pages_df, seed_urls(spec, n_seeds=hosts), state_dir, cfg)
+    wall = time.time() - t0
+    shutil.rmtree(state_dir, ignore_errors=True)
+    pages_df.unpersist()
+
+    processed = sum(m["scheduled"] + m["deduped"] for m in metrics)
+    return {
+        "rounds": len(metrics),
+        "urls_scheduled_deduped": processed,
+        "wall_s": round(wall, 3),
+        "throughput_per_s": round(processed / wall, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    hosts = int(os.environ.get("BENCH_HOSTS", "200"))
+    pages = int(os.environ.get("BENCH_PAGES", "400"))
+    hot = int(os.environ.get("BENCH_HOT", "10"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
+
+    import __spark_entry__ as entry_mod
+    from cis455crawler_spark.session import get_spark
+
+    spark = get_spark(cores=cpus, app_name="bench")
+    # warmup: JVM + parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    qtimes: dict[str, float] = {}
+    qs = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        if name not in qs:
+            continue
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        qtimes[name] = round(time.time() - t0, 3)
+        _ = n
+
+    crawl = crawl_throughput(spark, rounds, hosts, pages, hot)
+
+    out = {
+        "metric": "urls_scheduled_deduped_per_sec",
+        "value": crawl["throughput_per_s"],
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "crawl": crawl,
+        "cpus": cpus,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -152,7 +152,9 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     )
     sim = F.lit(0).cast("long")
     for b in range(64):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") << b).otherwise(0)
+        sim = sim + F.when(
+            F.col(f"b{b}") > 0, F.shiftleft(F.lit(1).cast("long"), b)
+        ).otherwise(F.lit(0).cast("long"))
     return bit_sums.select("id", sim.alias("simhash"))
 
 

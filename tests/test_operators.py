@@ -66,11 +66,9 @@ def test_postings_rank_bug_compatible(spark):
     # bug-compatible: tf'=0.5+0.5*floor(2/2)=1.0; idf=ln(floor(100000/2))
     want_rank = 0.5 * 1.0 * math.log(50000) + 0.3 * 1 + 0.2 * 0
     assert math.isclose(r["rank"], want_rank, rel_tol=1e-12)
-    # tf < max_tf -> integer division zeroes the tf term
+    # tf < max_tf -> integer division zeroes the tf term (and no title hit)
     r2 = rows[(1, "banana")]
-    assert math.isclose(
-        r2["rank"], 0.5 * 0.5 * math.log(50000) + 0.3 * 1, rel_tol=1e-12
-    )
+    assert math.isclose(r2["rank"], 0.5 * 0.5 * math.log(50000), rel_tol=1e-12)
 
 
 def test_inverted_index_rank_desc(spark):
