@@ -488,6 +488,247 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = doc_fingerprint
 
+    # ---- fetch-path filters & routing (O-F1/F2/F3) ----
+    def mime_size_filter(spark, sf):
+        docs = _load(spark, sf, "documents")
+        ct = (
+            F.when(F.col("doc_id") % 5 == 0, F.lit("text/html; charset=utf-8"))
+            .when(F.col("doc_id") % 5 == 1, F.lit("application/xhtml+xml"))
+            .when(F.col("doc_id") % 5 == 2, F.lit("image/png"))
+            .when(F.col("doc_id") % 5 == 3, F.lit("text/xml; charset=iso-8859-1"))
+            .otherwise(F.lit("application/pdf"))
+        )
+        allowed = F.array(
+            *[F.lit(t) for t in ("text/html", "text/xml", "application/xml", "application/xhtml+xml")]
+        )
+        mime_ok = F.exists(allowed, lambda t: ct.contains(t))
+        size_ok = F.col("n_chars").isNotNull() & (F.col("n_chars") <= 2000)
+        return docs.select(
+            "doc_id", ct.alias("content_type"), (mime_ok & size_ok).alias("passed")
+        ).orderBy("doc_id")
+
+    q["mime_size_filter"] = mime_size_filter
+
+    def status_routing(spark, sf):
+        docs = _load(spark, sf, "documents")
+        status = (
+            F.when(F.col("doc_id") % 10 == 1, F.lit(301))
+            .when(F.col("doc_id") % 10 == 2, F.lit(302))
+            .when(F.col("doc_id") % 10 == 3, F.lit(304))
+            .otherwise(F.lit(200))
+        )
+        action = (
+            F.when(status.isin(301, 302), F.lit("redirect"))
+            .when(status == 304, F.lit("reuse_cached"))
+            .otherwise(F.lit("fetch"))
+        )
+        return (
+            docs.select(action.alias("action"))
+            .groupBy("action")
+            .agg(F.count("*").alias("n"))
+            .orderBy("action")
+        )
+
+    q["status_routing"] = status_routing
+
+    # ---- serve-path scalar functions (O-X6/X7/X9) ----
+    def title_extract(spark, sf):
+        docs = _load(spark, sf, "documents")
+        html = F.concat(
+            F.lit("<html><head><title>Doc "),
+            F.col("doc_id").cast("string"),
+            F.lit("</title></head><body>"),
+            F.col("text"),
+        )
+        return docs.select(
+            "doc_id", F.regexp_extract(html, "<title>(.*?)</title>", 1).alias("title")
+        ).orderBy("doc_id")
+
+    q["title_extract"] = title_extract
+
+    def snippet_extract(spark, sf):
+        docs = _load(spark, sf, "documents")
+        pos = F.locate("spark", F.lower(F.col("text")))
+        snip = F.when(
+            pos > 0, F.substring(F.col("text"), F.greatest(F.lit(1), pos - 20), 75)
+        )
+        return docs.select("doc_id", snip.alias("snippet")).orderBy("doc_id")
+
+    q["snippet_extract"] = snippet_extract
+
+    def http_date_format(spark, sf):
+        o = _load(spark, sf, "orders")
+        return o.select(
+            "o_orderkey",
+            F.concat(
+                F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT")
+            ).alias("http_date"),
+        ).orderBy("o_orderkey")
+
+    q["http_date_format"] = http_date_format
+
+    # ---- postings assembly (O-A4/O-T3): rank-desc parallel lists per word ----
+    def postings_assembly(spark, sf):
+        t = _tokens(spark, sf)
+        tf = t.groupBy("word", "doc_id").agg(F.count("*").alias("tf"))
+        entry = F.struct(
+            (-F.col("tf")).cast("long").alias("neg_tf"), F.col("doc_id").alias("doc_id")
+        )
+        return tf.groupBy("word").agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(entry)),
+                    lambda x: F.concat_ws(
+                        ":", x["doc_id"].cast("string"), (-x["neg_tf"]).cast("string")
+                    ),
+                ),
+                " ",
+            ).alias("postings"),
+            F.count("*").alias("df"),
+        ).orderBy("word")
+
+    q["postings_assembly"] = postings_assembly
+
+    # ---- window-function suite (lag/lead/rank/running frames) ----
+    def window_suite_orders(spark, sf):
+        o = _load(spark, sf, "orders")
+        w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        band = F.floor(F.col("o_totalprice") / 1000)
+        wband = Window.partitionBy("o_custkey").orderBy(F.desc(band.cast("long")))
+        return o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.lag("o_orderkey").over(w).alias("prev_key"),
+            F.lead("o_orderkey").over(w).alias("next_key"),
+            F.round(F.sum("o_totalprice").over(wrun), 2).alias("running_spend"),
+            F.rank().over(wband).alias("band_rank"),
+            F.dense_rank().over(wband).alias("band_dense"),
+        )
+
+    q["window_suite_orders"] = window_suite_orders
+
+    def cube_counts(spark, sf):
+        o = _load(spark, sf, "orders")
+        return (
+            o.cube("o_orderstatus", "o_orderpriority")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
+            )
+            .select(
+                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+                "n",
+                "total_cents",
+            )
+        )
+
+    q["cube_counts"] = cube_counts
+
+    def full_outer_nation_balance(spark, sf):
+        c = _load(spark, sf, "customer").groupBy("c_nationkey").agg(
+            F.count("*").alias("n_cust"),
+            F.sum(F.round(F.col("c_acctbal") * 100).cast("long")).alias("cust_cents"),
+        )
+        s = _load(spark, sf, "supplier").groupBy("s_nationkey").agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.round(F.col("s_acctbal") * 100).cast("long")).alias("supp_cents"),
+        )
+        j = c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        return j.select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("cust_cents", F.lit(0)).alias("cust_cents"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+            F.coalesce("supp_cents", F.lit(0)).alias("supp_cents"),
+        ).orderBy("nationkey")
+
+    q["full_outer_nation_balance"] = full_outer_nation_balance
+
+    # ---- as-of join (union+window, no inequality-join explosion) ----
+    def asof_last_click(spark, sf):
+        from cis455crawler_spark.operators.asof import asof_join_backward
+
+        ev = _load(spark, sf, "events")
+        clicks = ev.filter(F.col("event_type") == "click").select("user_id", "ts")
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", "ts"
+        )
+        res = asof_join_backward(purchases, clicks, on=["user_id"])
+        return res.select(
+            "event_id", "user_id", "ts", F.col("asof_ts").alias("last_click_ts")
+        ).orderBy("event_id")
+
+    q["asof_last_click"] = asof_last_click
+
+    def sliding_window_counts(spark, sf):
+        ev = _load(spark, sf, "events")
+        return (
+            ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+            .agg(F.count("*").alias("n"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n")
+            .orderBy("window_start", "event_type")
+        )
+
+    q["sliding_window_counts"] = sliding_window_counts
+
+    def percentiles_orders(spark, sf):
+        o = _load(spark, sf, "orders")
+        return (
+            o.groupBy("o_orderstatus")
+            .agg(
+                F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("p50"),
+                F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90"),
+                F.round(F.expr("percentile(o_totalprice, 0.99)"), 2).alias("p99"),
+            )
+            .orderBy("o_orderstatus")
+        )
+
+    q["percentiles_orders"] = percentiles_orders
+
+    def ntile_quartiles(spark, sf):
+        o = _load(spark, sf, "orders")
+        w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+        return (
+            o.withColumn("tile", F.ntile(4).over(w))
+            .groupBy("o_orderstatus", "tile")
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("o_totalprice"), 2).alias("min_price"),
+                F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            )
+            .orderBy("o_orderstatus", "tile")
+        )
+
+    q["ntile_quartiles"] = ntile_quartiles
+
+    # ---- multimodal plumbing: encode -> mapInPandas decode round-trip ----
+    def multimodal_meta(spark, sf):
+        from cis455crawler_spark.operators.multimodal import synth_media, with_media_meta
+
+        docs = _load(spark, sf, "documents").select("doc_id")
+        media = synth_media(docs)
+        return with_media_meta(media).select(
+            "media_id", "kind", "width", "height", "dur_ms"
+        ).orderBy("media_id")
+
+    q["multimodal_meta"] = multimodal_meta
+
+    def frame_sample_counts(spark, sf):
+        from cis455crawler_spark.operators.multimodal import frame_sample, synth_media
+
+        docs = _load(spark, sf, "documents").select("doc_id")
+        media = synth_media(docs)
+        return (
+            frame_sample(media, every_ms=10_000)
+            .groupBy("media_id")
+            .agg(F.count("*").alias("n_frames"))
+            .orderBy("media_id")
+        )
+
+    q["frame_sample_counts"] = frame_sample_counts
+
     def pagerank_5iter(spark, sf):  # rows-only (iterative; pytest-verified)
         from cis455crawler_spark.operators.pagerank import pagerank
 
@@ -740,6 +981,140 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN len(list_intersect(list_distinct(toks),
                                [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
             FROM base ORDER BY doc_id
+        """,
+        "mime_size_filter": """
+            WITH typed AS (
+              SELECT doc_id, n_chars,
+                     CASE WHEN doc_id % 5 = 0 THEN 'text/html; charset=utf-8'
+                          WHEN doc_id % 5 = 1 THEN 'application/xhtml+xml'
+                          WHEN doc_id % 5 = 2 THEN 'image/png'
+                          WHEN doc_id % 5 = 3 THEN 'text/xml; charset=iso-8859-1'
+                          ELSE 'application/pdf' END AS content_type
+              FROM documents)
+            SELECT doc_id, content_type,
+                   ((contains(content_type, 'text/html') OR contains(content_type, 'text/xml')
+                     OR contains(content_type, 'application/xml')
+                     OR contains(content_type, 'application/xhtml+xml'))
+                    AND n_chars IS NOT NULL AND n_chars <= 2000) AS passed
+            FROM typed ORDER BY doc_id
+        """,
+        "status_routing": """
+            WITH routed AS (
+              SELECT CASE WHEN doc_id % 10 IN (1, 2) THEN 'redirect'
+                          WHEN doc_id % 10 = 3 THEN 'reuse_cached'
+                          ELSE 'fetch' END AS action
+              FROM documents)
+            SELECT action, COUNT(*) AS n FROM routed GROUP BY action ORDER BY action
+        """,
+        "title_extract": """
+            SELECT doc_id,
+                   regexp_extract('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
+                                  || '</title></head><body>' || text,
+                                  '<title>(.*?)</title>', 1) AS title
+            FROM documents ORDER BY doc_id
+        """,
+        "snippet_extract": """
+            WITH pos AS (SELECT doc_id, text, strpos(lower(text), 'spark') AS p FROM documents)
+            SELECT doc_id,
+                   CASE WHEN p > 0 THEN substring(text, greatest(1, p - 20), 75) END AS snippet
+            FROM pos ORDER BY doc_id
+        """,
+        "http_date_format": """
+            SELECT o_orderkey,
+                   strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS http_date
+            FROM orders ORDER BY o_orderkey
+        """,
+        "postings_assembly": f"""
+            {tokens},
+            tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM tokens GROUP BY word, doc_id)
+            SELECT word,
+                   string_agg(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR), ' '
+                              ORDER BY tf DESC, doc_id) AS postings,
+                   COUNT(*) AS df
+            FROM tf GROUP BY word ORDER BY word
+        """,
+        "window_suite_orders": """
+            SELECT o_custkey, o_orderkey,
+                   LAG(o_orderkey)  OVER w AS prev_key,
+                   LEAD(o_orderkey) OVER w AS next_key,
+                   ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey
+                         ROWS UNBOUNDED PRECEDING), 2) AS running_spend,
+                   RANK() OVER wb AS band_rank,
+                   DENSE_RANK() OVER wb AS band_dense
+            FROM orders
+            WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                   wb AS (PARTITION BY o_custkey
+                          ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC)
+        """,
+        "cube_counts": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+                   COALESCE(o_orderpriority, 'ALL') AS priority,
+                   COUNT(*) AS n,
+                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "full_outer_nation_balance": """
+            WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust,
+                              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cust_cents
+                       FROM customer GROUP BY c_nationkey),
+                 s AS (SELECT s_nationkey, COUNT(*) AS n_supp,
+                              SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS supp_cents
+                       FROM supplier GROUP BY s_nationkey)
+            SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
+                   COALESCE(n_cust, 0) AS n_cust, COALESCE(cust_cents, 0) AS cust_cents,
+                   COALESCE(n_supp, 0) AS n_supp, COALESCE(supp_cents, 0) AS supp_cents
+            FROM c FULL OUTER JOIN s ON c_nationkey = s_nationkey
+            ORDER BY nationkey
+        """,
+        "asof_last_click": """
+            SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+            FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+            ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+            ORDER BY p.event_id
+        """,
+        "sliding_window_counts": """
+            WITH cand AS (
+              SELECT event_type,
+                     time_bucket(INTERVAL '30 minutes', ts) - u.k * INTERVAL '30 minutes'
+                       AS window_start
+              FROM events, UNNEST([0, 1]) AS u(k))
+            SELECT window_start, event_type, COUNT(*) AS n
+            FROM cand GROUP BY 1, 2 ORDER BY 1, 2
+        """,
+        "percentiles_orders": """
+            SELECT o_orderstatus,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+                   ROUND(quantile_cont(o_totalprice, 0.99), 2) AS p99
+            FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+        """,
+        "ntile_quartiles": """
+            WITH tiled AS (
+              SELECT o_orderstatus, o_totalprice,
+                     NTILE(4) OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice, o_orderkey) AS tile
+              FROM orders)
+            SELECT o_orderstatus, tile, COUNT(*) AS n,
+                   ROUND(MIN(o_totalprice), 2) AS min_price,
+                   ROUND(MAX(o_totalprice), 2) AS max_price
+            FROM tiled GROUP BY o_orderstatus, tile ORDER BY o_orderstatus, tile
+        """,
+        "multimodal_meta": """
+            SELECT doc_id AS media_id,
+                   CASE WHEN doc_id % 3 = 0 THEN 'image'
+                        WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                   CAST(16 + (doc_id * 7)  % 1280 AS INT) AS width,
+                   CAST(16 + (doc_id * 11) % 720  AS INT) AS height,
+                   CAST((doc_id * 131) % 60000 AS INT) AS dur_ms
+            FROM documents ORDER BY doc_id
+        """,
+        "frame_sample_counts": """
+            SELECT doc_id AS media_id,
+                   CAST(FLOOR((GREATEST((doc_id * 131) % 60000, 1) - 1) / 10000) + 1
+                        AS BIGINT) AS n_frames
+            FROM documents ORDER BY doc_id
         """,
         "lang_id_docs": f"""
             WITH base AS (

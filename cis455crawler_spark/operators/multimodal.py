@@ -41,6 +41,36 @@ def decode_header(payload: bytes) -> tuple[int, int, int]:
     return w, h, d
 
 
+def synth_media(ids_df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fake-codec media table from an id column — the oracle can
+    recompute width/height/dur_ms as pure arithmetic on the id, so the whole
+    encode -> mapInPandas decode round-trip is SQL-verifiable:
+        kind   = image|audio|video by id % 3
+        width  = 16 + (id * 7)  % 1280
+        height = 16 + (id * 11) % 720
+        dur_ms = (id * 131) % 60000
+    """
+    kinds = {0: "image", 1: "audio", 2: "video"}
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                encode_fake_media(
+                    int(i),
+                    kinds[int(i) % 3],
+                    16 + (int(i) * 7) % 1280,
+                    16 + (int(i) * 11) % 720,
+                    (int(i) * 131) % 60000,
+                )
+                for i in pdf[id_col]
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "payload", "width", "height", "dur_ms"]
+            )
+
+    return ids_df.mapInPandas(_gen, schema=MEDIA_SCHEMA)
+
+
 def with_media_meta(df: DataFrame) -> DataFrame:
     """Fill width/height/dur_ms by decoding payload headers — mapInPandas so
     each Arrow batch is decoded in one Python call, schema preserved."""

@@ -161,7 +161,17 @@ def write_pages_parquet(spec: CorpusSpec, path: str) -> str:
     import pyarrow.parquet as pq
 
     pdf = generate_pages_pdf(spec)
-    table = pa.Table.from_pandas(pdf, preserve_index=False)
+    # Spark rejects parquet TIMESTAMP(NANOS); write microseconds explicitly.
+    schema = pa.schema(
+        [
+            pa.field("url", pa.string()),
+            pa.field("warc_ts", pa.timestamp("us")),
+            pa.field("html", pa.binary()),
+            pa.field("text", pa.string()),
+            pa.field("lang", pa.string()),
+        ]
+    )
+    table = pa.Table.from_pandas(pdf, preserve_index=False).cast(schema)
     pq.write_table(table, path)
     return path
 

@@ -33,7 +33,9 @@ def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
         elif s.dtype.kind == "f":
             pdf[c] = s.round(6)
         elif str(s.dtype).startswith("datetime64"):
-            pdf[c] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
+            s2 = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) else s
+            # unify resolution: spark gives ns, duckdb us — int compare breaks
+            pdf[c] = s2.astype("datetime64[ns]")
     return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
 
 
