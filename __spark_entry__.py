@@ -407,7 +407,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         docs = _load(spark, sf, "documents")
-        sigs = minhash_signatures(docs, num_hashes=64)
+        # cached: the signature UDF feeds banding AND both jaccard join sides
+        sigs = minhash_signatures(docs, num_hashes=64).cache()
         pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
         return minhash_jaccard(pairs, sigs).filter(F.col("est_jaccard") >= 0.7)
 
@@ -487,6 +488,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return docs.select("doc_id", fingerprint64("text").alias("fp"))
 
     q["doc_fingerprint"] = doc_fingerprint
+
+    def json_extract_props(spark, sf):
+        ev = _load(spark, sf, "events")
+        k = F.get_json_object("props", "$.k").cast("int")
+        return (
+            ev.select("event_type", k.alias("k"))
+            .groupBy("event_type")
+            .agg(
+                F.sum("k").alias("sum_k"),
+                F.count(F.when(F.col("k") > 50, 1)).alias("n_high"),
+            )
+            .orderBy("event_type")
+        )
+
+    q["json_extract_props"] = json_extract_props
+
+    def spellcheck_suggest(spark, sf):
+        # in-engine replacement for the reference's external spell API
+        # (SearchEngine/src/FrontEnd/topSearch.java:47-92): nearest corpus
+        # vocabulary word by levenshtein distance, deterministic tie-break
+        vocab = _tokens(spark, sf).select("word").distinct()
+        terms = spark.createDataFrame(
+            [("sparc",), ("windoow",), ("clikc",)], schema="term string"
+        )
+        scored = vocab.crossJoin(F.broadcast(terms)).select(
+            "term", "word", F.levenshtein("term", "word").alias("dist")
+        )
+        w = Window.partitionBy("term").orderBy("dist", "word")
+        return (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("term", F.col("word").alias("suggestion"), "dist")
+            .orderBy("term")
+        )
+
+    q["spellcheck_suggest"] = spellcheck_suggest
+
+    def streaming_tumbling_counts(spark, sf):
+        """Real Structured Streaming run (readStream -> watermark -> tumbling
+        window -> memory sink, availableNow) whose result equals the batch
+        GROUP BY — so the streaming path itself is oracle-verified."""
+        import uuid
+
+        from cis455crawler_spark.streaming.events import tumbling_event_counts
+
+        schema = (
+            "event_id long, ts timestamp, user_id long, event_type string,"
+            " value double, props string"
+        )
+        # file streaming source needs a directory; glob down to the one table
+        src = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf)
+        )
+        agg = tumbling_event_counts(src, window="1 hour", watermark="2 hours", streaming=True)
+        name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return (
+            spark.table(name)
+            .select(
+                "window_start",
+                "event_type",
+                "n",
+                F.round("total_value", 4).alias("total_value"),
+            )
+            .orderBy("window_start", "event_type")
+        )
+
+    q["streaming_tumbling_counts"] = streaming_tumbling_counts
 
     # ---- fetch-path filters & routing (O-F1/F2/F3) ----
     def mime_size_filter(spark, sf):
@@ -981,6 +1059,28 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN len(list_intersect(list_distinct(toks),
                                [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
             FROM base ORDER BY doc_id
+        """,
+        "json_extract_props": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
+                              THEN 1 END) AS n_high
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "spellcheck_suggest": f"""
+            {tokens},
+            vocab AS (SELECT DISTINCT word FROM tokens),
+            terms AS (SELECT * FROM (VALUES ('sparc'), ('windoow'), ('clikc')) AS t(term)),
+            scored AS (
+              SELECT term, word, levenshtein(term, word) AS dist FROM vocab CROSS JOIN terms)
+            SELECT term, word AS suggestion, dist FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY term ORDER BY dist, word) AS rn
+              FROM scored) WHERE rn = 1 ORDER BY term
+        """,
+        "streaming_tumbling_counts": """
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
+            FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "mime_size_filter": """
             WITH typed AS (

@@ -8,8 +8,9 @@ $SPARK_GRAFT_SF_DIR.
 Env knobs:
   SPARK_GRAFT_SF_DIR   parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS     local[N] cores (default 32)
-  BENCH_HOSTS/BENCH_PAGES/BENCH_HOT   crawl corpus tier (default 200x400, hot 10)
-  BENCH_ROUNDS         crawl rounds to run (default 4)
+  BENCH_HOSTS/BENCH_PAGES/BENCH_HOT   crawl corpus tier (default 500x1000, hot 10
+                       -> ~510k pages; the corpus parquet is cached in /tmp)
+  BENCH_ROUNDS         crawl rounds to run (default 6)
 """
 
 from __future__ import annotations
@@ -42,15 +43,24 @@ BENCH_QUERIES = [
 ]
 
 
-def corpus_parquet(hosts: int, pages: int, hot: int) -> str:
-    """Deterministic corpus cached on disk across bench runs."""
-    from cis455crawler_spark.sources.corpus import CorpusSpec, write_pages_parquet
+def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
+    """Deterministic corpus cached on disk across bench runs. With a spark
+    session the build is distributed (per-host seeding -> identical rows)."""
+    from cis455crawler_spark.sources.corpus import (
+        CorpusSpec,
+        write_pages_parquet,
+        write_pages_parquet_spark,
+    )
 
     path = os.path.join(
         tempfile.gettempdir(), f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}.parquet"
     )
     if not os.path.exists(path):
-        write_pages_parquet(CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot), path)
+        spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
+        if spark is not None:
+            write_pages_parquet_spark(spark, spec, path)
+        else:
+            write_pages_parquet(spec, path)
     return path
 
 
@@ -59,7 +69,19 @@ def crawl_throughput(spark, rounds: int, hosts: int, pages: int, hot: int) -> di
     from cis455crawler_spark.sources.corpus import CorpusSpec, seed_urls
 
     spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
-    pages_df = spark.read.parquet(corpus_parquet(hosts, pages, hot)).cache()
+    # pre-partition pages on the join key ONCE (the sandbox analogue of
+    # Iceberg bucketing): every round's fetch join then reuses this
+    # partitioning and only the small scheduled side shuffles — without it the
+    # full html column reshuffles every round. DISK_ONLY, not heap: a
+    # deserialized 5 GB html cache makes GC scale with mutator threads and
+    # INVERTS core-count scaling; disk blocks ride the OS page cache instead.
+    from pyspark import StorageLevel
+
+    pages_df = (
+        spark.read.parquet(corpus_parquet(hosts, pages, hot, spark=spark))
+        .repartition(64, "url")
+        .persist(StorageLevel.DISK_ONLY)
+    )
     pages_df.count()
 
     state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
@@ -84,10 +106,10 @@ def crawl_throughput(spark, rounds: int, hosts: int, pages: int, hot: int) -> di
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    hosts = int(os.environ.get("BENCH_HOSTS", "200"))
-    pages = int(os.environ.get("BENCH_PAGES", "400"))
+    hosts = int(os.environ.get("BENCH_HOSTS", "500"))
+    pages = int(os.environ.get("BENCH_PAGES", "1000"))
     hot = int(os.environ.get("BENCH_HOT", "10"))
-    rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
+    rounds = int(os.environ.get("BENCH_ROUNDS", "6"))
 
     import __spark_entry__ as entry_mod
     from cis455crawler_spark.session import get_spark

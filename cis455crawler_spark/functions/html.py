@@ -78,6 +78,22 @@ def extract_hrefs_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_hrefs_py)
 
 
+@pandas_udf(
+    T.StructType(
+        [
+            T.StructField("hrefs", T.ArrayType(T.StringType())),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+)
+def parse_page_udf(html: pd.Series) -> pd.DataFrame:
+    """hrefs + text in ONE Arrow pass — the html column (the widest column on
+    the crawl path) crosses the JVM/Python boundary once, not twice."""
+    return pd.DataFrame(
+        {"hrefs": html.map(extract_hrefs_py), "text": html.map(extract_text_py)}
+    )
+
+
 @pandas_udf(T.StringType())
 def extract_text_udf(html: pd.Series) -> pd.Series:
     return html.map(extract_text_py)

@@ -25,6 +25,7 @@ key "cis455crawler" first — usually misses — then "*"): delay_for_agent().
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -86,21 +87,29 @@ def build_robots_df(spark, pages: DataFrame) -> DataFrame:
     """robots rules table from the corpus's /robots.txt rows.
 
     Output: (host STRING, has_robots BOOLEAN, disallow ARRAY<STRING> nullable,
-    crawl_delay INT). Tiny relative to the frontier — broadcast-join side.
+    crawl_delay INT). Parsing runs DISTRIBUTED in an Arrow-batched pandas UDF —
+    at 10^10-URL scale there are millions of hosts, so the robots bodies never
+    pass through the driver; the resulting rules table (a few columns per
+    host) is small relative to the frontier and is the broadcast-join side.
     """
     from .urls import host_of
 
-    rows = (
+    @F.pandas_udf("struct<disallow: array<string>, crawl_delay: int>")
+    def _parse(body: pd.Series) -> pd.DataFrame:
+        dis, delay = [], []
+        for b in body:
+            p = parse_robots_txt(b or "")
+            dis.append(effective_disallow(p))
+            delay.append(effective_delay(p))
+        return pd.DataFrame({"disallow": dis, "crawl_delay": delay})
+
+    return (
         pages.where(F.col("url").endswith("/robots.txt"))
         .select(host_of("url").alias("host"), F.col("html").cast("string").alias("body"))
-        .collect()
+        .select("host", F.lit(True).alias("has_robots"), _parse("body").alias("_p"))
+        .select("host", "has_robots", F.col("_p.disallow").alias("disallow"),
+                F.col("_p.crawl_delay").alias("crawl_delay"))
     )
-    data = []
-    for r in rows:
-        parsed = parse_robots_txt(r["body"] or "")
-        data.append((r["host"], True, effective_disallow(parsed), effective_delay(parsed)))
-    schema = "host string, has_robots boolean, disallow array<string>, crawl_delay int"
-    return spark.createDataFrame(data, schema=schema)
 
 
 def crawl_allowed(url: Column, has_robots: Column, disallow: Column) -> Column:

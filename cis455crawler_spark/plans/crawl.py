@@ -12,7 +12,8 @@ round-trip (MasterServlet.java:78-185):
       -> "fetch" = left join pages on url -> html       [O-S4]
       -> Arrow UDF link+text extraction, JVM resolution [O-X3/X4/X5/O-F7]
       -> explode -> dedup -> anti-join (seen + batch)   [O-J2/O-U3]
-      -> COMMIT seen+/parsed+/edges+/metrics+, frontier (one snapshot)
+      -> COMMIT seen+/parsed+/metrics+/lineage+, frontier (one snapshot);
+         the link graph (edges) stays derivable from parsed.out_links
 
 Seen-set semantics follow the reference exactly: scheduled URLs are marked
 seen at schedule time (XPathCrawlerThread.java:122-126), robots-DENIED URLs
@@ -31,7 +32,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.html import extract_hrefs_udf, extract_text_udf, html_as_string, title_of
+from ..functions.html import html_as_string, parse_page_udf, title_of
 from ..functions.robots import build_robots_df, crawl_allowed
 from ..functions.urls import host_of, resolve_href, sha1_hex, url_hash_bucket
 from ..operators.dedup import anti_join_seen, build_bloom_sidecar
@@ -73,28 +74,53 @@ def run_round(
     robots: DataFrame,
     cfg: CrawlConfig,
     round_no: int,
-) -> dict:
-    frontier = store.read("frontier")
+    frontier: DataFrame | None = None,
+) -> dict | tuple[dict, DataFrame]:
+    """One scheduling round. `frontier` may be passed in-memory by the driver
+    loop (avoids a parquet round-trip); omitted -> read from the snapshot."""
+    import os
+
+    timing = os.environ.get("SPARK_GRAFT_ROUND_TIMING") == "1"
+    _t = [time.time()]
+
+    def _tick(label: str) -> None:
+        if timing:
+            now = time.time()
+            print(f"[round {round_no}] {label}: {now - _t[0]:.2f}s", flush=True)
+            _t[0] = now
+
+    return_frontier = frontier is not None
+    if frontier is None:
+        frontier = store.read("frontier")
     seen = store.read("seen")
 
-    # candidate set: frontier distinct on url (min depth), minus seen
-    cand = frontier.groupBy("url").agg(F.min("depth").alias("depth"))
-    cand = _with_url_cols(cand, cfg.num_buckets)
-    urls_in = cand.count()
+    # candidate set: frontier distinct on url (min depth), minus seen;
+    # cached — it feeds both the urls_in metric and the anti-join
+    raw = _with_url_cols(
+        frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
+    ).cache()
     sidecar = None
     if cfg.use_bloom and seen is not None:
         sidecar = build_bloom_sidecar(seen, cfg.num_buckets, cfg.bloom_bits_per_key)
-    cand = anti_join_seen(cand, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets)
+    fresh_cand = anti_join_seen(
+        raw, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets
+    )
 
     # robots gate (broadcast join + pure-column quirk predicate)
     cand = (
-        cand.join(F.broadcast(robots), "host", "left")
+        fresh_cand.join(F.broadcast(robots), "host", "left")
         .withColumn(
             "allowed", crawl_allowed(F.col("url"), F.col("has_robots"), F.col("disallow"))
         )
         .cache()
     )
-    fresh = cand.count()
+    # one job: urls_in (pre-dedup) via the raw side, then allowed/denied split
+    urls_in = raw.count()
+    _tick("urls_in count")
+    split = {r["allowed"]: r["n"] for r in cand.groupBy("allowed").agg(F.count("*").alias("n")).collect()}
+    _tick("cand materialize + split")
+    fresh = sum(split.values())
+    n_denied = split.get(False, 0)
     denied = cand.filter(~F.col("allowed"))
     ok = cand.filter(F.col("allowed")).withColumn(
         "budget", host_budget(F.col("crawl_delay"), cfg.round_duration_s)
@@ -106,27 +132,33 @@ def run_round(
         ok.select(*keep), budget_col="budget", salt_buckets=cfg.salt_buckets
     )
     scheduled = scheduled.drop("budget").cache()
-    n_sched = scheduled.count()
+    # one job materializes the cache AND yields per-bucket lineage + n_sched
+    lineage_rows = scheduled.groupBy("bucket").agg(F.count("*").alias("scheduled")).collect()
+    _tick("scheduled window + lineage")
+    n_sched = sum(r["scheduled"] for r in lineage_rows)
+    n_deferred = (fresh - n_denied) - n_sched  # derived: ok = scheduled + deferred
 
-    # "fetch": join the scheduled batch against the pages corpus
+    # "fetch": join the scheduled batch against the pages corpus; ONE Arrow
+    # pass over html extracts hrefs+text together, title stays JVM-side
     fetched = scheduled.join(pages.select("url", "html", "lang"), "url", "left")
     parsed = (
-        fetched.withColumn("hrefs", extract_hrefs_udf("html"))
+        fetched.withColumn("_p", parse_page_udf("html"))
         .withColumn(
             "out_links",
             F.filter(
-                F.transform("hrefs", lambda h: resolve_href(F.col("url"), h)),
+                F.transform(F.col("_p.hrefs"), lambda h: resolve_href(F.col("url"), h)),
                 lambda x: x.isNotNull(),
             ),
         )
-        .withColumn("text", extract_text_udf("html"))
+        .withColumn("text", F.col("_p.text"))
         .withColumn("title", title_of(html_as_string("html")))
         .withColumn("fetched", F.col("html").isNotNull())
         .withColumn("round", F.lit(round_no))
-        .drop("hrefs", "html")
+        .drop("_p", "html")
         .cache()
     )
     fetch_hits = parsed.filter("fetched").count()
+    _tick("fetch join + parse UDF")
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
     links = (
@@ -141,13 +173,16 @@ def run_round(
     links = anti_join_seen(links, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets)
     links = links.join(new_seen.select("url_hash"), "url_hash", "left_anti")
 
+    # localCheckpoint (not cache): materializes AND truncates lineage, so the
+    # logical plan stays flat across rounds instead of growing exponentially
     new_frontier = (
-        links.select("url", "depth").unionByName(deferred.select("url", "depth")).cache()
+        links.select("url", "depth")
+        .unionByName(deferred.select("url", "depth"))
+        .localCheckpoint(eager=False)
     )
-
-    n_denied = denied.count()
-    n_deferred = deferred.count()
     frontier_next = new_frontier.count()
+    _tick("links + frontier checkpoint")
+
     metrics = {
         "round": round_no,
         "urls_in": urls_in,
@@ -160,39 +195,54 @@ def run_round(
         "frontier_next": frontier_next,
     }
 
-    # per-partition lineage (north_rule): scheduled/deduped counts per bucket
-    lineage = (
-        scheduled.groupBy("bucket")
-        .agg(F.count("*").alias("scheduled"))
-        .withColumn("round", F.lit(round_no))
-    )
-    metrics_df = spark.createDataFrame(
-        [tuple(metrics.values())], schema=", ".join(f"{k} long" for k in metrics)
-    )
-    edges = parsed.select(
-        F.col("url").alias("src"), F.explode("out_links").alias("dst")
-    ).withColumn("round", F.lit(round_no))
+    # per-partition lineage (north_rule) + 1-row metrics: already collected —
+    # written driver-side, no Spark job per tiny table
+    import pandas as pd
 
+    lineage_pdf = pd.DataFrame(
+        [(r["bucket"], r["scheduled"], round_no) for r in lineage_rows],
+        columns=["bucket", "scheduled", "round"],
+    )
+    metrics_pdf = pd.DataFrame([metrics])
+
+    # the edges table is derivable from parsed (out_links IS the adjacency,
+    # like the reference's ParsedDocument.extractedUrls) — no per-round write
     store.commit_round(
         round_no,
         appends={
-            "seen": new_seen,
+            # one task per bucket -> one file per bucket dir per round; without
+            # this, every shuffle task writes a file into every bucket dir and
+            # the seen table degenerates into thousands of tiny files
+            "seen": new_seen.repartition(cfg.num_buckets, "bucket"),
             "parsed": parsed.select(
                 "url", "url_hash", "depth", "title", "text", "out_links", "lang",
                 "fetched", "round",
             ),
-            "edges": edges,
-            "metrics": metrics_df,
-            "lineage": lineage,
         },
+        small_appends={"metrics": metrics_pdf, "lineage": lineage_pdf},
         replaces={"frontier": new_frontier.select("url", "depth")},
         partition_by={"seen": ["bucket"]},
         extra=metrics,
     )
 
-    for df in (cand, scheduled, parsed, new_frontier):
+    _tick("commit writes")
+    for df in (raw, cand, scheduled, parsed):
         df.unpersist()
+    if return_frontier:
+        # new_frontier is already (url, depth); checkpoint blocks are freed by
+        # the context cleaner once the caller drops the reference
+        return metrics, new_frontier
     return metrics
+
+
+def edges_from_parsed(store: SnapshotStore) -> DataFrame | None:
+    """Link-graph edge list (src, dst) from the parsed table's adjacency
+    column — the reference's ParsedDocument.extractedUrls re-read for the
+    ranker (Ranker/src/.../FileManagement.java:176-184). Input to pagerank()."""
+    parsed = store.read("parsed")
+    if parsed is None:
+        return None
+    return parsed.select(F.col("url").alias("src"), F.explode("out_links").alias("dst"))
 
 
 def run_crawl(
@@ -220,11 +270,19 @@ def run_crawl(
     round_no = store.current_round() + 1
     all_metrics = [h for h in history if "scheduled" in h]
 
+    # frontier rides in memory between rounds (still committed every round —
+    # resume reads the snapshot; this only skips the happy-path parquet read)
+    frontier_df: DataFrame | None = None
     while round_no <= cfg.max_rounds:
         if total_scheduled >= cfg.max_pages:
             break
         t0 = time.time()
-        m = run_round(spark, store, pages, robots, cfg, round_no)
+        if frontier_df is None:
+            frontier_df = store.read("frontier")
+        m, next_frontier = run_round(
+            spark, store, pages, robots, cfg, round_no, frontier=frontier_df
+        )
+        frontier_df = next_frontier
         m["wall_s"] = round(time.time() - t0, 3)
         all_metrics.append(m)
         total_scheduled += m["scheduled"]

@@ -32,6 +32,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # throughput GC: G1's concurrent cycles fall behind at high mutator
+        # thread counts on allocation-heavy scans (html binary columns);
+        # ParallelGC restored >16-core scaling in bench profiling. Applies at
+        # first JVM launch in a process; harmless on later sessions.
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -76,8 +76,13 @@ class SnapshotStore:
         replaces: dict[str, DataFrame] | None = None,
         partition_by: dict[str, list[str]] | None = None,
         extra: dict | None = None,
+        small_appends: dict | None = None,
     ) -> None:
-        """Write data dirs first, swap the manifest last (atomic commit)."""
+        """Write data dirs first, swap the manifest last (atomic commit).
+
+        small_appends: {table: pandas.DataFrame} — metrics/lineage-sized tables
+        written driver-side with pyarrow (no Spark job per tiny table).
+        """
         m = self.manifest()
         tables = dict(m["tables"])
         partition_by = partition_by or {}
@@ -90,8 +95,24 @@ class SnapshotStore:
             writer.parquet(os.path.join(self.root, rel))
             return rel
 
+        def _write_small(table: str, pdf) -> str:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
+            d = os.path.join(self.root, rel)
+            os.makedirs(d, exist_ok=True)
+            pq.write_table(
+                pa.Table.from_pandas(pdf, preserve_index=False),
+                os.path.join(d, "part-0.parquet"),
+            )
+            return rel
+
         for table, df in (appends or {}).items():
             rel = _write(table, df)
+            tables.setdefault(table, []).append(rel)
+        for table, pdf in (small_appends or {}).items():
+            rel = _write_small(table, pdf)
             tables.setdefault(table, []).append(rel)
         for table, df in (replaces or {}).items():
             rel = _write(table, df)

@@ -155,3 +155,39 @@ def test_sessionize_and_windows(spark, sf_dir):
     sess = sessionize(events, gap_minutes=30)
     agg = sess.agg(F.sum("n_events").alias("n")).collect()[0]["n"]
     assert agg == events.count()
+
+
+def test_asof_join_matches_merge_asof(spark, sf_dir):
+    """Union+window as-of join == pandas merge_asof on the same inputs."""
+    import pandas as pd
+
+    from cis455crawler_spark.operators.asof import asof_join_backward
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = events.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    got = (
+        asof_join_backward(purchases, clicks, on=["user_id"])
+        .select("event_id", F.col("asof_ts").alias("last_click_ts"))
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+
+    cp = clicks.toPandas().sort_values("ts")
+    pp = purchases.toPandas().sort_values("ts")
+    # carry the matched right ts as its own column through merge_asof
+    exp2 = pd.merge_asof(
+        pp,
+        cp.rename(columns={"ts": "click_ts"}).assign(ts=lambda d: d["click_ts"]),
+        on="ts",
+        by="user_id",
+        direction="backward",
+    )[["event_id", "click_ts"]].sort_values("event_id").reset_index(drop=True)
+
+    assert len(got) == len(exp2)
+    l = got["last_click_ts"].astype("datetime64[us]")
+    r = exp2["click_ts"].astype("datetime64[us]")
+    assert ((l == r) | (l.isna() & r.isna())).all()
