@@ -143,14 +143,24 @@ def dataplane(spark, pages, dup: int = 11) -> dict:
     }
 
 
-def run_at(cores: int, rounds: int, hosts: int, pages_n: int, hot: int) -> dict:
+def _best(reps: int, fn, key: str) -> dict:
+    """Best-of-N (max throughput): damps one-sided co-tenant VM noise."""
+    results = [fn() for _ in range(reps)]
+    return max(results, key=lambda r: r[key])
+
+
+def run_at(cores: int, rounds: int, hosts: int, pages_n: int, hot: int, reps: int) -> dict:
     spark = _new_session(cores, f"bench_scaling_{cores}")
     pages = spark.read.parquet(corpus_parquet(hosts, pages_n, hot, spark=spark))
     res = {
-        "control_cpu": control_cpu(spark),
-        "control_scan": control_scan(spark, pages),
-        "dataplane": dataplane(spark, pages),
-        "e2e": crawl_throughput(spark, rounds, hosts, pages_n, hot),
+        "control_cpu": _best(reps, lambda: control_cpu(spark), "rows_per_s"),
+        "control_scan": _best(reps, lambda: control_scan(spark, pages), "MB_per_s"),
+        "dataplane": _best(reps, lambda: dataplane(spark, pages), "cand_per_s"),
+        "e2e": _best(
+            reps,
+            lambda: crawl_throughput(spark, rounds, hosts, pages_n, hot),
+            "throughput_per_s",
+        ),
     }
     spark.stop()
     return res
@@ -169,8 +179,22 @@ def main() -> None:
     corpus_parquet(hosts, pages_n, hot, spark=gen)
     gen.stop()
 
-    r_lo = run_at(lo, rounds, hosts, pages_n, hot)
-    r_hi = run_at(hi, rounds, hosts, pages_n, hot)
+    # ABBA order: machine-load drift over the ~30 min run hits both sides
+    # symmetrically instead of biasing whichever side ran last
+    keys = {
+        "control_cpu": "rows_per_s",
+        "control_scan": "MB_per_s",
+        "dataplane": "cand_per_s",
+        "e2e": "throughput_per_s",
+    }
+
+    def best(a: dict, b: dict) -> dict:
+        return {m: max(a[m], b[m], key=lambda r: r[keys[m]]) for m in keys}
+
+    r_lo = run_at(lo, rounds, hosts, pages_n, hot, 1)
+    r_hi1 = run_at(hi, rounds, hosts, pages_n, hot, 1)
+    r_hi = best(r_hi1, run_at(hi, rounds, hosts, pages_n, hot, 1))
+    r_lo = best(r_lo, run_at(lo, rounds, hosts, pages_n, hot, 1))
 
     k = hi / lo
 
