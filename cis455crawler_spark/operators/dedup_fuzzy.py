@@ -29,11 +29,15 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
-def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _minhash_params(num_hashes: int, seed: int = 7) -> tuple[list[int], list[int]]:
     rng = np.random.RandomState(seed)
-    # odd multipliers for multiply-shift hashing in uint64 (mod 2^64 wraps)
-    a = rng.randint(1, 1 << 62, size=num_hashes).astype(np.uint64) * np.uint64(2) + np.uint64(1)
-    b = rng.randint(0, 1 << 62, size=num_hashes).astype(np.uint64)
+    # Carter-Wegman family mod the Mersenne prime 2^31-1: with h < p and
+    # a,b < p every intermediate stays < 2^62, inside ANSI long arithmetic
+    a = [int(x) for x in rng.randint(1, _MERSENNE31, size=num_hashes)]
+    b = [int(x) for x in rng.randint(0, _MERSENNE31, size=num_hashes)]
     return a, b
 
 
@@ -45,34 +49,41 @@ def minhash_signatures(
     shingle_k: int = 3,
     seed: int = 7,
 ) -> DataFrame:
-    """(id, sig ARRAY<LONG>) — MinHash over k-token shingles."""
+    """(id, sig ARRAY<LONG>) — MinHash over k-token shingles, PURE JVM.
+
+    Shingles are hashed with xxhash64 then folded to [0, 2^31-1) (codegen,
+    vectorized); slot i is min over shingles of the classic Carter-Wegman
+    permutation ``(a_i*h + b_i) mod (2^31-1)`` — every intermediate < 2^62,
+    so ANSI long arithmetic never overflows. Shape: explode shingle hashes
+    ONCE, then num_hashes partial-aggregated mins in a single groupBy pass
+    (an array-expression formulation recomputes the shingle hashing per slot
+    via projection collapse; this form hashes each shingle exactly once).
+    Zero Python on the path.
+    """
     a, b = _minhash_params(num_hashes, seed)
+    p = F.lit(_MERSENNE31)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _sig(sh: pd.Series) -> pd.Series:
-        from hashlib import blake2b
-
-        def stable_h(v: str) -> int:
-            # process-independent 64-bit hash (Python's hash() is salted)
-            return int.from_bytes(blake2b(v.encode(), digest_size=8).digest(), "little")
-
-        def one(vals):
-            if vals is None or len(vals) == 0:
-                return [0] * num_hashes
-            h = np.fromiter((stable_h(v) for v in vals), dtype=np.uint64, count=len(vals))
-            # multiply-shift permutation family, uint64 wrap-around (mod 2^64):
-            # all-numpy, no Python-int fallback — ~100x the object-dtype path
-            m = a[:, None] * h[None, :] + b[:, None]
-            # shift into the positive int64 range so Spark LongType holds it
-            return (np.min(m, axis=1) >> np.uint64(1)).astype(np.int64).tolist()
-
-        return sh.map(one)
-
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        shingles(tokenize(F.col(text_col)), shingle_k).alias("sh"),
+    # repartition by id first: a single-file parquet source is one task, and
+    # without this every shingle hash computes in that one task (the groupBy
+    # only parallelizes AFTER the expensive map side)
+    ex = (
+        df.repartition(F.col(id_col))
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode_outer(shingles(tokenize(F.col(text_col)), shingle_k)).alias("s"),
+        )
+        .select("id", F.pmod(F.xxhash64("s"), p).alias("h"))
     )
-    return sh.select("id", _sig("sh").alias("sig"))
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(ai) + F.lit(bi), p)).alias(f"_m{i}")
+            for i, (ai, bi) in enumerate(zip(a, b))
+        ]
+    )
+    sig = F.array(
+        *[F.coalesce(F.col(f"_m{i}"), F.lit(0).cast("long")) for i in range(num_hashes)]
+    )
+    return agg.select("id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -136,9 +147,11 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> 
     """(id, simhash LONG) — 64-bit SimHash over tokens, pure JVM columns:
     per bit b, sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    toks = (
+        df.repartition(F.col(id_col))  # parallelize past single-file sources
+        .select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
     bit_sums = toks.groupBy("id").agg(
         *[
             F.sum(
@@ -206,10 +219,14 @@ def ngram_jaccard_pairs(
     """Exact n-gram Jaccard >= threshold via shingle inverted lists:
     explode shingles -> self-join on shingle -> count common / (|A|+|B|-common).
     Distributed set-similarity join; no signatures, exact answer."""
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("sh"),
-    ).cache()  # read by both join sides and the size agg
+    sh = (
+        df.repartition(F.col(id_col))  # parallelize past single-file sources
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("sh"),
+        )
+        .cache()  # read by both join sides and the size agg
+    )
     sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
     l, r = sh.alias("l"), sh.alias("r")
     common = (
