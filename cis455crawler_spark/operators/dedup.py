@@ -43,23 +43,20 @@ def _probe_positions(hash_hex: str, n_bits: int) -> tuple[int, int, int, int]:
 def build_bloom_sidecar(
     seen: DataFrame,
     num_buckets: int,
-    bits_per_key: int = 10,
-    min_bits: int = 1 << 12,
+    n_bits: int = 1 << 22,
 ) -> DataFrame:
     """(bucket INT, n_bits INT, bitmap BINARY) — one Bloom bitmap per seen
-    bucket, built distributed via applyInPandas over groupBy(bucket)."""
-    from ..functions.urls import url_hash_bucket
+    bucket, built distributed via applyInPandas over groupBy(bucket).
 
-    counts = (
-        seen.groupBy(url_hash_bucket("url_hash", num_buckets).alias("bucket"))
-        .count()
-        .collect()
-    )
-    sizes = {r["bucket"]: max(min_bits, int(r["count"] * bits_per_key)) for r in counts}
+    n_bits is FIXED per bucket (not sized to the input): deltas built from
+    each round's newly-seen keys then OR-merge with all earlier deltas
+    (split_by_bloom does the OR at read), which is what makes the sidecar
+    incrementally maintainable — each round appends a delta built from its
+    small new_seen batch instead of rescanning the whole seen table."""
+    from ..functions.urls import url_hash_bucket
 
     def _build(key, pdf: pd.DataFrame) -> pd.DataFrame:
         bucket = int(key[0])
-        n_bits = sizes.get(bucket, min_bits)
         bits = np.zeros(n_bits, dtype=bool)
         for h in pdf["url_hash"]:
             for p in _probe_positions(h, n_bits):
@@ -81,10 +78,15 @@ def split_by_bloom(
     from ..functions.urls import url_hash_bucket
 
     rows = sidecar.collect()
-    blooms = {
-        r["bucket"]: (r["n_bits"], np.unpackbits(np.frombuffer(r["bitmap"], dtype=np.uint8)))
-        for r in rows
-    }
+    blooms: dict[int, tuple[int, np.ndarray]] = {}
+    for r in rows:  # OR-merge per-round deltas per bucket
+        arr = np.unpackbits(np.frombuffer(r["bitmap"], dtype=np.uint8))
+        prev = blooms.get(r["bucket"])
+        if prev is None:
+            blooms[r["bucket"]] = (r["n_bits"], arr)
+        else:
+            assert prev[0] == r["n_bits"], "bloom deltas must share n_bits"
+            blooms[r["bucket"]] = (r["n_bits"], prev[1] | arr)
     bc = spark.sparkContext.broadcast(blooms)
 
     @F.pandas_udf(T.BooleanType())

@@ -47,8 +47,8 @@ class CrawlConfig:
     round_duration_s: int = 60
     salt_buckets: int = 8
     num_buckets: int = 32  # seen-table bucket layout
-    use_bloom: bool = False
-    bloom_bits_per_key: int = 10
+    use_bloom: bool = False  # pays when seen >> per-round frontier (BENCH.md)
+    bloom_bucket_bits: int = 1 << 22  # fixed bits/bucket so deltas OR-merge
     compact_every: int = 8
 
 
@@ -99,9 +99,20 @@ def run_round(
     raw = _with_url_cols(
         frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
     ).cache()
+    # Bloom sidecar is INCREMENTAL: each round appends a bitmap delta built
+    # from that round's (small) new_seen batch; reads OR-merge the deltas.
+    # The full seen table is only rescanned to heal a crawl that started
+    # without the bloom config (resume with use_bloom newly on).
     sidecar = None
     if cfg.use_bloom and seen is not None:
-        sidecar = build_bloom_sidecar(seen, cfg.num_buckets, cfg.bloom_bits_per_key)
+        sidecar = store.read("bloom")
+        if sidecar is None:
+            sidecar = build_bloom_sidecar(seen, cfg.num_buckets, cfg.bloom_bucket_bits)
+            heal_sidecar = sidecar  # persist with this round's commit
+        else:
+            heal_sidecar = None
+    else:
+        heal_sidecar = None
     fresh_cand = anti_join_seen(
         raw, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets
     )
@@ -205,11 +216,23 @@ def run_round(
     )
     metrics_pdf = pd.DataFrame([metrics])
 
+    appends_extra = {}
+    if cfg.use_bloom:
+        # bitmap delta over just this round's newly-seen keys; OR-merged with
+        # earlier deltas at read time (split_by_bloom)
+        delta = build_bloom_sidecar(
+            new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
+        )
+        if heal_sidecar is not None:
+            delta = delta.unionByName(heal_sidecar)
+        appends_extra["bloom"] = delta
+
     # the edges table is derivable from parsed (out_links IS the adjacency,
     # like the reference's ParsedDocument.extractedUrls) — no per-round write
     store.commit_round(
         round_no,
         appends={
+            **appends_extra,
             # one task per bucket -> one file per bucket dir per round; without
             # this, every shuffle task writes a file into every bucket dir and
             # the seen table degenerates into thousands of tiny files

@@ -115,3 +115,38 @@ def test_resume_no_refetch(spark, tmp_path):
     seen_a = {r["url_hash"] for r in store2.read("seen").collect()}
     seen_b = {r["url_hash"] for r in ref_store.read("seen").collect()}
     assert seen_a == seen_b
+
+
+def test_snapshot_compact_and_lineage(spark, tmp_path):
+    """compact() folds delta dirs into one without changing table contents;
+    per-round lineage bucket counts sum to the round's scheduled metric."""
+    import os
+
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=8, pages_per_host=15)
+    pages = pages_spark_df(spark, spec)
+    state = str(tmp_path / "compact_state")
+    cfg = CrawlConfig(max_rounds=4, round_duration_s=3600, compact_every=0)
+    store, metrics = run_crawl(spark, pages, seed_urls(spec, 8), state, cfg)
+
+    # lineage: per-bucket scheduled counts must reconcile with metrics
+    lineage = store.read("lineage")
+    by_round = {
+        r["round"]: r["s"]
+        for r in lineage.groupBy("round").agg(F.sum("scheduled").alias("s")).collect()
+    }
+    for m in metrics:
+        assert by_round.get(m["round"], 0) == m["scheduled"]
+
+    seen_before = sorted(r["url_hash"] for r in store.read("seen").collect())
+    n_dirs_before = len(store.manifest()["tables"]["seen"])
+    assert n_dirs_before == len(metrics)  # one delta dir per round
+
+    store.compact("seen", partition_cols=["bucket"])
+    assert len(store.manifest()["tables"]["seen"]) == 1
+    seen_after = sorted(r["url_hash"] for r in store.read("seen").collect())
+    assert seen_after == seen_before
+    # old delta dirs physically removed
+    assert len(os.listdir(os.path.join(state, "seen"))) == 1
