@@ -65,7 +65,8 @@ class CorpusSpec:
 
     @classmethod
     def bench(cls) -> "CorpusSpec":
-        return cls(hosts=500, pages_per_host=2000, hot_factor=10)
+        # bench.py's default tier; bench_scaling.py uses 2000x2000
+        return cls(hosts=500, pages_per_host=1000, hot_factor=10)
 
 
 def host_name(i: int) -> str:

@@ -150,3 +150,34 @@ def test_snapshot_compact_and_lineage(spark, tmp_path):
     assert seen_after == seen_before
     # old delta dirs physically removed
     assert len(os.listdir(os.path.join(state, "seen"))) == 1
+
+
+def test_pagerank_over_crawled_graph(spark, tmp_path):
+    """North-star path: crawl -> edges_from_parsed -> iterative PageRank,
+    checked against the driver-side Python oracle on the same edge list."""
+    from cis455crawler_spark.operators.pagerank import pagerank, pagerank_py_oracle
+    from cis455crawler_spark.plans.crawl import (
+        CrawlConfig,
+        edges_from_parsed,
+        run_crawl,
+    )
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=6, pages_per_host=20)
+    pages = pages_spark_df(spark, spec)
+    store, _ = run_crawl(
+        spark,
+        pages,
+        seed_urls(spec, 6),
+        str(tmp_path / "pr_state"),
+        CrawlConfig(max_rounds=5, round_duration_s=3600, compact_every=0),
+    )
+    edges = edges_from_parsed(store)
+    edge_list = [(r["src"], r["dst"]) for r in edges.collect()]
+    assert len(edge_list) > 0
+
+    got = {r["node"]: r["rank"] for r in pagerank(edges, iterations=4).collect()}
+    want = pagerank_py_oracle(edge_list, iterations=4)
+    assert set(got) == set(want)
+    for n, w in want.items():
+        assert abs(got[n] - w) < 1e-9, (n, got[n], w)
