@@ -2,20 +2,19 @@
 exact hash, MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine.
 
 All shuffle-aware shapes: candidate generation via band/bucket equi-joins
-(never an O(n^2) cross join), verification only within buckets. MinHash
-signatures are computed in one vectorized pandas UDF (Arrow batches, numpy
-matrix ops) — the only Python on the path; everything else is JVM columns.
+(never an O(n^2) cross join), verification only within buckets. Everything is
+JVM column math — zero Python UDFs anywhere in this module (numpy appears
+only driver-side to derive hash-family constants).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from ..functions.text import fingerprint64, shingles, tokenize
+
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Keep the min-id representative per normalized-text fingerprint —
