@@ -113,11 +113,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.filter(F.col("l_shipdate") <= "1998-09-02")
             .groupBy("l_returnflag", "l_linestatus")
             .agg(
-                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
-                F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).alias("sum_base_price"),
+                # sums are exact in decimal; the final cast to double is the
+                # driver-hash canonical form (DuckDB decimal sums surface as
+                # float64 in pandas, Spark decimals as Decimal objects)
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
+                F.sum(F.col("l_extendedprice").cast("decimal(20,2)")).cast("double").alias("sum_base_price"),
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
-                ).alias("sum_disc_price"),
+                ).cast("double").alias("sum_disc_price"),
                 F.count("*").alias("count_order"),
             )
             .orderBy("l_returnflag", "l_linestatus")
@@ -136,7 +139,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
-                ).alias("revenue")
+                ).cast("double").alias("revenue")
             )
             .orderBy(F.desc("revenue"), "l_orderkey")
             .limit(10)
@@ -159,7 +162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .agg(
                 F.sum(
                     (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(20,4)")
-                ).alias("revenue")
+                ).cast("double").alias("revenue")
             )
             .orderBy("n_name")
         )
@@ -206,7 +209,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             li.rollup("l_returnflag", "l_linestatus")
             .agg(
                 F.count("*").alias("n"),
-                F.sum(F.col("l_quantity").cast("decimal(20,2)")).alias("sum_qty"),
+                F.sum(F.col("l_quantity").cast("decimal(20,2)")).cast("double").alias("sum_qty"),
             )
             .select(
                 F.coalesce("l_returnflag", F.lit("ALL")).alias("rf"),
@@ -214,6 +217,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n",
                 "sum_qty",
             )
+            .orderBy("rf", "ls")
         )
 
     q["rollup_lineitem"] = rollup_lineitem
@@ -255,8 +259,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from cis455crawler_spark.streaming.events import sessionize
 
         ev = _load(spark, sf, "events")
-        return sessionize(ev, gap_minutes=30).select(
-            "user_id", "session_seq", "session_start", "session_end", "n_events"
+        return (
+            sessionize(ev, gap_minutes=30)
+            .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+            .orderBy("user_id", "session_seq")
         )
 
     q["sessionize_events"] = sessionize_events
@@ -700,6 +706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 "n",
                 "total_cents",
             )
+            .orderBy("status", "priority")
         )
 
     q["cube_counts"] = cube_counts
@@ -834,16 +841,16 @@ def oracle_sql() -> dict[str, str]:
     return {
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
-                   SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty,
-                   SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS sum_base_price,
-                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS sum_disc_price,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,2))) AS DOUBLE) AS sum_base_price,
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS sum_disc_price,
                    COUNT(*) AS count_order
             FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
             GROUP BY l_returnflag, l_linestatus ORDER BY 1, 2
         """,
         "q3_shipping_priority": """
             SELECT l_orderkey,
-                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
@@ -853,7 +860,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "q5_revenue_by_nation": """
             SELECT n_name,
-                   SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS revenue
+                   CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,4))) AS DOUBLE) AS revenue
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON c_nationkey = n_nationkey
@@ -880,8 +887,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "rollup_lineitem": """
             SELECT COALESCE(l_returnflag,'ALL') AS rf, COALESCE(l_linestatus,'ALL') AS ls,
-                   COUNT(*) AS n, SUM(CAST(l_quantity AS DECIMAL(20,2))) AS sum_qty
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty
             FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+            ORDER BY rf, ls
         """,
         "set_ops_users": """
             (SELECT DISTINCT user_id FROM events WHERE event_type='click'
@@ -893,7 +902,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "agg_distinct_events": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
-                   SUM(CAST(ROUND(value*100) AS BIGINT)) AS value_cents
+                   CAST(SUM(CAST(ROUND(value*100) AS BIGINT)) AS BIGINT) AS value_cents
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "tumbling_hour_counts": """
@@ -913,9 +922,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
                          ROWS UNBOUNDED PRECEDING) AS session_seq
               FROM flagged)
-            SELECT user_id, session_seq, MIN(ts) AS session_start,
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   MIN(ts) AS session_start,
                    MAX(ts) AS session_end, COUNT(*) AS n_events
             FROM sessed GROUP BY user_id, session_seq
+            ORDER BY user_id, session_seq
         """,
         "url_host_parse": f"""
             {doc_urls}
@@ -1062,7 +1073,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "json_extract_props": """
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
                    COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) > 50
                               THEN 1 END) AS n_high
             FROM events GROUP BY event_type ORDER BY event_type
@@ -1151,15 +1162,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT COALESCE(o_orderstatus, 'ALL') AS status,
                    COALESCE(o_orderpriority, 'ALL') AS priority,
                    COUNT(*) AS n,
-                   SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
             FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+            ORDER BY status, priority
         """,
         "full_outer_nation_balance": """
             WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust,
-                              SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS cust_cents
+                              CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                                AS cust_cents
                        FROM customer GROUP BY c_nationkey),
                  s AS (SELECT s_nationkey, COUNT(*) AS n_supp,
-                              SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS supp_cents
+                              CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                                AS supp_cents
                        FROM supplier GROUP BY s_nationkey)
             SELECT COALESCE(c_nationkey, s_nationkey) AS nationkey,
                    COALESCE(n_cust, 0) AS n_cust, COALESCE(cust_cents, 0) AS cust_cents,
