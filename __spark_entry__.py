@@ -495,6 +495,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["doc_fingerprint"] = doc_fingerprint
 
+    def doc_fingerprint_md5(spark, sf):
+        # oracle-verifiable twin of doc_fingerprint: identical normalization
+        # (lower/trim/collapse-ws), md5 digest instead of xxhash64
+        from cis455crawler_spark.functions.text import fingerprint_md5
+
+        docs = _load(spark, sf, "documents")
+        return docs.select("doc_id", fingerprint_md5("text").alias("fp")).orderBy("doc_id")
+
+    q["doc_fingerprint_md5"] = doc_fingerprint_md5
+
     def json_extract_props(spark, sf):
         ev = _load(spark, sf, "events")
         k = F.get_json_object("props", "$.k").cast("int")
@@ -614,6 +624,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     q["status_routing"] = status_routing
+
+    def fetch_routing_crawl(spark, sf):
+        """The crawl plan's ACTUAL fetch-route derivation (functions/fetch.py
+        — the same status_of/content_type_of/mime_allowed columns run_round
+        wires in), checked against a DuckDB re-derivation from md5(url)."""
+        from cis455crawler_spark.functions.fetch import (
+            content_type_of,
+            mime_allowed,
+            status_of,
+        )
+
+        d = _doc_urls(spark, sf)
+        status = status_of("url")
+        ct = content_type_of("url")
+        action = (
+            F.when(status.isin(301, 302), F.lit("redirect"))
+            .when(~mime_allowed(ct), F.lit("mime_reject"))
+            .when(F.col("n_chars") > 1500, F.lit("size_reject"))
+            .otherwise(F.lit("parse"))
+        )
+        return d.select(
+            "doc_id",
+            "url",
+            status.alias("status"),
+            ct.alias("content_type"),
+            action.alias("action"),
+        ).orderBy("doc_id")
+
+    q["fetch_routing_crawl"] = fetch_routing_crawl
 
     # ---- serve-path scalar functions (O-X6/X7/X9) ----
     def title_extract(spark, sf):
@@ -835,10 +874,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ---------------------------------------------------------------------------
 
 
+def _pagerank_5iter_sql(iterations: int = 5) -> str:
+    """Unrolled-CTE DuckDB oracle for pagerank_5iter: the Ranker.java:37-73
+    recurrence (rank0=1.0; rank=0.15+0.85*sum(rank_src/outdeg_src), nodes
+    with no inbound keep 0.15) on the sink-free distinct edge set."""
+    sql = """
+        WITH raw AS (
+          SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
+                          'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst
+          FROM orders),
+        e AS (SELECT * FROM raw WHERE dst IN (SELECT src FROM raw)),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        r0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM od)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+          SELECT od.src AS node,
+                 CAST(COALESCE(0.15 + 0.85 * inc.s, 0.15) AS DOUBLE) AS rank
+          FROM od LEFT JOIN (
+            SELECT e.dst AS dst, SUM(r.rank / od2.outdeg) AS s
+            FROM e JOIN r{i - 1} r ON e.src = r.node
+                   JOIN od od2 ON e.src = od2.src
+            GROUP BY e.dst) inc ON od.src = inc.dst)"""
+    sql += f"\n        SELECT node, ROUND(rank, 6) AS rank FROM r{iterations} ORDER BY node"
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
     doc_urls = f"WITH doc_urls AS ({_DOC_URL_SQL})"
     tokens = f"WITH tokens AS ({_TOKENS_SQL})"
     return {
+        "pagerank_5iter": _pagerank_5iter_sql(5),
+        "doc_fingerprint_md5": r"""
+            SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+            FROM documents ORDER BY doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
@@ -1116,6 +1186,26 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'fetch' END AS action
               FROM documents)
             SELECT action, COUNT(*) AS n FROM routed GROUP BY action ORDER BY action
+        """,
+        "fetch_routing_crawl": f"""
+            {doc_urls},
+            meta AS (
+              SELECT doc_id, url, n_chars,
+                     substring(md5(url), 1, 1) AS c0,
+                     substring(md5(url), 2, 1) AS c1
+              FROM doc_urls)
+            SELECT doc_id, url,
+                   CASE WHEN c0 = '0' THEN 301
+                        WHEN c0 = '1' THEN 302 ELSE 200 END AS status,
+                   CASE WHEN c1 = '0' THEN 'application/pdf'
+                        WHEN c1 = '1' THEN 'image/png'
+                        WHEN c1 = '2' THEN 'text/plain; charset=utf-8'
+                        ELSE 'text/html; charset=UTF-8' END AS content_type,
+                   CASE WHEN c0 IN ('0', '1') THEN 'redirect'
+                        WHEN c1 IN ('0', '1', '2') THEN 'mime_reject'
+                        WHEN n_chars > 1500 THEN 'size_reject'
+                        ELSE 'parse' END AS action
+            FROM meta ORDER BY doc_id
         """,
         "title_extract": """
             SELECT doc_id,

@@ -108,6 +108,14 @@ def fingerprint64(text: Column | str) -> Column:
     return F.xxhash64(norm)
 
 
+def fingerprint_md5(text: Column | str) -> Column:
+    """Same normalization pipeline as fingerprint64 with an md5 digest —
+    the oracle-verifiable variant (md5 exists in DuckDB/Python; xxhash64 is
+    engine-specific). Production dedup keeps the cheaper 64-bit key."""
+    norm = F.regexp_replace(F.lower(F.trim(_c(text))), r"\s+", " ")
+    return F.md5(norm)
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles as strings — input to MinHash/Jaccard dedup.
     JVM-side: transform over a sequence of start offsets."""

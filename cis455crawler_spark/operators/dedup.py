@@ -71,27 +71,49 @@ def build_bloom_sidecar(
     )
 
 
-def split_by_bloom(
-    spark, candidates: DataFrame, sidecar: DataFrame, num_buckets: int
-) -> tuple[DataFrame, DataFrame]:
-    """Return (definitely_new, maybe_seen). candidates must carry url_hash."""
-    from ..functions.urls import url_hash_bucket
+def merge_sidecar_rows(rows) -> dict[int, tuple[int, np.ndarray]] | None:
+    """OR-merge collected sidecar delta rows into {bucket: (n_bits, bits)}.
 
-    rows = sidecar.collect()
+    Returns None when deltas disagree on n_bits (bloom_bucket_bits changed
+    between runs) — the caller must heal by rebuilding from the seen table
+    instead of probing inconsistent bitmaps."""
     blooms: dict[int, tuple[int, np.ndarray]] = {}
-    for r in rows:  # OR-merge per-round deltas per bucket
+    for r in rows or []:
         arr = np.unpackbits(np.frombuffer(r["bitmap"], dtype=np.uint8))
         prev = blooms.get(r["bucket"])
         if prev is None:
             blooms[r["bucket"]] = (r["n_bits"], arr)
+        elif prev[0] != r["n_bits"]:
+            return None
         else:
-            assert prev[0] == r["n_bits"], "bloom deltas must share n_bits"
             blooms[r["bucket"]] = (r["n_bits"], prev[1] | arr)
-    bc = spark.sparkContext.broadcast(blooms)
+    return blooms
+
+
+def merged_to_rows(merged: dict[int, tuple[int, np.ndarray]]) -> "pd.DataFrame":
+    """Inverse of merge_sidecar_rows: one pre-OR-merged row per bucket —
+    the compacted sidecar representation (written at compact_every)."""
+    return pd.DataFrame(
+        {
+            "bucket": list(merged.keys()),
+            "n_bits": [n for n, _ in merged.values()],
+            "bitmap": [np.packbits(bits).tobytes() for _, bits in merged.values()],
+        }
+    )
+
+
+def split_by_bloom(
+    candidates: DataFrame, bloom_bc, num_buckets: int
+) -> tuple[DataFrame, DataFrame]:
+    """Return (definitely_new, maybe_seen). candidates must carry url_hash.
+    bloom_bc is a broadcast of merge_sidecar_rows() output — collected and
+    broadcast ONCE per round by the caller, reused across both anti-joins
+    (frontier candidates and discovered links)."""
+    from ..functions.urls import url_hash_bucket
 
     @F.pandas_udf(T.BooleanType())
     def maybe_in_bloom(url_hash: pd.Series, bucket: pd.Series) -> pd.Series:
-        local = bc.value
+        local = bloom_bc.value
 
         def probe(args):
             h, b = args
@@ -115,16 +137,16 @@ def split_by_bloom(
 def anti_join_seen(
     candidates: DataFrame,
     seen: DataFrame | None,
-    spark=None,
-    sidecar: DataFrame | None = None,
+    bloom_bc=None,
     num_buckets: int = 32,
 ) -> DataFrame:
     """Drop candidates whose url_hash is in the seen set (exact), optionally
-    routed through the Bloom pre-filter."""
+    routed through the Bloom pre-filter (bloom_bc: a broadcast merged
+    sidecar — see split_by_bloom)."""
     if seen is None:
         return candidates
     seen_keys = seen.select("url_hash")
-    if sidecar is None:
+    if bloom_bc is None:
         return candidates.join(seen_keys, "url_hash", "left_anti")
-    definitely_new, maybe = split_by_bloom(spark, candidates, sidecar, num_buckets)
+    definitely_new, maybe = split_by_bloom(candidates, bloom_bc, num_buckets)
     return definitely_new.unionByName(maybe.join(seen_keys, "url_hash", "left_anti"))

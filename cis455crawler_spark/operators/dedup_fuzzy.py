@@ -208,6 +208,40 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
     ).select("id_a", "id_b", "hamming")
 
 
+def ngram_candidate_pairs(
+    sh: DataFrame, threshold: float
+) -> DataFrame:
+    """AllPairs-style prefix-filtered candidate generation over an inverted
+    shingle list sh(id, sh) — EXACT (no pair with Jaccard >= threshold is
+    missed) yet skew-proof: shingles are globally ordered by (document
+    frequency asc, shingle), and only each document's prefix of length
+    |A| - ceil(t*|A|) + 1 joins. A boilerplate shingle shared by 10^6
+    documents has maximal df, sorts LAST in every document, and never
+    reaches the join — the naive inverted-list self-join goes quadratic on
+    exactly that shingle.
+
+    Correctness (Bayardo et al., "Scaling Up All Pairs Similarity Search"):
+    J(A,B) >= t implies |A∩B| >= ceil(t*max(|A|,|B|)), so under a common
+    total order the two prefixes must share at least one element."""
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w_rank = Window.partitionBy("id").orderBy("df", "sh")
+    w_n = Window.partitionBy("id")
+    ranked = (
+        sh.join(df_counts, "sh")
+        .withColumn("pos", F.row_number().over(w_rank))
+        .withColumn("n", F.count("*").over(w_n))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    ).select("id", "sh")
+    l, r = prefix.alias("l"), prefix.alias("r")
+    return (
+        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -215,30 +249,29 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.8,
 ) -> DataFrame:
-    """Exact n-gram Jaccard >= threshold via shingle inverted lists:
-    explode shingles -> self-join on shingle -> count common / (|A|+|B|-common).
-    Distributed set-similarity join; no signatures, exact answer."""
+    """Exact n-gram Jaccard >= threshold: prefix-filtered candidate pairs
+    (ngram_candidate_pairs — skew-proof, no frequent-shingle blowup), then
+    exact verification by array_intersect over each document's full shingle
+    set. Exact answer, no signatures."""
     sh = (
         df.repartition(F.col(id_col))  # parallelize past single-file sources
         .select(
             F.col(id_col).alias("id"),
             F.explode(F.array_distinct(shingles(tokenize(F.col(text_col)), k))).alias("sh"),
         )
-        .cache()  # read by both join sides and the size agg
+        .cache()  # read by candidate generation and the set collection
     )
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n"))
-    l, r = sh.alias("l"), sh.alias("r")
-    common = (
-        l.join(r, (F.col("l.sh") == F.col("r.sh")) & (F.col("l.id") < F.col("r.id")))
-        .groupBy(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .agg(F.count("*").alias("common"))
+    cand = ngram_candidate_pairs(sh, threshold)
+    sets = sh.groupBy("id").agg(
+        F.sort_array(F.collect_list("sh")).alias("set"), F.count("*").alias("n")
     )
-    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    sa = sets.select(F.col("id").alias("id_a"), F.col("set").alias("set_a"), F.col("n").alias("n_a"))
+    sb = sets.select(F.col("id").alias("id_b"), F.col("set").alias("set_b"), F.col("n").alias("n_b"))
+    common = F.size(F.array_intersect("set_a", "set_b"))
     return (
-        common.join(na, "id_a")
-        .join(nb, "id_b")
-        .withColumn("jaccard", F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", common / (F.col("n_a") + F.col("n_b") - common))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -250,13 +283,23 @@ def embedding_near_dups(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int | None = None,
     seed: int = 11,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs: random-hyperplane LSH bucket join +
-    exact cosine verify inside buckets (JVM F.aggregate/F.zip_with math)."""
-    dim = len(emb.select(vec_col).first()[0])
+    """Embedding-cosine near-dup pairs: banded random-hyperplane LSH bucket
+    join + exact cosine verify inside buckets (JVM F.aggregate/F.zip_with).
+
+    Bucket cardinality scales with the corpus: 2^n_planes buckets PER TABLE
+    and n_tables independent hyperplane tables (OR over tables, like MinHash
+    banding). At 10^9 vectors pick n_planes ~ log2(n / target_bucket_size)
+    so the within-bucket self-join stays near-linear; raise n_tables to
+    recover the recall that more planes cost. Pass `dim` explicitly at scale
+    — omitting it falls back to a single-row driver lookup."""
+    if dim is None:
+        dim = len(emb.select(vec_col).first()[0])
     rng = np.random.RandomState(seed)
-    planes = rng.randn(n_planes, dim)
+    planes = rng.randn(n_tables, n_planes, dim)
 
     def _dot_lit(plane) -> F.Column:
         arr = F.array(*[F.lit(float(x)) for x in plane])
@@ -266,8 +309,13 @@ def embedding_near_dups(
             lambda acc, x: acc + x,
         )
 
-    sig = F.concat_ws(
-        "", *[F.when(_dot_lit(p) >= 0, "1").otherwise("0") for p in planes]
+    sigs = F.array(
+        *[
+            F.concat_ws(
+                "", *[F.when(_dot_lit(p) >= 0, "1").otherwise("0") for p in planes[t]]
+            )
+            for t in range(n_tables)
+        ]
     )
     norm = F.sqrt(
         F.aggregate(
@@ -275,21 +323,35 @@ def embedding_near_dups(
         )
     )
     tagged = emb.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), sig.alias("bucket"),
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
         norm.alias("nrm"),
-    )
+        F.posexplode(sigs).alias("table", "bucket"),
+    ).cache()  # both self-join sides read this, not recompute n_tables sigs
     l, r = tagged.alias("l"), tagged.alias("r")
-    dot = F.aggregate(
-        F.zip_with(F.col("l.v"), F.col("r.v"), lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return (
         l.join(
             r,
-            (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")),
+            (F.col("l.table") == F.col("r.table"))
+            & (F.col("l.bucket") == F.col("r.bucket"))
+            & (F.col("l.id") < F.col("r.id")),
         )
-        .withColumn("cosine", dot / (F.col("l.nrm") * F.col("r.nrm")))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+            F.col("l.nrm").alias("na"),
+            F.col("r.nrm").alias("nb"),
+        )
+        .distinct()  # a pair can collide in several tables
+        .withColumn(
+            "cosine",
+            F.aggregate(
+                F.zip_with("va", "vb", lambda a, b: a * b), F.lit(0.0), lambda s, x: s + x
+            )
+            / (F.col("na") * F.col("nb")),
+        )
         .filter(F.col("cosine") >= threshold)
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

@@ -62,13 +62,21 @@ def train_centroids(
     seed: int = 13,
 ) -> np.ndarray:
     """Driver-side Lloyd's on a deterministic sample — centroids are a small
-    model artifact (broadcast), never a distributed bottleneck."""
+    model artifact (broadcast), never a distributed bottleneck.
+
+    The sample is drawn with a seeded Bernoulli `.sample()` (a scan-side
+    filter: no shuffle, no sort) — a global orderBy-by-hash here would
+    shuffle-sort the entire vector table just to draw a few thousand rows,
+    which is a scale-killer at 10^9 vectors."""
     pdf = (
         vectors.select(F.col(vec_col).alias("v"))
-        .orderBy(F.xxhash64(F.col("v").cast("string")))
+        .sample(fraction=0.05, seed=seed)
         .limit(sample)
         .toPandas()
     )
+    if len(pdf) < max(sample // 4, 2):
+        # tiny input: the 5% Bernoulli sample under-fills — take rows directly
+        pdf = vectors.select(F.col(vec_col).alias("v")).limit(sample).toPandas()
     X = np.array(pdf["v"].tolist(), dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]

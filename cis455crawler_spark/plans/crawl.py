@@ -10,7 +10,12 @@ round-trip (MasterServlet.java:78-185):
       -> broadcast-join robots + quirk predicate        [O-J1/O-F4]
       -> salted per-host budget window pop              [O-W2/O-F5]
       -> "fetch" = left join pages on url -> html       [O-S4]
+      -> status/MIME/size routing                       [O-F1/F2/F3/O-X9]
+           miss | redirect (301/302) | not_modified (304, recrawl)
+                | mime_reject | size_reject | parse
       -> Arrow UDF link+text extraction, JVM resolution [O-X3/X4/X5/O-F7]
+         (parse rows only; not_modified rows reuse stored out_links —
+          XPathCrawlerThread.java:231-253)
       -> explode -> dedup -> anti-join (seen + batch)   [O-J2/O-U3]
       -> COMMIT seen+/parsed+/metrics+/lineage+, frontier (one snapshot);
          the link graph (edges) stays derivable from parsed.out_links
@@ -18,10 +23,23 @@ round-trip (MasterServlet.java:78-185):
 Seen-set semantics follow the reference exactly: scheduled URLs are marked
 seen at schedule time (XPathCrawlerThread.java:122-126), robots-DENIED URLs
 are also marked seen (:455-487 — every deny branch adds to visitedURL),
-politeness-deferred URLs are NOT (they are re-enqueued, :443-447).
+politeness-deferred URLs are NOT (they are re-enqueued, :443-447), and
+301/302 Location targets are marked seen WITHOUT being enqueued
+(:148-175 — the reference's redirect-enqueue is an unimplemented TODO).
+Only action='parse' rows are written to the parsed table (writeToDB,
+:254-259); rejects/redirects/misses leave no document behind.
+
+Conditional recrawl (If-Modified-Since, :129-146): run_crawl(recrawl=True)
+starts a new crawl generation — frontier reset to seeds, seen-set emptied,
+parsed kept. Each fetch compares the page's warc_ts against the stored
+row's warc_ts; unchanged pages answer 304 and reuse stored out_links with
+no re-parse and no rewrite (MERGE semantics: parsed appends + latest-round-
+per-url read via parsed_latest()).
 
 Stop conditions: empty frontier, or total scheduled >= max_pages
-(TotalMaxRequests, Crawler/conf/master/web.xml:22-24), or max_rounds.
+(TotalMaxRequests, Crawler/conf/master/web.xml:22-24), or max_rounds —
+max_pages counts the current generation only (each reference run has its
+own TotalMaxRequests budget).
 """
 
 from __future__ import annotations
@@ -32,10 +50,21 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.fetch import (
+    MAX_CONTENT_BYTES_DEFAULT,
+    location_of,
+    route_fetch,
+    status_of,
+)
 from ..functions.html import html_as_string, parse_page_udf, title_of
 from ..functions.robots import build_robots_df, crawl_allowed
 from ..functions.urls import host_of, resolve_href, sha1_hex, url_hash_bucket
-from ..operators.dedup import anti_join_seen, build_bloom_sidecar
+from ..operators.dedup import (
+    anti_join_seen,
+    build_bloom_sidecar,
+    merge_sidecar_rows,
+    merged_to_rows,
+)
 from ..operators.scheduler import host_budget, pop_host_batches
 from ..sources.tables import SnapshotStore
 
@@ -50,11 +79,34 @@ class CrawlConfig:
     use_bloom: bool = False  # pays when seen >> per-round frontier (BENCH.md)
     bloom_bucket_bits: int = 1 << 22  # fixed bits/bucket so deltas OR-merge
     compact_every: int = 8
+    max_content_bytes: int = MAX_CONTENT_BYTES_DEFAULT  # O-F2 size gate
 
 
 def _with_url_cols(df: DataFrame, num_buckets: int) -> DataFrame:
     df = df.withColumn("url_hash", sha1_hex("url")).withColumn("host", host_of("url"))
     return df.withColumn("bucket", url_hash_bucket("url_hash", num_buckets))
+
+
+def _generation_history(history: list[dict]) -> list[dict]:
+    """History entries of the CURRENT crawl generation (after the last
+    init/recrawl marker)."""
+    gen: list[dict] = []
+    for h in history:
+        if h.get("phase") in ("init", "recrawl"):
+            gen = []
+        else:
+            gen.append(h)
+    return gen
+
+
+def _bloom_lags(history: list[dict]) -> bool:
+    """True when some round of this generation appended to seen without
+    committing a bloom delta — the sidecar then under-covers the seen set
+    and MUST be rebuilt (bloom false negatives would re-crawl seen URLs)."""
+    return any(
+        "scheduled" in h and not h.get("bloom_delta")
+        for h in _generation_history(history)
+    )
 
 
 def init_crawl(
@@ -75,9 +127,13 @@ def run_round(
     cfg: CrawlConfig,
     round_no: int,
     frontier: DataFrame | None = None,
+    stored: DataFrame | None = None,
 ) -> dict | tuple[dict, DataFrame]:
     """One scheduling round. `frontier` may be passed in-memory by the driver
-    loop (avoids a parquet round-trip); omitted -> read from the snapshot."""
+    loop (avoids a parquet round-trip); omitted -> read from the snapshot.
+    `stored` (recrawl generations only) is the prior generation's
+    parsed-latest snapshot (url, warc_ts, out_links) answering the 304
+    If-Modified-Since check."""
     import os
 
     timing = os.environ.get("SPARK_GRAFT_ROUND_TIMING") == "1"
@@ -100,21 +156,27 @@ def run_round(
         frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
     ).cache()
     # Bloom sidecar is INCREMENTAL: each round appends a bitmap delta built
-    # from that round's (small) new_seen batch; reads OR-merge the deltas.
-    # The full seen table is only rescanned to heal a crawl that started
-    # without the bloom config (resume with use_bloom newly on).
-    sidecar = None
+    # from that round's (small) new_seen batch; the deltas are collected and
+    # OR-merged ONCE here, broadcast, and reused by both anti-joins this
+    # round. The full seen table is rescanned (healed) when the deltas are
+    # untrustworthy: missing table, n_bits mismatch (bloom_bucket_bits
+    # changed), or rounds that appended seen without a delta (use_bloom
+    # toggled off then on — trusting stale deltas would create false
+    # negatives and re-crawl seen URLs).
+    bloom_bc = None
+    healed = None  # merged dict to persist as a pre-merged replacement
     if cfg.use_bloom and seen is not None:
         sidecar = store.read("bloom")
-        if sidecar is None:
-            sidecar = build_bloom_sidecar(seen, cfg.num_buckets, cfg.bloom_bucket_bits)
-            heal_sidecar = sidecar  # persist with this round's commit
-        else:
-            heal_sidecar = None
-    else:
-        heal_sidecar = None
+        merged = merge_sidecar_rows(sidecar.collect()) if sidecar is not None else None
+        if merged is None or _bloom_lags(store.manifest()["history"]):
+            heal_rows = build_bloom_sidecar(
+                seen, cfg.num_buckets, cfg.bloom_bucket_bits
+            ).collect()
+            merged = merge_sidecar_rows(heal_rows)
+            healed = merged
+        bloom_bc = spark.sparkContext.broadcast(merged)
     fresh_cand = anti_join_seen(
-        raw, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets
+        raw, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
     )
 
     # robots gate (broadcast join + pure-column quirk predicate)
@@ -149,27 +211,79 @@ def run_round(
     n_sched = sum(r["scheduled"] for r in lineage_rows)
     n_deferred = (fresh - n_denied) - n_sched  # derived: ok = scheduled + deferred
 
-    # "fetch": join the scheduled batch against the pages corpus; ONE Arrow
-    # pass over html extracts hrefs+text together, title stays JVM-side
-    fetched = scheduled.join(pages.select("url", "html", "lang"), "url", "left")
+    # "fetch": join the scheduled batch against the pages corpus, then route
+    # on derived HTTP metadata (status / Content-Type / Content-Length) in
+    # the reference's check order, and — in a recrawl generation — against
+    # the stored parsed snapshot for the 304 If-Modified-Since answer.
+    # ONE Arrow pass over html (parse rows only) extracts hrefs+text
+    # together; title stays JVM-side.
+    fetched = scheduled.join(pages.select("url", "warc_ts", "html", "lang"), "url", "left")
+    if stored is not None:
+        fetched = fetched.join(
+            stored.select(
+                "url",
+                F.col("warc_ts").alias("stored_ts"),
+                F.col("out_links").alias("stored_links"),
+            ),
+            "url",
+            "left",
+        )
+    else:
+        fetched = fetched.withColumn(
+            "stored_ts", F.lit(None).cast("timestamp")
+        ).withColumn("stored_links", F.lit(None).cast("array<string>"))
+    routed = fetched.withColumn(
+        "action",
+        route_fetch(
+            "html",
+            "url",
+            stored_ts=F.col("stored_ts"),
+            warc_ts=F.col("warc_ts"),
+            max_content_bytes=cfg.max_content_bytes,
+        ),
+    )
+    is_parse = F.col("action") == "parse"
     parsed = (
-        fetched.withColumn("_p", parse_page_udf("html"))
+        routed.withColumn("_p", parse_page_udf(F.when(is_parse, F.col("html"))))
         .withColumn(
             "out_links",
-            F.filter(
-                F.transform(F.col("_p.hrefs"), lambda h: resolve_href(F.col("url"), h)),
-                lambda x: x.isNotNull(),
+            # 304 reuses the stored document's extracted links
+            # (XPathCrawlerThread.java:231-253); everything non-parse else
+            # contributes nothing
+            F.when(F.col("action") == "not_modified", F.col("stored_links")).otherwise(
+                F.filter(
+                    F.transform(F.col("_p.hrefs"), lambda h: resolve_href(F.col("url"), h)),
+                    lambda x: x.isNotNull(),
+                )
             ),
         )
         .withColumn("text", F.col("_p.text"))
-        .withColumn("title", title_of(html_as_string("html")))
+        .withColumn("title", F.when(is_parse, title_of(html_as_string("html"))))
         .withColumn("fetched", F.col("html").isNotNull())
+        .withColumn("status", F.when(F.col("html").isNotNull(), status_of("url")))
         .withColumn("round", F.lit(round_no))
-        .drop("_p", "html")
+        .drop("_p", "html", "stored_ts", "stored_links")
         .cache()
     )
-    fetch_hits = parsed.filter("fetched").count()
-    _tick("fetch join + parse UDF")
+    acts = {r["action"]: r["n"] for r in parsed.groupBy("action").agg(F.count("*").alias("n")).collect()}
+    fetch_hits = sum(n for a, n in acts.items() if a != "miss")
+    _tick("fetch join + route + parse UDF")
+
+    # 301/302 Location targets enter the seen set WITHOUT being enqueued
+    # (XPathCrawlerThread.java:155-168); anti-joined so the table stays a set
+    redirect_targets = _with_url_cols(
+        parsed.filter(F.col("action") == "redirect")
+        .select(location_of("url").alias("url"))
+        .distinct(),
+        cfg.num_buckets,
+    ).select("url_hash", "url", "bucket")
+    batch_seen = scheduled.select("url_hash", "url", "bucket").unionByName(
+        denied.select("url_hash", "url", "bucket")
+    )
+    redirect_targets = anti_join_seen(
+        redirect_targets, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
+    ).join(batch_seen.select("url_hash"), "url_hash", "left_anti")
+    new_seen = batch_seen.unionByName(redirect_targets)
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
     links = (
@@ -178,10 +292,7 @@ def run_round(
         .agg(F.min("depth").alias("depth"))
     )
     links = _with_url_cols(links, cfg.num_buckets)
-    new_seen = scheduled.select("url_hash", "url", "bucket").unionByName(
-        denied.select("url_hash", "url", "bucket")
-    )
-    links = anti_join_seen(links, seen, spark=spark, sidecar=sidecar, num_buckets=cfg.num_buckets)
+    links = anti_join_seen(links, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets)
     links = links.join(new_seen.select("url_hash"), "url_hash", "left_anti")
 
     # localCheckpoint (not cache): materializes AND truncates lineage, so the
@@ -203,6 +314,11 @@ def run_round(
         "scheduled": n_sched,
         "fetch_hits": fetch_hits,
         "fetch_misses": n_sched - fetch_hits,
+        "parsed_pages": acts.get("parse", 0),
+        "redirects": acts.get("redirect", 0),
+        "not_modified": acts.get("not_modified", 0),
+        "mime_rejected": acts.get("mime_reject", 0),
+        "size_rejected": acts.get("size_reject", 0),
         "frontier_next": frontier_next,
     }
 
@@ -217,15 +333,27 @@ def run_round(
     metrics_pdf = pd.DataFrame([metrics])
 
     appends_extra = {}
+    small_replaces = {}
     if cfg.use_bloom:
-        # bitmap delta over just this round's newly-seen keys; OR-merged with
-        # earlier deltas at read time (split_by_bloom)
-        delta = build_bloom_sidecar(
-            new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
-        )
-        if heal_sidecar is not None:
-            delta = delta.unionByName(heal_sidecar)
-        appends_extra["bloom"] = delta
+        metrics["bloom_delta"] = True  # _bloom_lags reads this from history
+        if healed is None:
+            # bitmap delta over just this round's newly-seen keys; OR-merged
+            # with earlier deltas at read time
+            appends_extra["bloom"] = build_bloom_sidecar(
+                new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
+            )
+        else:
+            # heal round: replace the whole sidecar with (rebuilt ∪ this
+            # round's delta), pre-merged to one row per bucket
+            delta = merge_sidecar_rows(
+                build_bloom_sidecar(
+                    new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
+                ).collect()
+            )
+            for b, (n, bits) in (delta or {}).items():
+                prev = healed.get(b)
+                healed[b] = (n, bits if prev is None else prev[1] | bits)
+            small_replaces["bloom"] = merged_to_rows(healed)
 
     # the edges table is derivable from parsed (out_links IS the adjacency,
     # like the reference's ParsedDocument.extractedUrls) — no per-round write
@@ -237,13 +365,16 @@ def run_round(
             # this, every shuffle task writes a file into every bucket dir and
             # the seen table degenerates into thousands of tiny files
             "seen": new_seen.repartition(cfg.num_buckets, "bucket"),
-            "parsed": parsed.select(
+            # writeToDB (XPathCrawlerThread.java:254-259): only successfully
+            # parsed 200s persist; warc_ts recorded for If-Modified-Since
+            "parsed": parsed.filter(is_parse).select(
                 "url", "url_hash", "depth", "title", "text", "out_links", "lang",
-                "fetched", "round",
+                "warc_ts", "fetched", "round",
             ),
         },
         small_appends={"metrics": metrics_pdf, "lineage": lineage_pdf},
         replaces={"frontier": new_frontier.select("url", "depth")},
+        small_replaces=small_replaces,
         partition_by={"seen": ["bucket"]},
         extra=metrics,
     )
@@ -256,6 +387,24 @@ def run_round(
         # the context cleaner once the caller drops the reference
         return metrics, new_frontier
     return metrics
+
+
+def parsed_latest(store: SnapshotStore) -> DataFrame | None:
+    """MERGE-on-read view of the parsed table: latest round per url_hash.
+    Recrawl generations append re-parsed rows; this view is what a reader
+    (and the 304 check) sees — the reference's BDB primary-index get by
+    SHA1(url) (XPathCrawlerThread.java:131-133)."""
+    parsed = store.read("parsed")
+    if parsed is None:
+        return None
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_hash").orderBy(F.desc("round"))
+    return (
+        parsed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 def edges_from_parsed(store: SnapshotStore) -> DataFrame | None:
@@ -275,35 +424,70 @@ def run_crawl(
     state_dir: str,
     cfg: CrawlConfig | None = None,
     resume: bool = False,
+    recrawl: bool = False,
 ) -> tuple[SnapshotStore, list[dict]]:
     """Drive rounds until a stop condition. With resume=True, continue from
-    the last committed snapshot (no re-fetch of completed rounds)."""
+    the last committed snapshot (no re-fetch of completed rounds). With
+    recrawl=True (existing state dir), start a NEW crawl generation over the
+    stored documents: frontier reset to seeds, seen-set emptied, parsed
+    kept — unchanged pages (warc_ts not advanced) answer 304 and reuse
+    their stored out_links; changed pages re-fetch and MERGE-upsert."""
+    from pyspark.storagelevel import StorageLevel
+
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(spark, state_dir)
+    stored: DataFrame | None = None
     if store.current_round() < 0:
         init_crawl(spark, store, seeds, cfg)
+    elif recrawl:
+        stored = parsed_latest(store)
+        if stored is not None:
+            # snapshot of the PRIOR generation's docs; DISK_ONLY — html-wide
+            # columns are pruned out, but text can still be multi-GB in-heap
+            stored = stored.select("url", "warc_ts", "out_links").persist(
+                StorageLevel.DISK_ONLY
+            )
+            stored.count()
+        frontier0 = spark.createDataFrame(
+            [(u, 0) for u in dict.fromkeys(seeds)], schema="url string, depth int"
+        )
+        empty_seen = spark.createDataFrame(
+            [], schema="url_hash string, url string, bucket int"
+        )
+        store.commit_round(
+            store.current_round() + 1,
+            replaces={"frontier": frontier0, "seen": empty_seen},
+            extra={"phase": "recrawl"},
+        )
+        # stale bitmaps describe the previous generation's seen set
+        store.drop_table("bloom")
     elif not resume:
         raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
 
     robots = build_robots_df(spark, pages).cache()
     robots.count()
 
-    history = store.manifest()["history"]
-    total_scheduled = sum(h.get("scheduled", 0) for h in history)
+    # max_pages / max_rounds / metrics are per-generation (each reference
+    # run has its own TotalMaxRequests budget and round count)
+    gen_hist = _generation_history(store.manifest()["history"])
+    total_scheduled = sum(h.get("scheduled", 0) for h in gen_hist)
     round_no = store.current_round() + 1
-    all_metrics = [h for h in history if "scheduled" in h]
+    rounds_used = len([h for h in gen_hist if "scheduled" in h])
+    last_round = round_no + (cfg.max_rounds - rounds_used) - 1
+    all_metrics = [h for h in gen_hist if "scheduled" in h]
 
     # frontier rides in memory between rounds (still committed every round —
     # resume reads the snapshot; this only skips the happy-path parquet read)
     frontier_df: DataFrame | None = None
-    while round_no <= cfg.max_rounds:
+    while round_no <= last_round:
         if total_scheduled >= cfg.max_pages:
             break
         t0 = time.time()
         if frontier_df is None:
             frontier_df = store.read("frontier")
         m, next_frontier = run_round(
-            spark, store, pages, robots, cfg, round_no, frontier=frontier_df
+            spark, store, pages, robots, cfg, round_no, frontier=frontier_df,
+            stored=stored,
         )
         frontier_df = next_frontier
         m["wall_s"] = round(time.time() - t0, 3)
@@ -313,7 +497,18 @@ def run_crawl(
             break
         if cfg.compact_every and round_no % cfg.compact_every == 0:
             store.compact("seen", partition_cols=["bucket"])
+            if cfg.use_bloom:
+                # pre-OR-merge the per-round bitmap deltas to one row per
+                # bucket (caps sidecar size and the per-round collect at
+                # num_buckets rows instead of O(rounds) deltas)
+                bdf = store.read("bloom")
+                if bdf is not None:
+                    merged = merge_sidecar_rows(bdf.collect())
+                    if merged:
+                        store.replace_small("bloom", merged_to_rows(merged))
         round_no += 1
 
     robots.unpersist()
+    if stored is not None:
+        stored.unpersist()
     return store, all_metrics

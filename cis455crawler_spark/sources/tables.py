@@ -77,11 +77,13 @@ class SnapshotStore:
         partition_by: dict[str, list[str]] | None = None,
         extra: dict | None = None,
         small_appends: dict | None = None,
+        small_replaces: dict | None = None,
     ) -> None:
         """Write data dirs first, swap the manifest last (atomic commit).
 
-        small_appends: {table: pandas.DataFrame} — metrics/lineage-sized tables
-        written driver-side with pyarrow (no Spark job per tiny table).
+        small_appends / small_replaces: {table: pandas.DataFrame} —
+        metrics/lineage/bloom-sized tables written driver-side with pyarrow
+        (no Spark job per tiny table).
         """
         m = self.manifest()
         tables = dict(m["tables"])
@@ -117,6 +119,9 @@ class SnapshotStore:
         for table, df in (replaces or {}).items():
             rel = _write(table, df)
             tables[table] = [rel]
+        for table, pdf in (small_replaces or {}).items():
+            rel = _write_small(table, pdf)
+            tables[table] = [rel]
 
         new_manifest = {
             "round": round_no,
@@ -129,6 +134,44 @@ class SnapshotStore:
         os.replace(tmp, self._manifest_path)  # the atomic snapshot swap
 
     # -- maintenance ------------------------------------------------------
+    def _swap_tables(self, tables: dict, old_dirs: list[str]) -> None:
+        m = self.manifest()
+        new_manifest = {**m, "tables": tables}
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        for d in old_dirs:
+            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def drop_table(self, table: str) -> None:
+        """Remove a table from the manifest (and its dirs from disk)."""
+        m = self.manifest()
+        if table not in m["tables"]:
+            return
+        tables = dict(m["tables"])
+        old_dirs = tables.pop(table)
+        self._swap_tables(tables, old_dirs)
+
+    def replace_small(self, table: str, pdf) -> None:
+        """Replace a table's dirs with one driver-written parquet (used to
+        rewrite the bloom sidecar pre-OR-merged at compaction)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        m = self.manifest()
+        old_dirs = list(m["tables"].get(table, []))
+        rel = f"{table}/compact_{uuid.uuid4().hex[:8]}"
+        d = os.path.join(self.root, rel)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(d, "part-0.parquet"),
+        )
+        tables = dict(m["tables"])
+        tables[table] = [rel]
+        self._swap_tables(tables, old_dirs)
+
     def compact(self, table: str, partition_cols: list[str] | None = None) -> None:
         """Rewrite an append-table's many delta dirs into one (Iceberg
         rewrite_data_files). Commits a new manifest; old dirs removed after."""
@@ -144,10 +187,4 @@ class SnapshotStore:
         writer.parquet(os.path.join(self.root, rel))
         tables = dict(m["tables"])
         tables[table] = [rel]
-        new_manifest = {**m, "tables": tables}
-        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
-        with open(tmp, "w") as f:
-            json.dump(new_manifest, f, indent=1)
-        os.replace(tmp, self._manifest_path)
-        for d in old_dirs:
-            shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+        self._swap_tables(tables, old_dirs)

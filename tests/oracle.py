@@ -10,6 +10,10 @@ used as ground truth for the Spark engine:
   * crawl-delay via lowercase-agent quirk (DomainRules.java:20-22)
   * BFS rounds with per-host budget max(1, floor(duration/delay)), within-
     round order = url ascending (the rebuild's canonical determinization)
+  * fetch-path routing in the reference's check order (:148-253):
+    301/302 -> mark url AND Location seen, enqueue neither; 304 (recrawl,
+    warc_ts unchanged) -> reuse stored links; MIME substring allowlist;
+    Content-Length <= max size; only then parse (writeToDB)
 """
 
 from __future__ import annotations
@@ -34,6 +38,49 @@ def o_host(url: str) -> str:
 
 def o_sha1(url: str) -> str:
     return hashlib.sha1(url.encode("iso-8859-1")).hexdigest()
+
+
+# --- fetch-path metadata derivation (functions/fetch.py, same md5 scheme) ---
+
+ALLOWED_MIME = (
+    "text/html", "text/xml", "application/xml", "application/atom+xml",
+    "application/dash+xml", "application/rdf+xml", "application/rss+xml",
+    "application/soap+xml", "application/xhtml+xml", "application/xop+xml",
+    "application/smil+xml", "image/svg+xml", "message/imdn+xml",
+    "model/x3d+xml", "application/vnd.mozilla.xul+xml",
+    "application/vnd.google-earth.kml+xml",
+)
+
+MAX_CONTENT_BYTES = 5 * 1024 * 1024
+
+
+def o_md5(url: str) -> str:
+    return hashlib.md5(url.encode("iso-8859-1")).hexdigest()
+
+
+def o_status(url: str) -> int:
+    c = o_md5(url)[0]
+    return 301 if c == "0" else 302 if c == "1" else 200
+
+
+def o_content_type(url: str) -> str:
+    c = o_md5(url)[1]
+    if c == "0":
+        return "application/pdf"
+    if c == "1":
+        return "image/png"
+    if c == "2":
+        return "text/plain; charset=utf-8"
+    return "text/html; charset=UTF-8"
+
+
+def o_location(url: str) -> str:
+    return "http://" + o_host(url) + "/p0.html"
+
+
+def o_mime_allowed(content_type: str) -> bool:
+    ct = content_type.lower()
+    return any(t in ct for t in ALLOWED_MIME)
 
 
 def o_extract_hrefs(html: bytes) -> list[str]:
@@ -118,6 +165,7 @@ class OracleResult:
     edges: list[tuple[str, str]] = field(default_factory=list)
     text: dict[str, str] = field(default_factory=dict)
     metrics: list[dict] = field(default_factory=list)
+    docs: dict[str, list[str]] = field(default_factory=dict)  # parsed url -> links
 
 
 def oracle_crawl(
@@ -126,6 +174,9 @@ def oracle_crawl(
     max_rounds: int = 50,
     max_pages: int = 100_000,
     round_duration_s: int = 60,
+    max_content_bytes: int = MAX_CONTENT_BYTES,
+    stored: dict[str, tuple] | None = None,  # url -> (warc_ts, links): prior gen
+    pages_ts: dict | None = None,  # url -> warc_ts of the current corpus
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
     for url, html in pages.items():
@@ -162,18 +213,57 @@ def oracle_crawl(
         res.scheduled_rounds.append(set(scheduled))
         total_sched += len(scheduled)
 
-        new_links: dict[str, int] = {}
-        hits = 0
+        # fetch-path routing pass (reference check order, :148-253); redirect
+        # Locations land in seen FIRST — round-granular, they block this
+        # round's discovered links just like scheduled/denied urls do
+        actions: dict[str, str] = {}
+        hits = redirects = notmod = mime_rej = size_rej = parsed_n = 0
         for u in scheduled:
             html = pages.get(u)
             if html is None:
+                actions[u] = "miss"
                 continue
             hits += 1
-            for href in o_extract_hrefs(html):
-                dst = o_resolve(u, href)
-                if dst is None:
-                    continue
-                res.edges.append((u, dst))
+            st = o_status(u)
+            if st in (301, 302):
+                actions[u] = "redirect"
+                redirects += 1
+                res.seen.add(o_sha1(o_location(u)))
+            elif (
+                stored is not None
+                and u in stored
+                and pages_ts is not None
+                and pages_ts[u] <= stored[u][0]
+            ):
+                actions[u] = "not_modified"
+                notmod += 1
+            elif not o_mime_allowed(o_content_type(u)):
+                actions[u] = "mime_reject"
+                mime_rej += 1
+            elif len(html) > max_content_bytes:
+                actions[u] = "size_reject"
+                size_rej += 1
+            else:
+                actions[u] = "parse"
+                parsed_n += 1
+
+        new_links: dict[str, int] = {}
+        for u in scheduled:
+            act = actions[u]
+            if act == "parse":
+                links = []
+                for href in o_extract_hrefs(pages[u]):
+                    dst = o_resolve(u, href)
+                    if dst is not None:
+                        links.append(dst)
+                res.docs[u] = links
+                for dst in links:
+                    res.edges.append((u, dst))
+            elif act == "not_modified":
+                links = stored[u][1]
+            else:
+                continue
+            for dst in links:
                 if o_sha1(dst) not in res.seen and dst not in new_links:
                     new_links[dst] = cand[u] + 1
 
@@ -188,6 +278,11 @@ def oracle_crawl(
                 "politeness_deferred": len(deferred),
                 "scheduled": len(scheduled),
                 "fetch_hits": hits,
+                "parsed_pages": parsed_n,
+                "redirects": redirects,
+                "not_modified": notmod,
+                "mime_rejected": mime_rej,
+                "size_rejected": size_rej,
             }
         )
     return res

@@ -63,7 +63,11 @@ def test_crawl_matches_oracle(spark, corpus, oracle_res, tmp_path):
     # metrics agreement per round
     hist = [h for h in store.manifest()["history"] if "scheduled" in h]
     for got, want in zip(hist, oracle_res.metrics):
-        for key in ("urls_in", "robots_denied", "politeness_deferred", "scheduled", "fetch_hits"):
+        for key in (
+            "urls_in", "robots_denied", "politeness_deferred", "scheduled",
+            "fetch_hits", "parsed_pages", "redirects", "not_modified",
+            "mime_rejected", "size_rejected",
+        ):
             assert got[key] == want[key], (got["round"], key)
 
 
@@ -100,6 +104,97 @@ def test_run_crawl_driver_loop(spark, corpus, oracle_res, tmp_path):
     )
     engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
     assert engine_seen == oracle_res.seen
+
+
+def test_fetch_routing_exercised(oracle_res):
+    """The smoke corpus must actually hit the redirect and MIME branches,
+    otherwise the oracle-equality tests above prove nothing about them."""
+    assert sum(m["redirects"] for m in oracle_res.metrics) > 0
+    assert sum(m["mime_rejected"] for m in oracle_res.metrics) > 0
+    assert sum(m["parsed_pages"] for m in oracle_res.metrics) > 0
+
+
+def test_size_gate_matches_oracle(spark, corpus, tmp_path):
+    """O-F2: Content-Length gate (XPathCrawlerThread.java:191-199) with a
+    threshold at the corpus median html size -> both branches taken."""
+    pdf, pages = corpus
+    limit = int(pdf["html"].map(len).median())
+    store, metrics = run_crawl(
+        spark,
+        pages,
+        seed_urls(SPEC),
+        str(tmp_path / "state_size"),
+        CrawlConfig(max_rounds=MAX_ROUNDS, compact_every=0, max_content_bytes=limit),
+    )
+    want = oracle_crawl(
+        dict(zip(pdf["url"], pdf["html"])),
+        seed_urls(SPEC),
+        max_rounds=MAX_ROUNDS,
+        max_content_bytes=limit,
+    )
+    assert sum(m["size_rejected"] for m in metrics) > 0
+    assert sum(m["parsed_pages"] for m in metrics) > 0
+    for got, exp in zip(metrics, want.metrics):
+        for key in ("scheduled", "parsed_pages", "size_rejected", "mime_rejected"):
+            assert got[key] == exp[key], (got["round"], key)
+    engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
+    assert engine_seen == want.seen
+
+
+def test_recrawl_304_reuse(spark, corpus, oracle_res, tmp_path):
+    """Conditional recrawl (O-X9/304, XPathCrawlerThread.java:129-146,
+    231-253): generation 2 over a corpus where ~half the pages have a bumped
+    warc_ts re-parses ONLY the changed pages; unchanged pages answer 304 and
+    reuse stored out_links. Engine seen/metrics == chained Python oracle;
+    parsed stays MERGE-consistent (one live row per url)."""
+    import pandas as pd
+
+    from cis455crawler_spark.plans.crawl import parsed_latest
+    from .oracle import o_md5
+
+    pdf, pages = corpus
+    state = str(tmp_path / "state_recrawl")
+    cfg = CrawlConfig(max_rounds=MAX_ROUNDS, compact_every=0)
+    run_crawl(spark, pages, seed_urls(SPEC), state, cfg)
+
+    # corpus v2: bump warc_ts one day for a deterministic ~50% slice
+    pdf2 = pdf.copy()
+    changed = pdf2["url"].map(lambda u: o_md5(u)[2] in "01234567")
+    pdf2.loc[changed, "warc_ts"] = pdf2.loc[changed, "warc_ts"] + pd.Timedelta(days=1)
+    pages2 = spark.createDataFrame(
+        pdf2, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    store, m2 = run_crawl(spark, pages2, seed_urls(SPEC), state, cfg, recrawl=True)
+
+    # chained oracle: gen-1 docs + gen-1 timestamps form the stored state
+    ts1 = dict(zip(pdf["url"], pdf["warc_ts"]))
+    stored = {u: (ts1[u], links) for u, links in oracle_res.docs.items()}
+    want = oracle_crawl(
+        dict(zip(pdf2["url"], pdf2["html"])),
+        seed_urls(SPEC),
+        max_rounds=MAX_ROUNDS,
+        stored=stored,
+        pages_ts=dict(zip(pdf2["url"], pdf2["warc_ts"])),
+    )
+    assert sum(m["not_modified"] for m in m2) > 0
+    assert sum(m["parsed_pages"] for m in m2) > 0
+    for got, exp in zip(m2, want.metrics):
+        for key in ("scheduled", "parsed_pages", "not_modified", "redirects"):
+            assert got[key] == exp[key], (got["round"], key)
+    engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
+    assert engine_seen == want.seen
+
+    # MERGE semantics: latest view is unique per url; re-parsed rows carry
+    # the bumped warc_ts, untouched rows keep the gen-1 timestamp
+    latest = parsed_latest(store).select("url", "warc_ts").toPandas()
+    assert latest["url"].is_unique
+    ts2 = dict(zip(pdf2["url"], pdf2["warc_ts"]))
+    refetched = set(want.docs) & set(stored)  # parsed again in gen 2
+    for u, ts in zip(latest["url"], latest["warc_ts"]):
+        want_ts = ts2[u] if (u in want.docs) else ts1[u]
+        assert pd.Timestamp(ts) == pd.Timestamp(want_ts), u
+    assert len(refetched) > 0
 
 
 def test_bloom_path_identical(spark, corpus, oracle_res, tmp_path):

@@ -79,6 +79,53 @@ def test_ngram_jaccard_exact(spark, docs):
     assert abs(pairs[(1, 3)] - 7 / 13) < 1e-9
 
 
+def test_ngram_prefix_filter_skew_proof(spark):
+    """A boilerplate shingle shared by EVERY doc must not blow up candidate
+    generation: prefix filtering ranks it last (max df) so it never joins.
+    Results stay exact — verified against a brute-force Python Jaccard."""
+    import re
+
+    from cis455crawler_spark.operators.dedup_fuzzy import ngram_candidate_pairs
+    from cis455crawler_spark.functions.text import shingles, tokenize
+
+    n = 120
+    boiler = "all rights reserved copyright notice follows here"
+    rows = [(i, f"unique{i} body{i} content{i} words{i} only{i} {boiler}") for i in range(n)]
+    # two real near-dups on top of the boilerplate corpus
+    rows.append((n, rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sh = docs.select(
+        F.col("doc_id").alias("id"),
+        F.explode(F.array_distinct(shingles(tokenize(F.col("text")), 3))).alias("sh"),
+    ).cache()
+    cand = ngram_candidate_pairs(sh, threshold=0.8).count()
+    # naive inverted-list join: every doc pairs with every other through the
+    # boilerplate shingles -> ~n^2/2 (7260+); prefix filter keeps it linear
+    assert cand <= 2 * (n + 1), cand
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+
+    def pyshingles(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} or {" ".join(toks)}
+
+    want = {}
+    sets = {i: pyshingles(t) for i, t in rows}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+                if j >= 0.8:
+                    want[(a, b)] = j
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-9
+
+
 def test_embedding_near_dups_and_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     dups = embedding_near_dups(emb, threshold=0.99, n_planes=6)
