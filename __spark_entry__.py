@@ -346,10 +346,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             tf.withColumn("max_tf", F.max("tf").over(w_doc))
             .withColumn("df", F.count("*").over(w_word))
             .withColumn(
+                # tf' real division, idf int division — the reference
+                # reducer's exact arithmetic (Indexer.java:218-221)
                 "rank",
                 F.round(
                     0.5
-                    * (0.5 + 0.5 * F.floor(F.col("tf") / F.col("max_tf")))
+                    * (0.5 + 0.5 * F.col("tf") / F.col("max_tf"))
                     * F.log(F.floor(F.lit(100000) / F.col("df")).cast("double")),
                     6,
                 ),
@@ -1064,7 +1066,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, word, tf,
                    MAX(tf) OVER (PARTITION BY doc_id) AS max_tf,
                    COUNT(*) OVER (PARTITION BY word) AS df,
-                   ROUND(0.5 * (0.5 + 0.5 * FLOOR(tf / (MAX(tf) OVER (PARTITION BY doc_id))))
+                   ROUND(0.5 * (0.5 + 0.5 * tf / (MAX(tf) OVER (PARTITION BY doc_id)))
                          * LN(FLOOR(100000 / (COUNT(*) OVER (PARTITION BY word)))), 6) AS rank
             FROM tf
         """,

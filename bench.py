@@ -52,11 +52,18 @@ def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
         write_pages_parquet_spark,
     )
 
+    # cache key carries the generator seed AND a generator-version tag: a
+    # change to the corpus generator must invalidate pre-existing /tmp
+    # caches, or benchmarks silently compare runs over different corpora
+    spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
+    from cis455crawler_spark.sources import corpus as corpus_mod
+
+    gen_ver = getattr(corpus_mod, "GENERATOR_VERSION", 1)
     path = os.path.join(
-        tempfile.gettempdir(), f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}.parquet"
+        tempfile.gettempdir(),
+        f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}_s{spec.seed}_g{gen_ver}.parquet",
     )
     if not os.path.exists(path):
-        spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
         if spark is not None:
             write_pages_parquet_spark(spark, spec, path)
         else:
@@ -125,9 +132,10 @@ def main() -> None:
             continue
         t0 = time.time()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        # noop sink, not count(): a bare count lets Catalyst prune every
+        # unreferenced projection, so map-heavy queries would be under-timed
+        df.write.format("noop").mode("overwrite").save()
         qtimes[name] = round(time.time() - t0, 3)
-        _ = n
 
     crawl = crawl_throughput(spark, rounds, hosts, pages, hot)
 

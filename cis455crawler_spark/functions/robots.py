@@ -87,28 +87,36 @@ def build_robots_df(spark, pages: DataFrame) -> DataFrame:
     """robots rules table from the corpus's /robots.txt rows.
 
     Output: (host STRING, has_robots BOOLEAN, disallow ARRAY<STRING> nullable,
-    crawl_delay INT). Parsing runs DISTRIBUTED in an Arrow-batched pandas UDF —
-    at 10^10-URL scale there are millions of hosts, so the robots bodies never
-    pass through the driver; the resulting rules table (a few columns per
-    host) is small relative to the frontier and is the broadcast-join side.
+    crawl_delay INT, sitemaps ARRAY<STRING>). Parsing runs DISTRIBUTED in an
+    Arrow-batched pandas UDF — at 10^10-URL scale there are millions of
+    hosts, so the robots bodies never pass through the driver; the resulting
+    rules table (a few columns per host) is small relative to the frontier
+    and is the broadcast-join side. Sitemaps are carried through
+    (RobotsTxtInfo.java addSitemapLink via XPathCrawlerThread.java:548-549);
+    the stored value is split(':')[1].trim() — an absolute sitemap URL
+    truncates to just 'http' — parser quirk kept verbatim.
     """
     from .urls import host_of
 
-    @F.pandas_udf("struct<disallow: array<string>, crawl_delay: int>")
+    @F.pandas_udf(
+        "struct<disallow: array<string>, crawl_delay: int, sitemaps: array<string>>"
+    )
     def _parse(body: pd.Series) -> pd.DataFrame:
-        dis, delay = [], []
+        dis, delay, maps = [], [], []
         for b in body:
             p = parse_robots_txt(b or "")
             dis.append(effective_disallow(p))
             delay.append(effective_delay(p))
-        return pd.DataFrame({"disallow": dis, "crawl_delay": delay})
+            maps.append(p["sitemaps"])
+        return pd.DataFrame({"disallow": dis, "crawl_delay": delay, "sitemaps": maps})
 
     return (
         pages.where(F.col("url").endswith("/robots.txt"))
         .select(host_of("url").alias("host"), F.col("html").cast("string").alias("body"))
         .select("host", F.lit(True).alias("has_robots"), _parse("body").alias("_p"))
         .select("host", "has_robots", F.col("_p.disallow").alias("disallow"),
-                F.col("_p.crawl_delay").alias("crawl_delay"))
+                F.col("_p.crawl_delay").alias("crawl_delay"),
+                F.col("_p.sitemaps").alias("sitemaps"))
     )
 
 

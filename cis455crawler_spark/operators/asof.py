@@ -42,18 +42,31 @@ def asof_join_backward(
     ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each right value column."""
     right_value_cols = right_value_cols or []
 
+    # internal working columns must not collide with caller columns
+    tag = "_asof"
+    taken = set(left.columns) | set(right.columns)
+    while any(c.startswith(tag) for c in taken):
+        tag += "x"
+    ats, side = f"{tag}_ts", f"{tag}_side"
+
+    def rv(c: str) -> str:
+        return f"{tag}_rv_{c}"
+
     carried = [right_ts, *right_value_cols]
-    r = right.select(
+    # NULL-timestamp right rows never match (pandas merge_asof / SQL ASOF
+    # semantics) — unfiltered they'd sort first (nulls-first ascending) and
+    # be carried forward onto every left row of the key group
+    r = right.filter(F.col(right_ts).isNotNull()).select(
         *on,
-        F.col(right_ts).alias("_ats"),
-        F.lit(0).alias("_side"),
-        *[F.col(c).alias(f"_rv_{c}") for c in carried],
+        F.col(right_ts).alias(ats),
+        F.lit(0).alias(side),
+        *[F.col(c).alias(rv(c)) for c in carried],
     )
     l = left.select(
         "*",
-        F.col(left_ts).alias("_ats"),
-        F.lit(1).alias("_side"),
-        *[F.lit(None).cast(r.schema[f"_rv_{c}"].dataType).alias(f"_rv_{c}") for c in carried],
+        F.col(left_ts).alias(ats),
+        F.lit(1).alias(side),
+        *[F.lit(None).cast(r.schema[rv(c)].dataType).alias(rv(c)) for c in carried],
     )
     # align schemas: right side gets nulls for left-only columns
     left_only = [c for c in l.columns if c not in r.columns]
@@ -65,15 +78,15 @@ def asof_join_backward(
 
     w = (
         Window.partitionBy(*on)
-        .orderBy("_ats", "_side")
+        .orderBy(ats, side)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned.select(
         "*",
         *[
-            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            F.last(rv(c), ignorenulls=True).over(w).alias(f"{prefix}{c}")
             for c in carried
         ],
     )
-    drop = ["_ats", "_side", *[f"_rv_{c}" for c in carried]]
-    return filled.filter(F.col("_side") == 1).drop(*drop)
+    drop = [ats, side, *[rv(c) for c in carried]]
+    return filled.filter(F.col(side) == 1).drop(*drop)

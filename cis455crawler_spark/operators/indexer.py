@@ -9,12 +9,14 @@ one shuffle-bounded DataFrame DAG:
          -> rank columns                                          [O-A3]
          -> groupBy(word).agg(sort_array(collect_list(...)))      [O-A4]
 
-Rank formula (Indexer.java:212-232, Reducer.java:50-64), INTEGER DIVISIONS
-kept bug-compatible when bug_compatible=True:
-    tf' = 0.5 + 0.5 * (tf DIV maxFreq)        (Java int division, :220-221)
-    idf = ln(100000 DIV df)                   (:222-223)
-    rank = 0.5*tf'*idf + 0.3*isTitle + 0.2*isMeta   (:224-226)
-With bug_compatible=False the divisions are real-valued (the sane formula).
+Rank formula (Indexer.java reduce, :212-232), bug-compatible when
+bug_compatible=True — NOTE the asymmetry in the Java:
+    tf' = 0.5 + 0.5 * tf / maxFreq      REAL division: `0.5 * int` promotes
+                                        to double before the divide (:218-219)
+    idf = ln(100000 DIV df)             INT division: `100000 / values.length`
+                                        is int/int -> floored (:220-221)
+    rank = 0.5*tf'*idf + 0.3*isTitle + 0.2*isMeta   (:222-224)
+With bug_compatible=False both divisions are real-valued (the sane formula).
 """
 
 from __future__ import annotations
@@ -58,20 +60,24 @@ def postings(
     out = tf.withColumn("max_tf", F.max("tf").over(w_doc)).withColumn(
         "df", F.count("*").over(w_word)
     )
+    # titleValues/metaValues membership is TOKEN membership in the reference
+    # mapper (Indexer.java:190-205 keeps word sets), not substring containment
     is_title = (
-        F.when(F.col("_title").contains(F.col("word")), 1).otherwise(0)
+        F.when(F.array_contains(tokenize(F.col("_title")), F.col("word")), 1).otherwise(0)
         if title_col
         else F.lit(0)
     )
     is_meta = (
-        F.when(F.col("_meta").contains(F.col("word")), 1).otherwise(0)
+        F.when(F.array_contains(tokenize(F.col("_meta")), F.col("word")), 1).otherwise(0)
         if meta_col
         else F.lit(0)
     )
     out = out.withColumn("is_title", is_title).withColumn("is_meta", is_meta)
 
     if bug_compatible:
-        tf_prime = 0.5 + 0.5 * F.floor(F.col("tf") / F.col("max_tf"))
+        # tf' divides REAL (Java promotes 0.5*tf to double before dividing);
+        # only the idf corpus constant divides integer — see module docstring
+        tf_prime = 0.5 + 0.5 * F.col("tf") / F.col("max_tf")
         idf = F.log(F.floor(F.lit(IDF_CORPUS) / F.col("df")).cast("double"))
     else:
         tf_prime = 0.5 + 0.5 * (F.col("tf") / F.col("max_tf"))

@@ -33,6 +33,10 @@ from ..functions.html import extract_text_py
 _BASE_TS = datetime(2013, 3, 1, 0, 0, 0)
 _WEEK_S = 7 * 24 * 3600
 
+# bump whenever generated rows change for the same CorpusSpec — cache keys
+# (bench.py corpus_parquet) include it so stale /tmp corpora regenerate
+GENERATOR_VERSION = 2
+
 ROBOTS_PATTERNS = {
     1: (
         "User-agent: cis455Crawler\nDisallow: /private\nDisallow: /tmp\n"

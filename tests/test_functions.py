@@ -150,3 +150,8 @@ def test_build_robots_df(spark):
     # pattern 5 host: wildcard first
     assert rows["host-5.test"]["disallow"][0] == "/never*"
     assert rows["host-5.test"]["crawl_delay"] == 5
+    # pattern 6 host: Sitemap line carried through; value is split(':')[1]
+    # so the absolute URL truncates to 'http' (XPathCrawlerThread.java:548
+    # quirk, stored verbatim by RobotsTxtInfo.addSitemapLink)
+    assert rows["host-6.test"]["sitemaps"] == ["http"]
+    assert rows["host-5.test"]["sitemaps"] == []

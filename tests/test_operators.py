@@ -63,12 +63,13 @@ def test_postings_rank_bug_compatible(spark):
     assert not any(d == 4 for d, _ in rows)
     r = rows[(1, "apple")]
     assert r["tf"] == 2 and r["max_tf"] == 2 and r["df"] == 2
-    # bug-compatible: tf'=0.5+0.5*floor(2/2)=1.0; idf=ln(floor(100000/2))
+    # bug-compatible (Indexer.java:218-221): tf' = 0.5 + 0.5*tf/maxFreq with
+    # REAL division (0.5*int promotes to double); idf = ln(100000 DIV df)
     want_rank = 0.5 * 1.0 * math.log(50000) + 0.3 * 1 + 0.2 * 0
     assert math.isclose(r["rank"], want_rank, rel_tol=1e-12)
-    # tf < max_tf -> integer division zeroes the tf term (and no title hit)
+    # tf=1 < max_tf=2 -> tf' = 0.5 + 0.5*(1/2) = 0.75 (no title hit)
     r2 = rows[(1, "banana")]
-    assert math.isclose(r2["rank"], 0.5 * 0.5 * math.log(50000), rel_tol=1e-12)
+    assert math.isclose(r2["rank"], 0.5 * 0.75 * math.log(50000), rel_tol=1e-12)
 
 
 def test_inverted_index_rank_desc(spark):
@@ -150,6 +151,78 @@ def test_snapshot_compact_and_lineage(spark, tmp_path):
     assert seen_after == seen_before
     # old delta dirs physically removed
     assert len(os.listdir(os.path.join(state, "seen"))) == 1
+
+
+def test_title_meta_ranking_end_to_end(spark, tmp_path):
+    """Build the inverted index from CRAWLED parsed output with the title
+    flag wired (Indexer.java:222-224: rank = 0.5*tf'*idf + 0.3*isTitle +
+    0.2*isMeta) and verify every rank against a Python oracle. Titles come
+    from the crawl plan's parsed table; meta is synthesized per doc to
+    exercise the +0.2 path too."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cis455crawler_spark.functions.text import STOPWORDS
+    from cis455crawler_spark.plans.crawl import CrawlConfig, parsed_latest, run_crawl
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=6, pages_per_host=15)
+    pages = pages_spark_df(spark, spec)
+    store, _ = run_crawl(
+        spark,
+        pages,
+        seed_urls(spec, 6),
+        str(tmp_path / "idx_state"),
+        CrawlConfig(max_rounds=4, round_duration_s=3600, compact_every=0),
+    )
+    docs = (
+        parsed_latest(store)
+        .filter("fetched")
+        .select("url", "text", "title")
+        .withColumn("meta", F.concat(F.lit("desc "), F.col("title")))
+    )
+    idx = postings(docs, doc_col="url", text_col="text", title_col="title", meta_col="meta")
+    got = {(r["doc_id"], r["word"]): r for r in idx.collect()}
+    assert got
+
+    def tok(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    pdf = docs.toPandas()
+    tfs, titles, metas = {}, {}, {}
+    for row in pdf.itertuples():
+        cnt: dict[str, int] = {}
+        for w in tok(row.text):
+            if w not in STOPWORDS:
+                cnt[w] = cnt.get(w, 0) + 1
+        tfs[row.url] = cnt
+        titles[row.url] = set(tok(row.title))
+        metas[row.url] = set(tok(row.meta))
+    dfc: dict[str, int] = {}
+    for cnt in tfs.values():
+        for w in cnt:
+            dfc[w] = dfc.get(w, 0) + 1
+
+    assert len(got) == sum(len(c) for c in tfs.values())
+    n_title = n_meta = 0
+    for u, cnt in tfs.items():
+        mx = max(cnt.values())
+        for w, tf in cnt.items():
+            it = 1 if w in titles[u] else 0
+            im = 1 if w in metas[u] else 0
+            n_title += it
+            n_meta += im
+            want = (
+                0.5 * (0.5 + 0.5 * tf / mx) * math.log(100000 // dfc[w])
+                + 0.3 * it
+                + 0.2 * im
+            )
+            r = got[(u, w)]
+            assert (r["is_title"], r["is_meta"]) == (it, im), (u, w)
+            assert math.isclose(r["rank"], want, rel_tol=1e-12), (u, w)
+    # the +0.3 and +0.2 weights must actually fire on crawled titles
+    assert n_title > 0 and n_meta > 0
 
 
 def test_pagerank_over_crawled_graph(spark, tmp_path):

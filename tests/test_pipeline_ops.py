@@ -238,3 +238,33 @@ def test_asof_join_matches_merge_asof(spark, sf_dir):
     l = got["last_click_ts"].astype("datetime64[us]")
     r = exp2["click_ts"].astype("datetime64[us]")
     assert ((l == r) | (l.isna() & r.isna())).all()
+
+
+def test_asof_null_ts_and_column_collisions(spark):
+    """NULL-timestamp right rows never match (merge_asof/SQL ASOF semantics),
+    and caller columns that shadow the old internal names survive intact."""
+    from datetime import datetime
+
+    from cis455crawler_spark.operators.asof import asof_join_backward
+
+    t = datetime(2024, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        [(1, t, "keepme", 7)], "k int, ts timestamp, _side string, _ats int"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99.0), (1, datetime(2024, 1, 1, 11, 0, 0), 42.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = asof_join_backward(left, right, on=["k"], right_value_cols=["v"]).collect()
+    assert len(out) == 1
+    row = out[0]
+    # the NULL-ts right row (v=99.0) must NOT win; the 11:00 row (42.0) must
+    assert row["asof_v"] == 42.0
+    assert row["asof_ts"] == datetime(2024, 1, 1, 11, 0, 0)
+    # shadowing caller columns pass through untouched
+    assert row["_side"] == "keepme" and row["_ats"] == 7
+
+    # right side with ONLY null timestamps -> no match at all
+    right2 = spark.createDataFrame([(1, None, 99.0)], "k int, ts timestamp, v double")
+    row2 = asof_join_backward(left, right2, on=["k"], right_value_cols=["v"]).collect()[0]
+    assert row2["asof_v"] is None and row2["asof_ts"] is None
