@@ -452,6 +452,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
+    def embedding_near_dups_lsh(spark, sf):  # rows-only (LSH recall < 1)
+        from cis455crawler_spark.operators.dedup_fuzzy import embedding_near_dups
+
+        emb = _load(spark, sf, "embeddings")
+        return embedding_near_dups(emb, threshold=0.99, n_planes=6, n_tables=4).select(
+            "id_a", "id_b", F.round("cosine", 4).alias("cosine")
+        )
+
+    q["embedding_near_dups_lsh"] = embedding_near_dups_lsh
+
     def ann_ivf_topk(spark, sf):  # rows-only (approximate by design)
         from cis455crawler_spark.operators.similarity import (
             cosine_topk_ivf,

@@ -145,16 +145,47 @@ def run_round(
             print(f"[round {round_no}] {label}: {now - _t[0]:.2f}s", flush=True)
             _t[0] = now
 
+    from pyspark.sql import Observation
+
     return_frontier = frontier is not None
     if frontier is None:
         frontier = store.read("frontier")
     seen = store.read("seen")
 
-    # candidate set: frontier distinct on url (min depth), minus seen;
-    # cached — it feeds both the urls_in metric and the anti-join
+    # ALL per-round counters ride as df.observe() metrics on the single
+    # pipeline and materialize with the frontier-checkpoint action — no
+    # dedicated count/collect jobs (the round runs 4 Spark jobs: frontier
+    # materialize, seen write, parsed write, frontier write). Each metric's
+    # aggregate exprs are shared with a fallback .agg() over the cached
+    # frame: AQE can drop a CollectMetrics node (empty-relation propagation,
+    # or a node sealed beneath an InMemoryRelation) — then the observation
+    # never fills and the fallback recomputes from the materialized cache.
+    raw_obs = Observation()
+    cand_obs = Observation()
+    sched_obs = Observation()
+    parse_obs = Observation()
+    raw_exprs = [F.count(F.lit(1)).alias("n")]
+    cand_exprs = [
+        F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_ok"),
+        F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias("n_denied"),
+    ]
+    sched_exprs = [
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(cfg.num_buckets)
+        ],
+    ]
+    parse_exprs = [
+        F.sum(F.when(F.col("action") == a, 1).otherwise(0)).alias(a)
+        for a in ("miss", "redirect", "not_modified", "mime_reject",
+                  "size_reject", "parse")
+    ]
+
+    # candidate set: frontier distinct on url (min depth), minus seen
     raw = _with_url_cols(
         frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
-    ).cache()
+    ).observe(raw_obs, *raw_exprs)
     # Bloom sidecar is INCREMENTAL: each round appends a bitmap delta built
     # from that round's (small) new_seen batch; the deltas are collected and
     # OR-merged ONCE here, broadcast, and reused by both anti-joins this
@@ -185,31 +216,22 @@ def run_round(
         .withColumn(
             "allowed", crawl_allowed(F.col("url"), F.col("has_robots"), F.col("disallow"))
         )
+        .observe(cand_obs, *cand_exprs)
         .cache()
     )
-    # one job: urls_in (pre-dedup) via the raw side, then allowed/denied split
-    urls_in = raw.count()
-    _tick("urls_in count")
-    split = {r["allowed"]: r["n"] for r in cand.groupBy("allowed").agg(F.count("*").alias("n")).collect()}
-    _tick("cand materialize + split")
-    fresh = sum(split.values())
-    n_denied = split.get(False, 0)
     denied = cand.filter(~F.col("allowed"))
     ok = cand.filter(F.col("allowed")).withColumn(
         "budget", host_budget(F.col("crawl_delay"), cfg.round_duration_s)
     )
 
-    # politeness pop (salted two-phase window)
+    # politeness pop (salted two-phase window); per-bucket lineage counts
+    # observed inline (num_buckets sum-when exprs — scalar observations are
+    # the price of folding the groupBy(bucket).collect job away)
     keep = ["url", "url_hash", "host", "bucket", "depth", "budget"]
     scheduled, deferred = pop_host_batches(
         ok.select(*keep), budget_col="budget", salt_buckets=cfg.salt_buckets
     )
-    scheduled = scheduled.drop("budget").cache()
-    # one job materializes the cache AND yields per-bucket lineage + n_sched
-    lineage_rows = scheduled.groupBy("bucket").agg(F.count("*").alias("scheduled")).collect()
-    _tick("scheduled window + lineage")
-    n_sched = sum(r["scheduled"] for r in lineage_rows)
-    n_deferred = (fresh - n_denied) - n_sched  # derived: ok = scheduled + deferred
+    scheduled = scheduled.drop("budget").observe(sched_obs, *sched_exprs).cache()
 
     # "fetch": join the scheduled batch against the pages corpus, then route
     # on derived HTTP metadata (status / Content-Type / Content-Length) in
@@ -263,11 +285,9 @@ def run_round(
         .withColumn("status", F.when(F.col("html").isNotNull(), status_of("url")))
         .withColumn("round", F.lit(round_no))
         .drop("_p", "html", "stored_ts", "stored_links")
+        .observe(parse_obs, *parse_exprs)
         .cache()
     )
-    acts = {r["action"]: r["n"] for r in parsed.groupBy("action").agg(F.count("*").alias("n")).collect()}
-    fetch_hits = sum(n for a, n in acts.items() if a != "miss")
-    _tick("fetch join + route + parse UDF")
 
     # 301/302 Location targets enter the seen set WITHOUT being enqueued
     # (XPathCrawlerThread.java:155-168); anti-joined so the table stays a set
@@ -302,15 +322,39 @@ def run_round(
         .unionByName(deferred.select("url", "depth"))
         .localCheckpoint(eager=False)
     )
+    # THE metrics-bearing action: materializes every cache along the
+    # pipeline, which fires all four observations in this one job
     frontier_next = new_frontier.count()
-    _tick("links + frontier checkpoint")
+    _tick("pipeline job (frontier checkpoint + all observations)")
+
+    def _obs(o: "Observation", df: DataFrame, exprs: list) -> dict:
+        # fast path: the observation filled during the pipeline job. AQE may
+        # have dropped the CollectMetrics node (empty-relation propagation /
+        # sealed beneath a cache) — recompute the SAME exprs over the now-
+        # materialized cached frame (cache-hit job, edge rounds only).
+        try:
+            row = dict(o.get)
+        except Exception:
+            row = df.agg(*exprs).collect()[0].asDict()
+        return {k: (v if v is not None else 0) for k, v in row.items()}
+
+    o_raw = _obs(raw_obs, raw, raw_exprs)
+    o_cand = _obs(cand_obs, cand, cand_exprs)
+    o_sched = _obs(sched_obs, scheduled, sched_exprs)
+    o_parse = _obs(parse_obs, parsed, parse_exprs)
+    urls_in = o_raw.get("n", 0)
+    n_denied = o_cand.get("n_denied", 0)
+    fresh = o_cand.get("n_ok", 0) + n_denied
+    n_sched = o_sched.get("n", 0)
+    acts = o_parse
+    fetch_hits = sum(n for a, n in acts.items() if a != "miss")
 
     metrics = {
         "round": round_no,
         "urls_in": urls_in,
         "deduped": urls_in - fresh,
         "robots_denied": n_denied,
-        "politeness_deferred": n_deferred,
+        "politeness_deferred": (fresh - n_denied) - n_sched,
         "scheduled": n_sched,
         "fetch_hits": fetch_hits,
         "fetch_misses": n_sched - fetch_hits,
@@ -322,14 +366,18 @@ def run_round(
         "frontier_next": frontier_next,
     }
 
-    # per-partition lineage (north_rule) + 1-row metrics: already collected —
+    # per-partition lineage (north_rule) + 1-row metrics: observed above —
     # written driver-side, no Spark job per tiny table
     import pandas as pd
 
     lineage_pdf = pd.DataFrame(
-        [(r["bucket"], r["scheduled"], round_no) for r in lineage_rows],
+        [
+            (b, o_sched[f"b{b}"], round_no)
+            for b in range(cfg.num_buckets)
+            if o_sched.get(f"b{b}", 0) > 0
+        ],
         columns=["bucket", "scheduled", "round"],
-    )
+    ).astype({"bucket": "int64", "scheduled": "int64", "round": "int64"})
     metrics_pdf = pd.DataFrame([metrics])
 
     appends_extra = {}
@@ -380,7 +428,7 @@ def run_round(
     )
 
     _tick("commit writes")
-    for df in (raw, cand, scheduled, parsed):
+    for df in (cand, scheduled, parsed):
         df.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by

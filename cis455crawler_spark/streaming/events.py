@@ -15,6 +15,7 @@ SQL (a windowed streaming agg over a static frame equals its batch GROUP BY).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -58,6 +59,88 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max("ts").alias("session_end"),
         F.count("*").alias("n_events"),
         F.sum("value").alias("session_value"),
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap_minutes: int = 30, watermark: str = "2 hours"
+) -> DataFrame:
+    """Gap sessionization as a CUSTOM STATEFUL streaming operator —
+    applyInPandasWithState with per-user GroupState and an event-time
+    timeout (the real streaming counterpart of sessionize()).
+
+    Per user: events extend the open session while gaps stay <= gap;
+    a larger gap CLOSES the session (emitted with closed_by='gap') and opens
+    a new one. The open session rides in GroupState across micro-batches;
+    when the watermark passes its end + gap the state times out and the
+    session is emitted with closed_by='timeout'. Emitted rows are exactly
+    batch sessionize() rows (same user/start/end/count/value); only a
+    stream's final still-open sessions can be unemitted at shutdown.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+    out_schema = (
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double, closed_by string"
+    )
+    state_schema = "start long, end long, n long, v double"  # epoch micros
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+
+        def emit(rows):
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(rows),
+                    "session_start": [
+                        pd.Timestamp(r[0], unit="us") for r in rows
+                    ],
+                    "session_end": [pd.Timestamp(r[1], unit="us") for r in rows],
+                    "n_events": [r[2] for r in rows],
+                    "session_value": [r[3] for r in rows],
+                    "closed_by": [r[4] for r in rows],
+                }
+            )
+
+        if state.hasTimedOut:
+            start, end, n, v = state.get
+            state.remove()
+            yield emit([(start, end, n, v, "timeout")])
+            return
+
+        rows = pd.concat(list(pdf_iter)).sort_values("ts")
+        ts_us = rows["ts"].astype("datetime64[us]").astype("int64").tolist()
+        vals = rows["value"].tolist()
+
+        cur = list(state.get) if state.exists else None
+        closed = []
+        for t, val in zip(ts_us, vals):
+            if cur is None:
+                cur = [t, t, 1, float(val)]
+            elif t - cur[1] > gap_us:
+                closed.append((*cur, "gap"))
+                cur = [t, t, 1, float(val)]
+            else:
+                cur[1] = max(cur[1], t)
+                cur[2] += 1
+                cur[3] += float(val)
+        state.update(tuple(cur))
+        # time out when the watermark passes the open session's gap horizon
+        state.setTimeoutTimestamp((cur[1] + gap_us) // 1000)
+        if closed:
+            yield emit(closed)
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )
 
 

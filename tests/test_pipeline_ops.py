@@ -204,6 +204,78 @@ def test_sessionize_and_windows(spark, sf_dir):
     assert agg == events.count()
 
 
+def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionization: state rides across micro-
+    batches (3 time-ordered files, maxFilesPerTrigger=1) and every emitted
+    session — gap-closed or watermark-timeout — equals a batch sessionize()
+    session exactly. Only final still-open sessions may be unemitted."""
+    import time
+    import uuid
+
+    from cis455crawler_spark.streaming.events import sessionize, sessionize_stream
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") % 7 == 0)
+        .select("ts", "user_id", "value")
+    )
+    # three time-ordered drops so sessions span micro-batches
+    lo, hi = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    span = (hi - lo) / 3
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    for i in range(3):
+        part = events.filter(
+            (F.col("ts") >= lo + i * span)
+            & (F.col("ts") < (lo + (i + 1) * span if i < 2 else hi))
+        )
+        part.coalesce(1).write.parquet(str(src / f"drop{i}"))
+        time.sleep(1.1)  # distinct mtimes -> deterministic file order
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user_id long, value double")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(str(src) + "/*")
+    )
+    name = f"sess_state_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).collect()
+    assert len(got) > 0
+    assert {r["closed_by"] for r in got} <= {"gap", "timeout"}
+
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"]): r[
+            "session_value"
+        ]
+        for r in sessionize(
+            events.filter(F.col("ts") < hi), gap_minutes=30
+        ).collect()
+    }
+    # every emitted session must be a real batch session, value-identical
+    seen_keys = set()
+    for r in got:
+        k = (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        assert k in want, k
+        assert abs(r["session_value"] - want[k]) < 1e-6
+        assert k not in seen_keys, f"duplicate emission {k}"
+        seen_keys.add(k)
+    # at most one (the final open) session per user may be missing
+    missing_by_user: dict[int, int] = {}
+    for k in want:
+        if k not in seen_keys:
+            missing_by_user[k[0]] = missing_by_user.get(k[0], 0) + 1
+    assert all(v == 1 for v in missing_by_user.values()), missing_by_user
+
+
 def test_asof_join_matches_merge_asof(spark, sf_dir):
     """Union+window as-of join == pandas merge_asof on the same inputs."""
     import pandas as pd
