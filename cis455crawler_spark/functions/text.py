@@ -45,6 +45,33 @@ def remove_stopwords(tokens: Column) -> Column:
     return F.filter(tokens, lambda t: ~F.array_contains(sw, t))
 
 
+def lemma_lite(token: Column) -> Column:
+    """Rule-based English suffix lemmatizer (O-X8 approximation), pure JVM.
+
+    The reference lemmatizes with StanfordCoreNLP
+    (Indexer/.../FileManagement.java:68-72) — a model-based pipeline that
+    cannot be byte-replicated without its jars, so this is a DOCUMENTED
+    DEVIATION: a deterministic porter-lite that folds the regular English
+    inflections (plural -s/-es/-ies, -ing, -ed) with minimal-stem guards.
+    Applied per-token (use inside F.transform over a token array)."""
+    t = token
+    # order matters: longest suffix first; guards keep stems >= 3 chars
+    t = F.when(t.rlike(r"^[a-z]{3,}ies$"), F.regexp_replace(t, "ies$", "y")).otherwise(t)
+    t = F.when(t.rlike(r"^[a-z]{2,}(sses|xes|ches|shes|zes)$"), F.regexp_replace(t, "es$", "")).otherwise(t)
+    t = F.when(t.rlike(r"^[a-z]{4,}ing$") & ~t.rlike(r"(ing|ying)ing$"), F.regexp_replace(t, "ing$", "")).otherwise(t)
+    t = F.when(t.rlike(r"^[a-z]{4,}ied$"), F.regexp_replace(t, "ied$", "y")).otherwise(t)
+    t = F.when(t.rlike(r"^[a-z]{4,}ed$") & ~t.rlike(r"eed$"), F.regexp_replace(t, "ed$", "")).otherwise(t)
+    t = F.when(
+        t.rlike(r"^[a-z]{3,}s$") & ~t.rlike(r"(ss|us|is)$"), F.regexp_replace(t, "s$", "")
+    ).otherwise(t)
+    return t
+
+
+def lemmatize_tokens(tokens: Column) -> Column:
+    """lemma_lite over an ARRAY<STRING> of tokens."""
+    return F.transform(tokens, lemma_lite)
+
+
 def token_count(text: Column | str) -> Column:
     """Whitespace-delimited token count (cheap proxy for a BPE count)."""
     t = F.trim(_c(text))

@@ -37,12 +37,22 @@ def postings(
     title_col: str | None = None,
     meta_col: str | None = None,
     bug_compatible: bool = True,
+    lemmatize: bool = False,
 ) -> DataFrame:
     """(doc_id, word, tf, max_tf, df, is_title, is_meta, rank) — the exploded
-    relational index (Spark-preferred form of WordIndexEntity)."""
+    relational index (Spark-preferred form of WordIndexEntity).
+
+    lemmatize=True folds regular inflections with functions.text.lemma_lite —
+    an approximation of the reference's StanfordCoreNLP lemmatization
+    (FileManagement.java:68-72; exact parity needs its model jars)."""
+    from ..functions.text import lemmatize_tokens
+
+    def norm(tokens):
+        return lemmatize_tokens(tokens) if lemmatize else tokens
+
     toks = docs.select(
         F.col(doc_col).alias("doc_id"),
-        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
+        F.explode(norm(remove_stopwords(tokenize(F.col(text_col))))).alias("word"),
         *(
             [F.lower(F.col(title_col)).alias("_title")] if title_col else []
         ),
@@ -63,12 +73,12 @@ def postings(
     # titleValues/metaValues membership is TOKEN membership in the reference
     # mapper (Indexer.java:190-205 keeps word sets), not substring containment
     is_title = (
-        F.when(F.array_contains(tokenize(F.col("_title")), F.col("word")), 1).otherwise(0)
+        F.when(F.array_contains(norm(tokenize(F.col("_title"))), F.col("word")), 1).otherwise(0)
         if title_col
         else F.lit(0)
     )
     is_meta = (
-        F.when(F.array_contains(tokenize(F.col("_meta")), F.col("word")), 1).otherwise(0)
+        F.when(F.array_contains(norm(tokenize(F.col("_meta"))), F.col("word")), 1).otherwise(0)
         if meta_col
         else F.lit(0)
     )

@@ -145,32 +145,26 @@ def run_round(
             print(f"[round {round_no}] {label}: {now - _t[0]:.2f}s", flush=True)
             _t[0] = now
 
-    from pyspark.sql import Observation
-
     return_frontier = frontier is not None
     if frontier is None:
         frontier = store.read("frontier")
     seen = store.read("seen")
 
-    # ALL per-round counters ride as df.observe() metrics on the single
-    # pipeline and materialize with the frontier-checkpoint action — no
-    # dedicated count/collect jobs (the round runs 4 Spark jobs: frontier
-    # materialize, seen write, parsed write, frontier write). Each metric's
-    # aggregate exprs are shared with a fallback .agg() over the cached
-    # frame: AQE can drop a CollectMetrics node (empty-relation propagation,
-    # or a node sealed beneath an InMemoryRelation) — then the observation
-    # never fills and the fallback recomputes from the materialized cache.
-    raw_obs = Observation()
-    cand_obs = Observation()
-    sched_obs = Observation()
-    parse_obs = Observation()
-    raw_exprs = [F.count(F.lit(1)).alias("n")]
+    # Per-round counters: the single pipeline action (frontier checkpoint
+    # count) materializes every cache, then ONE cross-joined aggregate job
+    # reads all counters back from the caches — so a round runs 5 Spark
+    # jobs (pipeline, stats, seen write, parsed write, frontier write)
+    # instead of the original ~9 with their serial recomputation.
+    # NOTE df.observe() was tried and REVERTED: CollectMetrics nodes beneath
+    # an InMemoryRelation silently return empty/null rows depending on AQE
+    # settings — nonzero counts came back as zeros with adaptive disabled.
+    raw_exprs = [F.count(F.lit(1)).alias("n_raw")]
     cand_exprs = [
         F.sum(F.when(F.col("allowed"), 1).otherwise(0)).alias("n_ok"),
         F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias("n_denied"),
     ]
     sched_exprs = [
-        F.count(F.lit(1)).alias("n"),
+        F.count(F.lit(1)).alias("n_sched"),
         *[
             F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"b{b}")
             for b in range(cfg.num_buckets)
@@ -185,7 +179,7 @@ def run_round(
     # candidate set: frontier distinct on url (min depth), minus seen
     raw = _with_url_cols(
         frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
-    ).observe(raw_obs, *raw_exprs)
+    ).cache()
     # Bloom sidecar is INCREMENTAL: each round appends a bitmap delta built
     # from that round's (small) new_seen batch; the deltas are collected and
     # OR-merged ONCE here, broadcast, and reused by both anti-joins this
@@ -216,7 +210,6 @@ def run_round(
         .withColumn(
             "allowed", crawl_allowed(F.col("url"), F.col("has_robots"), F.col("disallow"))
         )
-        .observe(cand_obs, *cand_exprs)
         .cache()
     )
     denied = cand.filter(~F.col("allowed"))
@@ -231,7 +224,7 @@ def run_round(
     scheduled, deferred = pop_host_batches(
         ok.select(*keep), budget_col="budget", salt_buckets=cfg.salt_buckets
     )
-    scheduled = scheduled.drop("budget").observe(sched_obs, *sched_exprs).cache()
+    scheduled = scheduled.drop("budget").cache()
 
     # "fetch": join the scheduled batch against the pages corpus, then route
     # on derived HTTP metadata (status / Content-Type / Content-Length) in
@@ -285,7 +278,6 @@ def run_round(
         .withColumn("status", F.when(F.col("html").isNotNull(), status_of("url")))
         .withColumn("round", F.lit(round_no))
         .drop("_p", "html", "stored_ts", "stored_links")
-        .observe(parse_obs, *parse_exprs)
         .cache()
     )
 
@@ -322,31 +314,31 @@ def run_round(
         .unionByName(deferred.select("url", "depth"))
         .localCheckpoint(eager=False)
     )
-    # THE metrics-bearing action: materializes every cache along the
-    # pipeline, which fires all four observations in this one job
+    # the one big action: materializes every cache along the pipeline
     frontier_next = new_frontier.count()
-    _tick("pipeline job (frontier checkpoint + all observations)")
+    _tick("pipeline job (frontier checkpoint)")
 
-    def _obs(o: "Observation", df: DataFrame, exprs: list) -> dict:
-        # fast path: the observation filled during the pipeline job. AQE may
-        # have dropped the CollectMetrics node (empty-relation propagation /
-        # sealed beneath a cache) — recompute the SAME exprs over the now-
-        # materialized cached frame (cache-hit job, edge rounds only).
-        try:
-            row = dict(o.get)
-        except Exception:
-            row = df.agg(*exprs).collect()[0].asDict()
-        return {k: (v if v is not None else 0) for k, v in row.items()}
-
-    o_raw = _obs(raw_obs, raw, raw_exprs)
-    o_cand = _obs(cand_obs, cand, cand_exprs)
-    o_sched = _obs(sched_obs, scheduled, sched_exprs)
-    o_parse = _obs(parse_obs, parsed, parse_exprs)
-    urls_in = o_raw.get("n", 0)
-    n_denied = o_cand.get("n_denied", 0)
-    fresh = o_cand.get("n_ok", 0) + n_denied
-    n_sched = o_sched.get("n", 0)
-    acts = o_parse
+    # all counters in ONE job over the now-materialized caches (1-row
+    # aggregates cross-joined; each side is a cache scan, no recompute)
+    stats = {
+        k: (v if v is not None else 0)
+        for k, v in (
+            raw.agg(*raw_exprs)
+            .crossJoin(cand.agg(*cand_exprs))
+            .crossJoin(scheduled.agg(*sched_exprs))
+            .crossJoin(parsed.agg(*parse_exprs))
+        )
+        .collect()[0]
+        .asDict()
+        .items()
+    }
+    _tick("stats job (cache-hit aggregates)")
+    urls_in = stats["n_raw"]
+    n_denied = stats["n_denied"]
+    fresh = stats["n_ok"] + n_denied
+    n_sched = stats["n_sched"]
+    acts = {a: stats[a] for a in ("miss", "redirect", "not_modified",
+                                  "mime_reject", "size_reject", "parse")}
     fetch_hits = sum(n for a, n in acts.items() if a != "miss")
 
     metrics = {
@@ -372,9 +364,9 @@ def run_round(
 
     lineage_pdf = pd.DataFrame(
         [
-            (b, o_sched[f"b{b}"], round_no)
+            (b, stats[f"b{b}"], round_no)
             for b in range(cfg.num_buckets)
-            if o_sched.get(f"b{b}", 0) > 0
+            if stats.get(f"b{b}", 0) > 0
         ],
         columns=["bucket", "scheduled", "round"],
     ).astype({"bucket": "int64", "scheduled": "int64", "round": "int64"})
@@ -428,7 +420,7 @@ def run_round(
     )
 
     _tick("commit writes")
-    for df in (cand, scheduled, parsed):
+    for df in (raw, cand, scheduled, parsed):
         df.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by

@@ -72,6 +72,33 @@ def test_postings_rank_bug_compatible(spark):
     assert math.isclose(r2["rank"], 0.5 * 0.75 * math.log(50000), rel_tol=1e-12)
 
 
+def test_lemma_lite_postings(spark):
+    """O-X8 approximation: lemma_lite folds regular inflections so 'jumps',
+    'jumping', 'jumped' count into one 'jump' term (the reference lemmatizes
+    with CoreNLP; this is the documented rule-based stand-in)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "dogs jumped over boxes while jumping dogs jump", "jumping dogs", ""),
+            (2, "cities and berries", "", ""),
+        ],
+        "doc_id long, text string, title string, meta string",
+    )
+    p = postings(docs, title_col="title", meta_col="meta", lemmatize=True)
+    rows = {(r["doc_id"], r["word"]): r for r in p.collect()}
+    assert rows[(1, "jump")]["tf"] == 3  # jumped + jumping + jump
+    assert rows[(1, "dog")]["tf"] == 2
+    assert (1, "jumps") not in rows and (1, "dogs") not in rows
+    # title membership is lemma-consistent: title 'jumping dogs' hits 'jump'
+    assert rows[(1, "jump")]["is_title"] == 1
+    assert rows[(1, "dog")]["is_title"] == 1
+    assert rows[(2, "city")]["tf"] == 1
+    assert rows[(2, "berry")]["tf"] == 1
+    # default path unchanged (no lemmatization)
+    p0 = postings(docs)
+    words0 = {r["word"] for r in p0.collect() if r["doc_id"] == 1}
+    assert "dogs" in words0 and "jumps" in words0
+
+
 def test_inverted_index_rank_desc(spark):
     docs = spark.createDataFrame(DOCS, "doc_id long, text string, title string, meta string")
     idx = inverted_index(postings(docs, title_col="title", meta_col="meta"))
