@@ -525,6 +525,8 @@ def run_crawl(
         t0 = time.time()
         if frontier_df is None:
             frontier_df = store.read("frontier")
+            if frontier_df is None:
+                break  # resumed a finished crawl: frontier drained to empty
         m, next_frontier = run_round(
             spark, store, pages, robots, cfg, round_no, frontier=frontier_df,
             stored=stored,

@@ -31,6 +31,11 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _walk_files(root: str):
+    for _, _, files in os.walk(root):
+        yield from files
+
+
 class SnapshotStore:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
@@ -56,6 +61,13 @@ class SnapshotStore:
         dirs = self.manifest()["tables"].get(table, [])
         paths = [os.path.join(self.root, d) for d in dirs]
         paths = [p for p in paths if os.path.exists(p)]
+        # a 0-row write can leave a dir with only _SUCCESS (no part files,
+        # no schema) — treat it as an empty table, not a read error
+        paths = [
+            p
+            for p in paths
+            if any(not f.startswith(("_", ".")) for f in _walk_files(p))
+        ]
         if not paths:
             return None
         if len(paths) == 1:

@@ -197,6 +197,37 @@ def test_recrawl_304_reuse(spark, corpus, oracle_res, tmp_path):
     assert len(refetched) > 0
 
 
+def test_bloom_heal_after_toggle_and_bits_change(spark, corpus, oracle_res, tmp_path):
+    """Bloom lifecycle hardening: (a) rounds crawled with use_bloom=False then
+    resumed with it on must NOT trust the lagging deltas (false negatives
+    would re-crawl seen URLs) — the sidecar heals from the seen table; (b) a
+    resume with a different bloom_bucket_bits heals instead of asserting.
+    Both must leave the seen set exactly equal to the oracle's."""
+    _, pages = corpus
+    state = str(tmp_path / "state_heal")
+    # phase 1: 2 rounds with bloom ON (deltas committed)
+    run_crawl(
+        spark, pages, seed_urls(SPEC), state,
+        CrawlConfig(max_rounds=2, use_bloom=True, num_buckets=8,
+                    bloom_bucket_bits=1 << 16, compact_every=0),
+    )
+    # phase 2: 2 more rounds with bloom OFF (seen grows, no deltas)
+    run_crawl(
+        spark, pages, seed_urls(SPEC), state,
+        CrawlConfig(max_rounds=4, use_bloom=False, num_buckets=8, compact_every=0),
+        resume=True,
+    )
+    # phase 3: back ON with DIFFERENT bits — must heal (lag + bits mismatch)
+    store, _ = run_crawl(
+        spark, pages, seed_urls(SPEC), state,
+        CrawlConfig(max_rounds=MAX_ROUNDS, use_bloom=True, num_buckets=8,
+                    bloom_bucket_bits=1 << 17, compact_every=0),
+        resume=True,
+    )
+    engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
+    assert engine_seen == oracle_res.seen
+
+
 def test_bloom_path_identical(spark, corpus, oracle_res, tmp_path):
     """Bloom prefilter must not change results (no false negatives; maybes
     re-checked exactly)."""

@@ -96,7 +96,7 @@ def test_lemma_lite_postings(spark):
     # default path unchanged (no lemmatization)
     p0 = postings(docs)
     words0 = {r["word"] for r in p0.collect() if r["doc_id"] == 1}
-    assert "dogs" in words0 and "jumps" in words0
+    assert "dogs" in words0 and "jumping" in words0
 
 
 def test_inverted_index_rank_desc(spark):
