@@ -122,14 +122,28 @@ class SnapshotStore:
             )
             return rel
 
-        for table, df in (appends or {}).items():
-            rel = _write(table, df)
+        # Spark writes launch CONCURRENTLY from driver threads — the three
+        # table writes of a crawl round overlap instead of serializing
+        # (atomicity is untouched: the manifest swap below happens only
+        # after every write returned)
+        from concurrent.futures import ThreadPoolExecutor
+
+        append_jobs = list((appends or {}).items())
+        replace_jobs = list((replaces or {}).items())
+        if append_jobs or replace_jobs:
+            with ThreadPoolExecutor(max_workers=4) as pool:
+                afuts = [(t, pool.submit(_write, t, df)) for t, df in append_jobs]
+                rfuts = [(t, pool.submit(_write, t, df)) for t, df in replace_jobs]
+                append_rels = [(t, f.result()) for t, f in afuts]
+                replace_rels = [(t, f.result()) for t, f in rfuts]
+        else:
+            append_rels, replace_rels = [], []
+        for table, rel in append_rels:
             tables.setdefault(table, []).append(rel)
         for table, pdf in (small_appends or {}).items():
             rel = _write_small(table, pdf)
             tables.setdefault(table, []).append(rel)
-        for table, df in (replaces or {}).items():
-            rel = _write(table, df)
+        for table, rel in replace_rels:
             tables[table] = [rel]
         for table, pdf in (small_replaces or {}).items():
             rel = _write_small(table, pdf)
