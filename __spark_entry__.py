@@ -491,6 +491,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["text_quality"] = text_quality
 
+    def token_count_bpe(spark, sf):
+        from cis455crawler_spark.functions.text import token_count, token_count_bpe
+
+        docs = _load(spark, sf, "documents")
+        return docs.select(
+            "doc_id",
+            token_count("text").alias("n_ws"),
+            token_count_bpe("text").alias("n_bpe"),
+        ).orderBy("doc_id")
+
+    q["token_count_bpe"] = token_count_bpe
+
     def lang_id_docs(spark, sf):
         from cis455crawler_spark.functions.text import lang_id
 
@@ -1152,6 +1164,14 @@ def oracle_sql() -> dict[str, str]:
                           + (CASE WHEN len(list_intersect(list_distinct(toks),
                                [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
             FROM base ORDER BY doc_id
+        """,
+        "token_count_bpe": r"""
+            SELECT doc_id,
+                   CASE WHEN len(trim(text)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(text), '\s+')) END AS n_ws,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+'))
+                     AS n_bpe
+            FROM documents ORDER BY doc_id
         """,
         "json_extract_props": """
             SELECT event_type,

@@ -80,6 +80,19 @@ def token_count(text: Column | str) -> Column:
     )
 
 
+# BPE-ish pre-tokenization classes (GPT-2-style, simplified to constructs
+# shared by Java regex, DuckDB RE2, and Python re so one pattern serves the
+# engine, the SQL oracle, and tests): letter runs, digit runs, runs of other
+# non-space symbols. A real BPE count sub-splits these by merge rules; this
+# upper-bounds sequence length per pre-token and is the standard cheap proxy.
+BPE_TOKEN_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+def token_count_bpe(text: Column | str) -> Column:
+    """BPE-style pre-token count (letters / digits / symbol runs)."""
+    return F.size(F.regexp_extract_all(_c(text), F.lit(BPE_TOKEN_PATTERN), 0))
+
+
 def word_char_ratio(text: Column | str) -> Column:
     """Fraction of characters that are alphanumeric/space — a quality signal."""
     t = _c(text)
