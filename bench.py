@@ -45,7 +45,11 @@ BENCH_QUERIES = [
     "dedup_exact_docs",
     "minhash_lsh_dups",
     "simhash_dups",
+    "ngram_jaccard_dups",
     "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "asof_last_click",
+    "fetch_routing_crawl",
     "pagerank_5iter",
 ]
 

@@ -295,7 +295,10 @@ def run_round(
     redirect_targets = anti_join_seen(
         redirect_targets, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
     ).join(batch_seen.select("url_hash"), "url_hash", "left_anti")
-    new_seen = batch_seen.unionByName(redirect_targets)
+    # cached: evaluated by the pipeline job (links anti-join), the seen
+    # write, and the bloom delta — uncached each re-runs the redirect
+    # anti-join against the seen table
+    new_seen = batch_seen.unionByName(redirect_targets).cache()
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
     links = (
@@ -420,7 +423,7 @@ def run_round(
     )
 
     _tick("commit writes")
-    for df in (raw, cand, scheduled, parsed):
+    for df in (raw, cand, scheduled, parsed, new_seen):
         df.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by
