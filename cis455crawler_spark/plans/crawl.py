@@ -321,6 +321,51 @@ def run_round(
     frontier_next = new_frontier.count()
     _tick("pipeline job (frontier checkpoint)")
 
+    # bloom sidecar delta / heal replacement (rare collect on heal rounds)
+    appends_extra = {}
+    small_replaces = {}
+    if cfg.use_bloom:
+        if healed is None:
+            # bitmap delta over just this round's newly-seen keys; OR-merged
+            # with earlier deltas at read time
+            appends_extra["bloom"] = build_bloom_sidecar(
+                new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
+            )
+        else:
+            # heal round: replace the whole sidecar with (rebuilt ∪ this
+            # round's delta), pre-merged to one row per bucket
+            delta = merge_sidecar_rows(
+                build_bloom_sidecar(
+                    new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
+                ).collect()
+            )
+            for b, (n, bits) in (delta or {}).items():
+                prev = healed.get(b)
+                healed[b] = (n, bits if prev is None else prev[1] | bits)
+            small_replaces["bloom"] = merged_to_rows(healed)
+
+    # phase-1 commit: the seen/parsed/frontier (+bloom delta) writes start
+    # on background driver threads NOW; the stats aggregate below runs
+    # concurrently with them. The manifest swap waits for everything.
+    handle = store.begin_commit(
+        round_no,
+        appends={
+            **appends_extra,
+            # one task per bucket -> one file per bucket dir per round; without
+            # this, every shuffle task writes a file into every bucket dir and
+            # the seen table degenerates into thousands of tiny files
+            "seen": new_seen.repartition(cfg.num_buckets, "bucket"),
+            # writeToDB (XPathCrawlerThread.java:254-259): only successfully
+            # parsed 200s persist; warc_ts recorded for If-Modified-Since
+            "parsed": parsed.filter(is_parse).select(
+                "url", "url_hash", "depth", "title", "text", "out_links", "lang",
+                "warc_ts", "fetched", "round",
+            ),
+        },
+        replaces={"frontier": new_frontier.select("url", "depth")},
+        partition_by={"seen": ["bucket"]},
+    )
+
     # all counters in ONE job over the now-materialized caches (1-row
     # aggregates cross-joined; each side is a cache scan, no recompute)
     stats = {
@@ -360,6 +405,8 @@ def run_round(
         "size_rejected": acts.get("size_reject", 0),
         "frontier_next": frontier_next,
     }
+    if cfg.use_bloom:
+        metrics["bloom_delta"] = True  # _bloom_lags reads this from history
 
     # per-partition lineage (north_rule) + 1-row metrics: observed above —
     # written driver-side, no Spark job per tiny table
@@ -375,54 +422,17 @@ def run_round(
     ).astype({"bucket": "int64", "scheduled": "int64", "round": "int64"})
     metrics_pdf = pd.DataFrame([metrics])
 
-    appends_extra = {}
-    small_replaces = {}
-    if cfg.use_bloom:
-        metrics["bloom_delta"] = True  # _bloom_lags reads this from history
-        if healed is None:
-            # bitmap delta over just this round's newly-seen keys; OR-merged
-            # with earlier deltas at read time
-            appends_extra["bloom"] = build_bloom_sidecar(
-                new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
-            )
-        else:
-            # heal round: replace the whole sidecar with (rebuilt ∪ this
-            # round's delta), pre-merged to one row per bucket
-            delta = merge_sidecar_rows(
-                build_bloom_sidecar(
-                    new_seen.select("url_hash"), cfg.num_buckets, cfg.bloom_bucket_bits
-                ).collect()
-            )
-            for b, (n, bits) in (delta or {}).items():
-                prev = healed.get(b)
-                healed[b] = (n, bits if prev is None else prev[1] | bits)
-            small_replaces["bloom"] = merged_to_rows(healed)
-
-    # the edges table is derivable from parsed (out_links IS the adjacency,
-    # like the reference's ParsedDocument.extractedUrls) — no per-round write
-    store.commit_round(
-        round_no,
-        appends={
-            **appends_extra,
-            # one task per bucket -> one file per bucket dir per round; without
-            # this, every shuffle task writes a file into every bucket dir and
-            # the seen table degenerates into thousands of tiny files
-            "seen": new_seen.repartition(cfg.num_buckets, "bucket"),
-            # writeToDB (XPathCrawlerThread.java:254-259): only successfully
-            # parsed 200s persist; warc_ts recorded for If-Modified-Since
-            "parsed": parsed.filter(is_parse).select(
-                "url", "url_hash", "depth", "title", "text", "out_links", "lang",
-                "warc_ts", "fetched", "round",
-            ),
-        },
+    # phase-2 commit: wait for the background writes, then the atomic
+    # manifest swap. (The edges table stays derivable from parsed —
+    # out_links IS the adjacency, like ParsedDocument.extractedUrls.)
+    store.finish_commit(
+        handle,
         small_appends={"metrics": metrics_pdf, "lineage": lineage_pdf},
-        replaces={"frontier": new_frontier.select("url", "depth")},
         small_replaces=small_replaces,
-        partition_by={"seen": ["bucket"]},
         extra=metrics,
     )
 
-    _tick("commit writes")
+    _tick("commit finish (writes overlapped stats)")
     for df in (raw, cand, scheduled, parsed, new_seen):
         df.unpersist()
     if return_frontier:

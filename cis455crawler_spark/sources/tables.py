@@ -81,25 +81,22 @@ class SnapshotStore:
         return out
 
     # -- commit -----------------------------------------------------------
-    def commit_round(
+    def begin_commit(
         self,
         round_no: int,
         appends: dict[str, DataFrame] | None = None,
         replaces: dict[str, DataFrame] | None = None,
         partition_by: dict[str, list[str]] | None = None,
-        extra: dict | None = None,
-        small_appends: dict | None = None,
-        small_replaces: dict | None = None,
-    ) -> None:
-        """Write data dirs first, swap the manifest last (atomic commit).
+    ):
+        """Phase 1 of a two-phase commit: kick off every Spark table write
+        on background driver threads and return a handle. Nothing becomes
+        visible until finish_commit swaps the manifest — callers use the
+        overlap to run driver-side work (e.g. the metrics aggregate)
+        concurrently with the writes."""
+        from concurrent.futures import ThreadPoolExecutor
 
-        small_appends / small_replaces: {table: pandas.DataFrame} —
-        metrics/lineage/bloom-sized tables written driver-side with pyarrow
-        (no Spark job per tiny table).
-        """
-        m = self.manifest()
-        tables = dict(m["tables"])
         partition_by = partition_by or {}
+        pool = ThreadPoolExecutor(max_workers=4)
 
         def _write(table: str, df: DataFrame) -> str:
             rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
@@ -109,45 +106,36 @@ class SnapshotStore:
             writer.parquet(os.path.join(self.root, rel))
             return rel
 
-        def _write_small(table: str, pdf) -> str:
-            import pyarrow as pa
-            import pyarrow.parquet as pq
+        afuts = [(t, pool.submit(_write, t, df)) for t, df in (appends or {}).items()]
+        rfuts = [(t, pool.submit(_write, t, df)) for t, df in (replaces or {}).items()]
+        return (pool, round_no, afuts, rfuts)
 
-            rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
-            d = os.path.join(self.root, rel)
-            os.makedirs(d, exist_ok=True)
-            pq.write_table(
-                pa.Table.from_pandas(pdf, preserve_index=False),
-                os.path.join(d, "part-0.parquet"),
-            )
-            return rel
+    def finish_commit(
+        self,
+        handle,
+        small_appends: dict | None = None,
+        small_replaces: dict | None = None,
+        extra: dict | None = None,
+    ) -> None:
+        """Phase 2: wait for the writes, write driver-side small tables,
+        then swap the manifest atomically."""
+        pool, round_no, afuts, rfuts = handle
+        try:
+            append_rels = [(t, f.result()) for t, f in afuts]
+            replace_rels = [(t, f.result()) for t, f in rfuts]
+        finally:
+            pool.shutdown(wait=False)
 
-        # Spark writes launch CONCURRENTLY from driver threads — the three
-        # table writes of a crawl round overlap instead of serializing
-        # (atomicity is untouched: the manifest swap below happens only
-        # after every write returned)
-        from concurrent.futures import ThreadPoolExecutor
-
-        append_jobs = list((appends or {}).items())
-        replace_jobs = list((replaces or {}).items())
-        if append_jobs or replace_jobs:
-            with ThreadPoolExecutor(max_workers=4) as pool:
-                afuts = [(t, pool.submit(_write, t, df)) for t, df in append_jobs]
-                rfuts = [(t, pool.submit(_write, t, df)) for t, df in replace_jobs]
-                append_rels = [(t, f.result()) for t, f in afuts]
-                replace_rels = [(t, f.result()) for t, f in rfuts]
-        else:
-            append_rels, replace_rels = [], []
+        m = self.manifest()
+        tables = dict(m["tables"])
         for table, rel in append_rels:
             tables.setdefault(table, []).append(rel)
         for table, pdf in (small_appends or {}).items():
-            rel = _write_small(table, pdf)
-            tables.setdefault(table, []).append(rel)
+            tables.setdefault(table, []).append(self._write_small_dir(round_no, table, pdf))
         for table, rel in replace_rels:
             tables[table] = [rel]
         for table, pdf in (small_replaces or {}).items():
-            rel = _write_small(table, pdf)
-            tables[table] = [rel]
+            tables[table] = [self._write_small_dir(round_no, table, pdf)]
 
         new_manifest = {
             "round": round_no,
@@ -158,6 +146,44 @@ class SnapshotStore:
         with open(tmp, "w") as f:
             json.dump(new_manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)  # the atomic snapshot swap
+
+    def _write_small_dir(self, round_no: int, table: str, pdf) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
+        d = os.path.join(self.root, rel)
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.Table.from_pandas(pdf, preserve_index=False),
+            os.path.join(d, "part-0.parquet"),
+        )
+        return rel
+
+    def commit_round(
+        self,
+        round_no: int,
+        appends: dict[str, DataFrame] | None = None,
+        replaces: dict[str, DataFrame] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+        extra: dict | None = None,
+        small_appends: dict | None = None,
+        small_replaces: dict | None = None,
+    ) -> None:
+        """Write data dirs first (Spark writes concurrent across driver
+        threads), swap the manifest last (atomic commit).
+
+        small_appends / small_replaces: {table: pandas.DataFrame} —
+        metrics/lineage/bloom-sized tables written driver-side with pyarrow
+        (no Spark job per tiny table).
+        """
+        handle = self.begin_commit(round_no, appends, replaces, partition_by)
+        self.finish_commit(
+            handle,
+            small_appends=small_appends,
+            small_replaces=small_replaces,
+            extra=extra,
+        )
 
     # -- maintenance ------------------------------------------------------
     def _swap_tables(self, tables: dict, old_dirs: list[str]) -> None:
