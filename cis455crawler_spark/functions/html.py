@@ -13,6 +13,13 @@ Reference behavior being re-expressed:
     normalized (Extract/src/fetch/FetchDocs.java:200-204)
   * title is the substring between <title> and </title>
     (Extract/src/fetch/FetchDocs.java:98-99)
+  * meta extraction is the indexer's LINE-based scan
+    (Indexer/src/edu/upenn/cis455/mapreduce/job/Indexer.java:102-140): a line
+    containing `<meta` with name="Description"/"description" contributes
+    everything after the first `content=` (falling back to `Content=`) on
+    that line, lowercased; name="Keywords"/"keywords" likewise with commas
+    replaced by spaces. The remainder keeps the trailing `">` junk — the
+    reference tokenizes it away later, and so does postings().
 """
 
 from __future__ import annotations
@@ -70,6 +77,46 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     return _WS.sub(" ", s).strip()
 
 
+def extract_meta_py(html_bytes: bytes | None) -> str | None:
+    """Space-joined meta Description/Keywords content values, lowercased —
+    the quirk-exact line scan of Indexer.java:102-140.
+
+    Faithful quirks kept:
+      * line-based: only the meta tag's OWN line is inspected; a tag split
+        across lines contributes nothing, trailing text on the line does
+      * ``split("content=")[1]``: the segment after the FIRST ``content=``
+        up to the NEXT occurrence (Java String.split element 1)
+      * description and keywords are independent ifs — a line naming both
+        appends twice; keywords replaces ',' with ' ' first
+      * the raw remainder (quotes, ``">``, trailing attrs) is kept; token
+        membership downstream strips it exactly like the reference's
+        lemmatize() tokenization does
+    """
+    if html_bytes is None:
+        return None
+    out: list[str] = []
+    for line in html_bytes.decode("iso-8859-1").splitlines():
+        if "<meta" not in line:
+            continue
+
+        def remainder(cur: str) -> str | None:
+            if "content=" in cur:
+                return cur.split("content=")[1]
+            if "Content=" in cur:
+                return cur.split("Content=")[1]
+            return None
+
+        if 'name="Description"' in line or 'name="description"' in line:
+            r = remainder(line)
+            if r is not None:
+                out.append(r.lower())
+        if 'name="Keywords"' in line or 'name="keywords"' in line:
+            r = remainder(line)
+            if r is not None:
+                out.append(r.replace(",", " ").lower())
+    return " ".join(out)
+
+
 # --- Arrow-batched UDFs ---
 
 
@@ -83,14 +130,20 @@ def extract_hrefs_udf(html: pd.Series) -> pd.Series:
         [
             T.StructField("hrefs", T.ArrayType(T.StringType())),
             T.StructField("text", T.StringType()),
+            T.StructField("meta", T.StringType()),
         ]
     )
 )
 def parse_page_udf(html: pd.Series) -> pd.DataFrame:
-    """hrefs + text in ONE Arrow pass — the html column (the widest column on
-    the crawl path) crosses the JVM/Python boundary once, not twice."""
+    """hrefs + text + meta in ONE Arrow pass — the html column (the widest
+    column on the crawl path) crosses the JVM/Python boundary once, not
+    three times."""
     return pd.DataFrame(
-        {"hrefs": html.map(extract_hrefs_py), "text": html.map(extract_text_py)}
+        {
+            "hrefs": html.map(extract_hrefs_py),
+            "text": html.map(extract_text_py),
+            "meta": html.map(extract_meta_py),
+        }
     )
 
 

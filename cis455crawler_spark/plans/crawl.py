@@ -273,6 +273,9 @@ def run_round(
             ),
         )
         .withColumn("text", F.col("_p.text"))
+        # meta Description/Keywords content tokens carry the +0.2 rank weight
+        # downstream (Indexer.java:131-139,224-226)
+        .withColumn("meta", F.when(is_parse, F.col("_p.meta")))
         .withColumn("title", F.when(is_parse, title_of(html_as_string("html"))))
         .withColumn("fetched", F.col("html").isNotNull())
         .withColumn("status", F.when(F.col("html").isNotNull(), status_of("url")))
@@ -358,8 +361,8 @@ def run_round(
             # writeToDB (XPathCrawlerThread.java:254-259): only successfully
             # parsed 200s persist; warc_ts recorded for If-Modified-Since
             "parsed": parsed.filter(is_parse).select(
-                "url", "url_hash", "depth", "title", "text", "out_links", "lang",
-                "warc_ts", "fetched", "round",
+                "url", "url_hash", "depth", "title", "meta", "text", "out_links",
+                "lang", "warc_ts", "fetched", "round",
             ),
         },
         replaces={"frontier": new_frontier.select("url", "depth")},

@@ -35,7 +35,7 @@ _WEEK_S = 7 * 24 * 3600
 
 # bump whenever generated rows change for the same CorpusSpec — cache keys
 # (bench.py corpus_parquet) include it so stale /tmp corpora regenerate
-GENERATOR_VERSION = 2
+GENERATOR_VERSION = 3
 
 ROBOTS_PATTERNS = {
     1: (
@@ -138,9 +138,18 @@ def generate_host_pdf(spec: CorpusSpec, i: int) -> pd.DataFrame:
 
         link_tags = "".join(f'<link rel="x" href="{h}">' for h in hrefs[:1])
         a_tags = " ".join(f'<a href="{h}">l</a>' for h in hrefs[1:])
+        # meta tags sit on their own lines: the reference's meta scan is
+        # line-based (Indexer.java:102-140) and real pages are multi-line;
+        # every 5th page adds a Keywords tag with commas + capital Content=
+        # to exercise the comma-replacement and fallback branches
+        kw_tag = (
+            f'<meta name="Keywords" Content="kw{i},kw{j},Title">\n'
+            if j % 5 == 2
+            else ""
+        )
         html = (
-            f"<html><head><title>{title}</title>"
-            f'<meta name="description" content="desc {i} {j}">{link_tags}'
+            f"<html><head><title>{title}</title>\n"
+            f'<meta name="description" content="desc {i} {j}">\n{kw_tag}{link_tags}'
             f"<style>.x{{color:red}}</style></head>"
             f"<body><script>var x=1;</script><h1>{title}</h1> "
             f"<p>{words}</p> {a_tags}</body></html>"

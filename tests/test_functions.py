@@ -71,6 +71,28 @@ def test_extract_hrefs_doc_order():
     assert extract_hrefs_py(html) == o_extract_hrefs(html)
 
 
+def test_extract_meta_line_quirks():
+    from cis455crawler_spark.functions.html import extract_meta_py
+
+    html = (
+        b"<html><head><title>T</title>\n"
+        b'<meta name="description" content="Desc One">\n'
+        b'<meta name="Keywords" Content="a,B,c">\n'
+        b'<meta name="author" content="ignored">\n'
+        b"</head><body>x</body></html>"
+    )
+    # description keeps the raw remainder (incl. trailing ">); keywords
+    # replaces commas then lowercases; unrelated meta names contribute nothing
+    assert extract_meta_py(html) == '"desc one"> "a b c">'
+    # split("content=")[1] is the segment up to the NEXT occurrence
+    two = b'<meta name="description" content="x" content="y">'
+    assert extract_meta_py(two) == '"x" '
+    # line-based: a tag broken across lines contributes nothing
+    broken = b'<meta name="description"\ncontent="lost">'
+    assert extract_meta_py(broken) == ""
+    assert extract_meta_py(None) is None
+
+
 def test_extract_text_strips_script_style_entities():
     html = (
         b"<html><head><title>T</title><style>.x{}</style></head>"

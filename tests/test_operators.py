@@ -183,9 +183,10 @@ def test_snapshot_compact_and_lineage(spark, tmp_path):
 def test_title_meta_ranking_end_to_end(spark, tmp_path):
     """Build the inverted index from CRAWLED parsed output with the title
     flag wired (Indexer.java:222-224: rank = 0.5*tf'*idf + 0.3*isTitle +
-    0.2*isMeta) and verify every rank against a Python oracle. Titles come
-    from the crawl plan's parsed table; meta is synthesized per doc to
-    exercise the +0.2 path too."""
+    0.2*isMeta) and verify every rank against a Python oracle. Titles AND
+    meta both come from the crawl plan's parsed table — meta is extracted
+    from the pages' real <meta name="description" content=...> tags by
+    extract_meta_py (Indexer.java:102-140), not synthesized."""
     import re
 
     from pyspark.sql import functions as F
@@ -203,12 +204,7 @@ def test_title_meta_ranking_end_to_end(spark, tmp_path):
         str(tmp_path / "idx_state"),
         CrawlConfig(max_rounds=4, round_duration_s=3600, compact_every=0),
     )
-    docs = (
-        parsed_latest(store)
-        .filter("fetched")
-        .select("url", "text", "title")
-        .withColumn("meta", F.concat(F.lit("desc "), F.col("title")))
-    )
+    docs = parsed_latest(store).filter("fetched").select("url", "text", "title", "meta")
     idx = postings(docs, doc_col="url", text_col="text", title_col="title", meta_col="meta")
     got = {(r["doc_id"], r["word"]): r for r in idx.collect()}
     assert got
