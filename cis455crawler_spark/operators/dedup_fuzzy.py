@@ -5,6 +5,17 @@ All shuffle-aware shapes: candidate generation via band/bucket equi-joins
 (never an O(n^2) cross join), verification only within buckets. Everything is
 JVM column math — zero Python UDFs anywhere in this module (numpy appears
 only driver-side to derive hash-family constants).
+
+Cache lifetime: the self-joined intermediates here (`banded`, `blocks`,
+`sh`, `tagged`) are .cache()d because both join sides read them; the cached
+blocks live until the returned DataFrame is consumed. In a LONG-LIVED
+session, callers should unpersist after their action, e.g.::
+
+    pairs = ngram_jaccard_pairs(docs).collect()
+    spark.catalog.clearCache()   # or track and unpersist the specific DFs
+
+One-shot jobs (bench.py, the driver gate, pytest sessions) can ignore this —
+executor storage eviction handles it.
 """
 
 from __future__ import annotations

@@ -80,6 +80,18 @@ class CrawlConfig:
     bloom_bucket_bits: int = 1 << 22  # fixed bits/bucket so deltas OR-merge
     compact_every: int = 8
     max_content_bytes: int = MAX_CONTENT_BYTES_DEFAULT  # O-F2 size gate
+    # expected total URLs the seen set will hold: when set, bloom_bucket_bits
+    # derives from keys/bucket at ~1% FP (bloom_bits_for) instead of the
+    # fixed default — changing it mid-crawl is safe, the n_bits-mismatch
+    # heal rebuilds the sidecar from the seen table on the next round
+    expected_total_urls: int | None = None
+
+    def __post_init__(self) -> None:
+        if self.expected_total_urls:
+            from ..operators.dedup import bloom_bits_for
+
+            per_bucket = -(-self.expected_total_urls // self.num_buckets)
+            self.bloom_bucket_bits = bloom_bits_for(per_bucket)
 
 
 def _with_url_cols(df: DataFrame, num_buckets: int) -> DataFrame:

@@ -97,9 +97,13 @@ class SnapshotStore:
 
         partition_by = partition_by or {}
         pool = ThreadPoolExecutor(max_workers=4)
+        attempted: list[str] = []  # every dir a write ever targeted, for
+        # failure cleanup — only the manifest makes data visible, so any of
+        # these can be rmtree'd if the commit aborts
 
         def _write(table: str, df: DataFrame) -> str:
             rel = f"{table}/r{round_no}_{uuid.uuid4().hex[:8]}"
+            attempted.append(rel)
             writer = df.write.mode("overwrite")
             if table in partition_by:
                 writer = writer.partitionBy(*partition_by[table])
@@ -108,7 +112,7 @@ class SnapshotStore:
 
         afuts = [(t, pool.submit(_write, t, df)) for t, df in (appends or {}).items()]
         rfuts = [(t, pool.submit(_write, t, df)) for t, df in (replaces or {}).items()]
-        return (pool, round_no, afuts, rfuts)
+        return (pool, round_no, afuts, rfuts, attempted)
 
     def finish_commit(
         self,
@@ -118,12 +122,25 @@ class SnapshotStore:
         extra: dict | None = None,
     ) -> None:
         """Phase 2: wait for the writes, write driver-side small tables,
-        then swap the manifest atomically."""
-        pool, round_no, afuts, rfuts = handle
+        then swap the manifest atomically.
+
+        If any background write fails: cancel the not-yet-started siblings,
+        WAIT for the in-flight ones (can't delete under a running Spark
+        write), remove every dir this commit attempted, and re-raise — no
+        orphan data dirs accumulate (only the manifest is authoritative, so
+        this is cleanup, not correctness)."""
+        pool, round_no, afuts, rfuts, attempted = handle
         try:
             append_rels = [(t, f.result()) for t, f in afuts]
             replace_rels = [(t, f.result()) for t, f in rfuts]
-        finally:
+        except BaseException:
+            for _, f in afuts + rfuts:
+                f.cancel()
+            pool.shutdown(wait=True)
+            for rel in attempted:
+                shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+            raise
+        else:
             pool.shutdown(wait=False)
 
         m = self.manifest()

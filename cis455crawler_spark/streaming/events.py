@@ -73,9 +73,16 @@ def sessionize_stream(
     a larger gap CLOSES the session (emitted with closed_by='gap') and opens
     a new one. The open session rides in GroupState across micro-batches;
     when the watermark passes its end + gap the state times out and the
-    session is emitted with closed_by='timeout'. Emitted rows are exactly
-    batch sessionize() rows (same user/start/end/count/value); only a
-    stream's final still-open sessions can be unemitted at shutdown.
+    session is emitted with closed_by='timeout'.
+
+    Batch parity caveat: emitted rows equal batch sessionize() rows ONLY
+    when each user's events arrive event-time-ordered ACROSS micro-batches
+    (within-batch disorder is handled by the sort). A late event that lands
+    inside the watermark but bridges a gap already emitted as closed cannot
+    merge the two sessions retroactively — exact parity under cross-batch
+    disorder would require buffering events in state until the watermark
+    passes them before closing anything. A stream's final still-open
+    sessions can also be unemitted at shutdown.
     """
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -228,6 +228,88 @@ def test_bloom_heal_after_toggle_and_bits_change(spark, corpus, oracle_res, tmp_
     assert engine_seen == oracle_res.seen
 
 
+def test_commit_failure_cleans_orphans_and_resumes(spark, tmp_path):
+    """Two-phase commit crash path (ADVICE r2 + VERDICT r2 #9): when a
+    background table write fails, finish_commit must wait out / cancel the
+    sibling writes, remove every dir the aborted commit attempted (no
+    orphan accumulation), keep the previous manifest visible, and accept the
+    next commit — the atomic-swap resume claim, tested at the seam."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    store = SnapshotStore(spark, str(tmp_path / "st"))
+    ok = spark.range(5).selectExpr("cast(id as string) as url")
+    store.commit_round(0, replaces={"frontier": ok})
+
+    # fails at write time: assert_true throws on rows with id >= 5
+    bad = spark.range(10).select(
+        F.assert_true(F.col("id") < 5).cast("string").alias("url")
+    )
+    handle = store.begin_commit(1, appends={"seen": bad}, replaces={"frontier": ok})
+    with pytest.raises(Exception):
+        store.finish_commit(handle, extra={})
+
+    m = store.manifest()
+    assert m["round"] == 0  # crashed round never became visible
+    referenced = {d for dirs in m["tables"].values() for d in dirs}
+    on_disk = {
+        f"{t}/{d}"
+        for t in os.listdir(store.root)
+        if os.path.isdir(os.path.join(store.root, t))
+        for d in os.listdir(os.path.join(store.root, t))
+    }
+    assert on_disk == referenced  # no orphan dirs from the aborted commit
+
+    store.commit_round(1, replaces={"frontier": ok})
+    assert store.current_round() == 1
+    assert store.read("frontier").count() == 5
+
+
+def test_bloom_sizing_holds_fp_at_100x_load():
+    """North-rule sizing (VERDICT r2 'What's wrong' #3): at 100x the
+    per-bucket key load the derived bitmap keeps FP < 5%, while the OLD
+    fixed 2^22 default saturates. Pure driver-side math, no Spark."""
+    import hashlib
+
+    import numpy as np
+
+    from cis455crawler_spark.operators.dedup import _probe_positions, bloom_bits_for
+    from cis455crawler_spark.plans.crawl import CrawlConfig
+
+    n = 200_000  # ~100x the per-bucket load the 2^22 default was tuned for
+    n_bits = bloom_bits_for(n, target_fp=0.01)
+    assert n_bits % 8 == 0
+
+    def fill(bits, count, tag):
+        for i in range(count):
+            h = hashlib.sha1(f"{tag}{i}".encode()).hexdigest()
+            for p in _probe_positions(h, len(bits)):
+                bits[p] = True
+
+    def fp_rate(bits, probes, tag):
+        hits = 0
+        for i in range(probes):
+            h = hashlib.sha1(f"{tag}{i}".encode()).hexdigest()
+            if all(bits[p] for p in _probe_positions(h, len(bits))):
+                hits += 1
+        return hits / probes
+
+    sized = np.zeros(n_bits, dtype=bool)
+    fill(sized, n, "key")
+    assert fp_rate(sized, 20_000, "other") < 0.05
+
+    # the config derives the same sizing from an expected corpus total
+    cfg = CrawlConfig(use_bloom=True, num_buckets=32,
+                      expected_total_urls=32 * n)
+    assert cfg.bloom_bucket_bits == n_bits
+
+    # contrast: the old fixed default at this load is useless as a prefilter
+    fixed = np.zeros(1 << 22, dtype=bool)
+    fill(fixed, 10 * n, "key")  # 2M keys/bucket ~ the 10^10-URL regime
+    assert fp_rate(fixed, 5_000, "other") > 0.5
+
+
 def test_bloom_path_identical(spark, corpus, oracle_res, tmp_path):
     """Bloom prefilter must not change results (no false negatives; maybes
     re-checked exactly)."""
