@@ -281,9 +281,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["embedding_near_dups_lsh"] = embedding_near_dups_lsh
 
     def q3_shipping_priority(spark, sf):
+        # date sits mid-range of the fixture's 1995-2001 span so the entry
+        # returns a REAL top-10 (the old 2024 cutoff matched 0 rows at every
+        # sf — a green row that demonstrated nothing)
         c = _load(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
-        o = _load(spark, sf, "orders").filter(F.col("o_orderdate") < "2024-06-01")
-        li = _load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "2024-06-01")
+        o = _load(spark, sf, "orders").filter(F.col("o_orderdate") < "1998-06-01")
+        li = _load(spark, sf, "lineitem").filter(F.col("l_shipdate") > "1998-06-01")
         return (
             li.join(o, li.l_orderkey == o.o_orderkey)
             .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -334,8 +337,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["semi_join_orders"] = semi_join_orders
 
     def anti_join_customers(spark, sf):
+        # customers with no order above 400k — every customer has SOME order
+        # in the fixture, so the unconditional anti-join returned 0 rows at
+        # the driver sf and proved nothing
         c = _load(spark, sf, "customer")
-        o = _load(spark, sf, "orders")
+        o = _load(spark, sf, "orders").filter(F.col("o_totalprice") > 400_000)
         return (
             c.join(o, c.c_custkey == o.o_custkey, "left_anti")
             .select("c_custkey", "c_name")
@@ -364,10 +370,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["rollup_lineitem"] = rollup_lineitem
 
     def set_ops_users(spark, sf):
+        # EXCEPT side is error-PRONE users (>13 error events): every fixture
+        # user has at least one error, so excluding any-error users emptied
+        # the result at every sf; the threshold keeps all three set ops doing
+        # real work (sf0.01: 150 ∩ 150 minus 68 -> 82 rows)
         ev = _load(spark, sf, "events")
         clickers = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
         buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
-        errs = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+        errs = (
+            ev.filter(F.col("event_type") == "error")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n"))
+            .filter(F.col("n") > 13)
+            .select("user_id")
+        )
         return clickers.intersect(buyers).exceptAll(errs).orderBy("user_id")
 
     q["set_ops_users"] = set_ops_users
@@ -1080,8 +1096,8 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem JOIN orders ON l_orderkey = o_orderkey
             JOIN customer ON o_custkey = c_custkey
             WHERE c_mktsegment = 'BUILDING'
-              AND o_orderdate < TIMESTAMP '2024-06-01'
-              AND l_shipdate  > TIMESTAMP '2024-06-01'
+              AND o_orderdate < TIMESTAMP '1998-06-01'
+              AND l_shipdate  > TIMESTAMP '1998-06-01'
             GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10
         """,
         "q5_revenue_by_nation": """
@@ -1101,7 +1117,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "anti_join_customers": """
             SELECT c_custkey, c_name FROM customer
-            WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+            WHERE NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey AND o_totalprice > 400000)
             ORDER BY c_custkey
         """,
         "rollup_lineitem": """
@@ -1116,7 +1133,8 @@ def oracle_sql() -> dict[str, str]:
              INTERSECT
              SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
             EXCEPT
-            SELECT DISTINCT user_id FROM events WHERE event_type='error'
+            SELECT user_id FROM events WHERE event_type='error'
+            GROUP BY user_id HAVING COUNT(*) > 13
             ORDER BY user_id
         """,
         "agg_distinct_events": """

@@ -103,8 +103,11 @@ def dataplane(spark, pages, dup: int = 11) -> dict:
     seen = urls.sample(0.3, seed=99).select(F.sha1("url").alias("url_hash"))
     robots = build_robots_df(spark, pages).cache()
     robots.count()
-    # warmup: spin up every python worker before timing
-    pages.limit(50_000).select(parse_page_udf("html")).count()
+    # warmup: spin up every python worker before timing — noop sink, a
+    # count() would let Catalyst prune the UDF projection (ADVICE r2)
+    pages.limit(50_000).select(parse_page_udf("html")).write.format("noop").mode(
+        "overwrite"
+    ).save()
 
     t0 = time.time()
     c = _with_url_cols(cand.groupBy("url").agg(F.min("depth").alias("depth")), 32)
@@ -158,7 +161,8 @@ def run_at(cores: int, rounds: int, hosts: int, pages_n: int, hot: int, reps: in
         "dataplane": _best(reps, lambda: dataplane(spark, pages), "cand_per_s"),
         "e2e": _best(
             reps,
-            lambda: crawl_throughput(spark, rounds, hosts, pages_n, hot),
+            # gen-1 only: the scaling comparison wants one fixed job shape
+            lambda: crawl_throughput(spark, rounds, hosts, pages_n, hot, recrawl=False)[0],
             "throughput_per_s",
         ),
     }
