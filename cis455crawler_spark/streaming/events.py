@@ -37,6 +37,30 @@ def tumbling_event_counts(
     )
 
 
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming seen-set: dropDuplicatesWithinWatermark over `keys` — the
+    bounded-state streaming analogue of the crawl's seen anti-join
+    (O-F6/O-J2). State holds one entry per key only until the watermark
+    passes its event time + delay, so state size is bounded by the arrival
+    window, not by corpus size — the property that lets a continuous
+    URL-discovery stream dedup at 10^10-URL scale where a plain
+    dropDuplicates would hold every key forever.
+
+    Semantics caveat (inherent to the operator): two duplicates farther
+    apart in EVENT TIME than the watermark delay, arriving in different
+    micro-batches, may both be emitted — the durable seen table (snapshot
+    anti-join) remains the source of truth; this is the low-latency
+    front-line filter."""
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     """Gap-based sessionization per user: session starts when the previous
     event is more than `gap` away (lag window + running sum — the batch

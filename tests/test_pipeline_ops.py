@@ -337,6 +337,47 @@ def test_sessionize_stream_stateful(spark, sf_dir, tmp_path):
     assert all(v == 1 for v in missing_by_user.values()), missing_by_user
 
 
+def test_dedup_stream_within_watermark(spark, sf_dir, tmp_path):
+    """Streaming seen-set (dropDuplicatesWithinWatermark): with the whole
+    fixture arriving as ONE micro-batch (availableNow over one file), every
+    in-batch duplicate is dropped, so the emitted rows equal batch
+    dropDuplicates on the same keys — key-set AND count parity."""
+    import uuid
+
+    from cis455crawler_spark.streaming.events import dedup_stream
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string"
+    )
+    src = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    name = f"dedup_stream_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(src)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table(name).select("user_id", "event_type").collect()
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .dropDuplicates(["user_id", "event_type"])
+        .select("user_id", "event_type")
+        .collect()
+    )
+    got_keys = {(r["user_id"], r["event_type"]) for r in got}
+    want_keys = {(r["user_id"], r["event_type"]) for r in batch}
+    assert got_keys == want_keys
+    assert len(got) == len(want_keys)  # exactly one row per key emitted
+
+
 def test_asof_join_matches_merge_asof(spark, sf_dir):
     """Union+window as-of join == pandas merge_asof on the same inputs."""
     import pandas as pd
