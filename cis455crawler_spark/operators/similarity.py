@@ -94,6 +94,53 @@ def train_centroids(
 LITERAL_ASSIGN_MAX = 64  # above this, literal argmin is a codegen bomb
 
 
+def train_centroids_distributed(
+    vectors: DataFrame,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    iters: int = 5,
+    seed: int = 13,
+) -> np.ndarray:
+    """Distributed Lloyd's over the FULL vector table — the scale path for
+    centroid counts a driver sample cannot support (train_centroids caps at
+    what fits in a few thousand sampled rows; 4k-64k centroids at 10^9
+    vectors need assignments over everything).
+
+    Per iteration: nearest-centroid assignment (assign_centroid — broadcast
+    matmul above 64 centroids, zero shuffle), then exact per-cell means via
+    posexplode to (cell, dim, val) and ONE groupBy(cell, dim) aggregation —
+    dim x rows inflation but keyed on k*dim groups, so the shuffle is a
+    partial-aggregated map-side-combine, not a data movement of the vector
+    table. Only k x dim means ever reach the driver.
+
+    Initialization: deterministic seeded Bernoulli sample (scan-side filter,
+    no global sort), same rule as train_centroids."""
+    sample = (
+        vectors.select(F.col(vec_col).alias("v"))
+        .sample(fraction=min(1.0, 10.0 * n_centroids / max(vectors.count(), 1)), seed=seed)
+        .limit(n_centroids)
+        .toPandas()
+    )
+    if len(sample) < n_centroids:
+        sample = vectors.select(F.col(vec_col).alias("v")).limit(n_centroids).toPandas()
+    cent = np.array(sample["v"].tolist(), dtype=np.float64)
+
+    v = vectors.select(F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        assigned = v.withColumn("cell", assign_centroid(v, cent, "v"))
+        means = (
+            assigned.select("cell", F.posexplode("v").alias("dim", "val"))
+            .groupBy("cell", "dim")
+            .agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        nxt = cent.copy()  # empty cells keep their previous centroid
+        for r in means:
+            nxt[r["cell"], r["dim"]] = r["m"]
+        cent = nxt
+    return cent
+
+
 def assign_centroid(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedding"):
     """Nearest-centroid id (squared-L2 argmin, first-index tie-break).
 

@@ -183,6 +183,36 @@ def test_assign_centroid_4096_broadcast_path(spark):
         assert got == {i: int(want[i]) for i in range(n)}, f"k={k}"
 
 
+def test_train_centroids_distributed_matches_numpy(spark):
+    """Distributed Lloyd's (full-table assignment + per-cell means via ONE
+    groupBy) equals a numpy Lloyd's oracle run from the identical init —
+    the scale path for centroid counts a driver sample can't support."""
+    import numpy as np
+
+    from cis455crawler_spark.operators.similarity import train_centroids_distributed
+
+    rng = np.random.RandomState(5)
+    X = rng.randn(400, 8)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in X[i]]) for i in range(400)],
+        "vec_id int, embedding array<double>",
+    ).repartition(4)
+    k, iters = 10, 3
+    init = train_centroids_distributed(df, n_centroids=k, iters=0)  # init only
+    got = train_centroids_distributed(df, n_centroids=k, iters=iters)
+
+    cent = init.copy()
+    for _ in range(iters):
+        assign = ((X[:, None, :] - cent[None, :, :]) ** 2).sum(-1).argmin(1)
+        nxt = cent.copy()
+        for c in range(k):
+            pts = X[assign == c]
+            if len(pts):
+                nxt[c] = pts.mean(0)
+        cent = nxt
+    assert np.allclose(got, cent, rtol=1e-8, atol=1e-10)
+
+
 def test_embedding_lsh_planted_recall(spark, sf_dir):
     """Recall gate: plant a deterministic near-duplicate twin (+0.05 on
     component 0, cosine ~0.9987 on the unit-norm fixture) for every 25th
