@@ -243,6 +243,96 @@ def test_embedding_lsh_planted_recall(spark, sf_dir):
     assert got  # and nothing below threshold sneaks in by construction
 
 
+def test_training_pipeline_composition(spark, sf_dir):
+    """The whole training-data pipeline as ONE DAG over documents —
+    language gate -> quality gate -> exact dedup -> n-gram near-dup prune
+    -> token budget — with the surviving doc-id set and the final token
+    totals verified against an independent pure-Python oracle."""
+    import re
+
+    from cis455crawler_spark.functions.text import (
+        STOPWORDS,
+        lang_id,
+        quality_score,
+        token_count,
+    )
+    from cis455crawler_spark.operators.dedup_fuzzy import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+
+    d = docs.withColumn("lang_g", lang_id("text")).filter(F.col("lang_g") == "en")
+    d = d.withColumn("q", quality_score("text")).filter(F.col("q") >= 0.6)
+    d = exact_dedup(d)
+    pairs = ngram_jaccard_pairs(d, k=3, threshold=0.8)
+    drop = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    surv = d.join(drop, "doc_id", "left_anti")
+    got_ids = {r["doc_id"] for r in surv.select("doc_id").collect()}
+    got_tok = surv.agg(F.sum(token_count("text")).alias("t")).collect()[0]["t"]
+
+    # ---- independent oracle ----
+    markers = {
+        "en": {"the", "and", "of", "to", "is", "in", "that", "it", "for", "with"},
+        "de": {"der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "sich"},
+        "fr": {"le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"},
+        "es": {"el", "los", "las", "es", "en", "una", "por", "con", "para", "del"},
+    }
+
+    def toks(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    def o_lang(s):
+        ts = set(toks(s))
+        # engine tie-break: array_max over (hits, lang) structs — max hits,
+        # then lexicographically largest language code
+        best = max((len(ts & m), lang) for lang, m in markers.items())
+        return best[1] if best[0] > 0 else "und"
+
+    def o_quality(s):
+        ws = s.strip().split()
+        n = len(ws) if s.strip() else 0
+        len_ok = 1.0 if 10 <= n <= 100000 else 0.0
+        ratio = (
+            len(re.sub(r"[^A-Za-z0-9 ]", "", s)) / len(s) if len(s) else 0.0
+        )
+        has_stop = 1.0 if set(toks(s)) & set(STOPWORDS) else 0.0
+        return (len_ok + ratio + has_stop) / 3.0
+
+    def o_shingles(s, k=3):
+        t = toks(s)
+        if len(t) >= k:
+            return {" ".join(t[i : i + k]) for i in range(len(t) - k + 1)}
+        return {" ".join(t)}
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    s1 = [(i, t) for i, t in rows if o_lang(t) == "en"]
+    s2 = [(i, t) for i, t in s1 if o_quality(t) >= 0.6]
+    seen_norm: dict[str, int] = {}
+    s3 = []
+    for i, t in sorted(s2):
+        key = re.sub(r"\s+", " ", t.strip().lower())
+        if key not in seen_norm:
+            seen_norm[key] = i
+            s3.append((i, t))
+    sh = {i: o_shingles(t) for i, t in s3}
+    dropped = set()
+    ids = sorted(sh)
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = ids[x], ids[y]
+            inter = len(sh[a] & sh[b])
+            union = len(sh[a] | sh[b])
+            if union and inter / union >= 0.8:
+                dropped.add(b)  # engine pairs always have id_a < id_b
+    want = [(i, t) for i, t in s3 if i not in dropped]
+    want_ids = {i for i, _ in want}
+    want_tok = sum(len(t.strip().split()) for _, t in want if t.strip())
+
+    assert got_ids == want_ids
+    assert got_tok == want_tok
+    # the pipeline actually filtered something at every stage it could
+    assert len(s1) < len(rows) or len(s2) < len(s1) or len(s3) < len(s2) or dropped
+
+
 def test_multimodal_plumbing(spark):
     from cis455crawler_spark.operators.multimodal import (
         MEDIA_SCHEMA,
