@@ -451,6 +451,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["seen_anti_join"] = seen_anti_join
 
+    def seen_anti_join_cuckoo(spark, sf):
+        """The SAME anti-join routed through the cuckoo-filter sidecar
+        (operators/cuckoo.py — SURVEY D2's 'bloom/cuckoo' alternative).
+        Shares seen_anti_join's oracle: the prefilter's exactness contract
+        (no false negatives, maybe-seen re-checked exactly) means the
+        output must be hash-identical to the plain anti-join."""
+        from cis455crawler_spark.operators.cuckoo import (
+            anti_join_seen_cuckoo,
+            build_cuckoo_sidecar,
+            merge_cuckoo_rows,
+        )
+
+        d = _doc_urls(spark, sf).withColumn("url_hash", F.md5("url"))
+        seen = d.filter(F.col("doc_id") % 5 == 0).select("url_hash")
+        sidecar = build_cuckoo_sidecar(seen, num_buckets=8, capacity_per_bucket=4096)
+        bc = spark.sparkContext.broadcast(merge_cuckoo_rows(sidecar.collect()))
+        return (
+            anti_join_seen_cuckoo(d, seen, bc, num_buckets=8)
+            .select("doc_id", "url")
+            .orderBy("doc_id")
+        )
+
+    q["seen_anti_join_cuckoo"] = seen_anti_join_cuckoo
+
     def host_budget_window(spark, sf):
         d = _doc_urls(spark, sf).withColumn("host", host_of("url"))
         w = Window.partitionBy("host").orderBy("url")
@@ -786,20 +810,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["fetch_routing_crawl"] = fetch_routing_crawl
 
     # ---- serve-path scalar functions (O-X6/X7/X9) ----
-    def title_extract(spark, sf):
-        docs = _load(spark, sf, "documents")
-        html = F.concat(
-            F.lit("<html><head><title>Doc "),
-            F.col("doc_id").cast("string"),
-            F.lit("</title></head><body>"),
-            F.col("text"),
-        )
-        return docs.select(
-            "doc_id", F.regexp_extract(html, "<title>(.*?)</title>", 1).alias("title")
-        ).orderBy("doc_id")
-
-    q["title_extract"] = title_extract
-
+    # title_extract folded in round 3 (50-entry cap): O-X6 is covered by
+    # meta_title_rank (title_of over real html -> postings membership) and
+    # search_serve_e2e's title column
     def snippet_extract(spark, sf):
         docs = _load(spark, sf, "documents")
         pos = F.locate("spark", F.lower(F.col("text")))
@@ -1196,6 +1209,15 @@ def oracle_sql() -> dict[str, str]:
                               WHERE s.doc_id % 5 = 0 AND md5(s.url) = md5(d.url))
             ORDER BY doc_id
         """,
+        # identical oracle by design: the cuckoo prefilter must not change
+        # the anti-join's output (no-false-negative + exact re-check)
+        "seen_anti_join_cuckoo": f"""
+            {doc_urls}
+            SELECT doc_id, url FROM doc_urls d
+            WHERE NOT EXISTS (SELECT 1 FROM doc_urls s
+                              WHERE s.doc_id % 5 = 0 AND md5(s.url) = md5(d.url))
+            ORDER BY doc_id
+        """,
         "host_budget_window": f"""
             {doc_urls}
             SELECT host, url, rn FROM (
@@ -1369,13 +1391,6 @@ def oracle_sql() -> dict[str, str]:
                         WHEN n_chars > 1500 THEN 'size_reject'
                         ELSE 'parse' END AS action
             FROM meta ORDER BY doc_id
-        """,
-        "title_extract": """
-            SELECT doc_id,
-                   regexp_extract('<html><head><title>Doc ' || CAST(doc_id AS VARCHAR)
-                                  || '</title></head><body>' || text,
-                                  '<title>(.*?)</title>', 1) AS title
-            FROM documents ORDER BY doc_id
         """,
         "snippet_extract": """
             WITH pos AS (SELECT doc_id, text, strpos(lower(text), 'spark') AS p FROM documents)
