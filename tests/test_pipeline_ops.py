@@ -350,6 +350,67 @@ def test_multimodal_plumbing(spark):
     assert frames.count() == 10 * 4  # ts 0,1000,2000,3000
 
 
+def test_multimodal_real_codecs(spark):
+    """REAL decode kernels (P6/PPM via numpy, PCM WAV via stdlib wave) run
+    the full decode -> ndarray -> feature path through mapInPandas, checked
+    against closed-form expectations of the deterministic generators."""
+    import numpy as np
+
+    from cis455crawler_spark.operators.multimodal import (
+        audio_stats,
+        decode_ppm,
+        encode_ppm,
+        image_stats,
+        resize_images,
+        resize_nearest,
+        synth_media_real,
+        with_media_meta,
+    )
+
+    ids = spark.range(40).selectExpr("id as doc_id")
+    media = synth_media_real(ids)
+
+    # pixel(y,x,c) = (3x + 5y + 7c + id) % 256 — channel means recomputable
+    imgs = image_stats(media.filter("kind = 'image'")).collect()
+    assert len(imgs) == 20
+    for r in imgs:
+        i = r["media_id"]
+        w, h = 16 + i % 32, 8 + i % 16
+        assert (r["width"], r["height"]) == (w, h)
+        grid = (
+            3 * np.arange(w)[None, :, None]
+            + 5 * np.arange(h)[:, None, None]
+            + 7 * np.arange(3)[None, None, :]
+            + i
+        ) % 256
+        want = grid.reshape(-1, 3).mean(axis=0)
+        assert abs(r["mean_r"] - want[0]) < 1e-9
+        assert abs(r["mean_b"] - want[2]) < 1e-9
+
+    # sine at amplitude 0.5 -> rms ~ 0.5/sqrt(2), peak ~ 0.5
+    auds = audio_stats(media.filter("kind = 'audio'")).collect()
+    assert len(auds) == 20
+    for r in auds:
+        i = r["media_id"]
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == 8000 * (50 + (i % 20) * 10) // 1000
+        assert abs(r["rms"] - 0.5 / np.sqrt(2)) < 0.02
+        assert 0.45 <= r["peak"] <= 0.5
+
+    # header dispatch: P6 fills dims, WAV fills duration
+    meta = {r["media_id"]: r for r in with_media_meta(media).collect()}
+    assert meta[2]["width"] == 18 and meta[2]["dur_ms"] == 0
+    assert meta[3]["width"] == 0 and meta[3]["dur_ms"] == 50 + 3 % 20 * 10
+
+    # resize: output dims + exact nearest-neighbor pixels
+    small = resize_images(media.filter("kind = 'image'"), 8, 4).collect()
+    by_id = {r["media_id"]: r["payload"] for r in small}
+    w0, h0, arr0 = decode_ppm(encode_ppm(2, 18, 10))
+    ww, hh, got = decode_ppm(bytes(by_id[2]))
+    assert (ww, hh) == (8, 4)
+    assert (got == resize_nearest(arr0, 8, 4)).all()
+
+
 def test_text_analysis_cols(spark, sf_dir):
     from cis455crawler_spark.functions.text import (
         lang_id,
