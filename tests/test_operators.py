@@ -277,3 +277,87 @@ def test_pagerank_over_crawled_graph(spark, tmp_path):
     assert set(got) == set(want)
     for n, w in want.items():
         assert abs(got[n] - w) < 1e-9, (n, got[n], w)
+
+
+def test_serve_over_crawled_index(spark, tmp_path):
+    """The COMPLETE reference pipeline on one corpus, crawl to serve
+    (Crawler -> Indexer -> Ranker -> SearchEngine): crawl, build postings
+    from the parsed table (title+meta from the real parse), run a two-term
+    search, top-k, PageRank re-order over the crawled link graph, snippet —
+    verified against a chained pure-Python oracle end to end."""
+    import re
+
+    from cis455crawler_spark.functions.text import STOPWORDS
+    from cis455crawler_spark.operators.search import INTERSECTION_BONUS, snippet
+    from cis455crawler_spark.plans.crawl import (
+        CrawlConfig,
+        edges_from_parsed,
+        parsed_latest,
+        run_crawl,
+    )
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=6, pages_per_host=20)
+    pages = pages_spark_df(spark, spec)
+    store, _ = run_crawl(
+        spark,
+        pages,
+        seed_urls(spec, 6),
+        str(tmp_path / "serve_state"),
+        CrawlConfig(max_rounds=5, round_duration_s=3600, compact_every=0),
+    )
+    docs = parsed_latest(store).filter("fetched").select("url", "text", "title", "meta")
+    idx = postings(docs, doc_col="url", text_col="text", title_col="title", meta_col="meta")
+
+    query = "title word1"
+    hits = search(idx, query, top_k=10)
+    pr = pagerank(edges_from_parsed(store), iterations=3)
+    served = (
+        hits.join(pr, hits.doc_id == pr.node, "left")
+        .join(docs.select(F.col("url").alias("doc_id"), "text", "title"), "doc_id")
+        .select(
+            "doc_id",
+            "score",
+            F.round(F.coalesce("rank", F.lit(0.15)), 9).alias("pr"),
+            "title",
+            snippet(F.col("text"), query).alias("snip"),
+        )
+        .orderBy(F.desc("pr"), "doc_id")
+    )
+    got = served.collect()
+    assert got
+
+    # ---- chained python oracle ----
+    def tok(s):
+        return [t for t in re.split(r"[^a-z0-9]+", s.lower()) if t]
+
+    pdf = docs.toPandas()
+    terms = [t for t in query.split() if t not in STOPWORDS]
+    scores = {}
+    for row in pdf.itertuples():
+        toks = [t for t in tok(row.text) if t not in STOPWORDS]
+        # search() scores over POSTINGS rows (one per doc-word), so each
+        # present term contributes 1 regardless of its tf (Ext.java's
+        # per-posting +1 collapses to term presence in the relational index)
+        n_words = sum(1 for t in terms if t in toks)
+        if n_words:
+            scores[row.url] = n_words + (
+                INTERSECTION_BONUS if n_words == len(terms) else 0
+            )
+    top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    edges = [
+        (r["src"], r["dst"])
+        for r in edges_from_parsed(store).collect()
+    ]
+    ranks = pagerank_py_oracle(edges, iterations=3)
+    want = sorted(
+        ((u, s, round(ranks.get(u, 0.15), 9)) for u, s in top),
+        key=lambda t: (-t[2], t[0]),
+    )
+    assert [(r["doc_id"], r["score"], r["pr"]) for r in got] == want
+    # snippets contain a query term for every doc that matched in body text
+    texts = dict(zip(pdf["url"], pdf["text"]))
+    for r in got:
+        low = texts[r["doc_id"]].lower()
+        if any(t in low for t in terms):
+            assert r["snip"] and any(t in r["snip"].lower() for t in terms)
