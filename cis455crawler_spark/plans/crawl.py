@@ -293,6 +293,11 @@ def run_round(
         .withColumn("status", F.when(F.col("html").isNotNull(), status_of("url")))
         .withColumn("round", F.lit(round_no))
         .drop("_p", "html", "stored_ts", "stored_links")
+        # cached for its three consumers (links explode, parsed write, stats)
+        # AND because explode-over-a-UDF-derived-array splits into a size>0
+        # Filter + Generate pair that each re-eval the UDF when uncached —
+        # without this cache the Arrow parse would run TWICE per page on the
+        # links path alone (asserted in tests/test_plan_properties.py)
         .cache()
     )
 
