@@ -80,6 +80,10 @@ class CrawlConfig:
     bloom_bucket_bits: int = 1 << 22  # fixed bits/bucket so deltas OR-merge
     compact_every: int = 8
     max_content_bytes: int = MAX_CONTENT_BYTES_DEFAULT  # O-F2 size gate
+    # keep the last K round-snapshots time-travel-readable and delete data
+    # dirs nothing retained references (runs with compaction); None = retain
+    # every snapshot (no dir ever deleted, time-travel to any round)
+    expire_keep_snapshots: int | None = None
     # expected total URLs the seen set will hold: when set, bloom_bucket_bits
     # derives from keys/bucket at ~1% FP (bloom_bits_for) instead of the
     # fixed default — changing it mid-crawl is safe, the n_bits-mismatch
@@ -572,6 +576,8 @@ def run_crawl(
             break
         if cfg.compact_every and round_no % cfg.compact_every == 0:
             store.compact("seen", partition_cols=["bucket"])
+            if cfg.expire_keep_snapshots:
+                store.expire_snapshots(keep_last=cfg.expire_keep_snapshots)
             if cfg.use_bloom:
                 # pre-OR-merge the per-round bitmap deltas to one row per
                 # bucket (caps sidecar size and the per-round collect at

@@ -10,6 +10,12 @@ real cluster:
     readers only ever see fully-committed rounds (Iceberg snapshot isolation).
   * resume = read the latest manifest; orphan dirs from a crashed round are
     simply unreferenced (Iceberg's uncommitted data files).
+  * every committed round's table state is retained in the manifest
+    (`snapshots`), so `read(table, as_of_round=k)` time-travels to any
+    still-retained round (Iceberg `VERSION AS OF`); `expire_snapshots`
+    prunes old snapshot entries and deletes data dirs no retained snapshot
+    references (Iceberg expire_snapshots + remove_orphan_files — and the
+    only mechanism that reclaims replaced frontier dirs).
   * the seen table is written partitioned by a url-hash bucket column — the
     layout that becomes `PARTITIONED BY (bucket(N, url_hash))` in Iceberg so
     the frontier anti-join can run storage-partitioned (no shuffle of the
@@ -57,8 +63,19 @@ class SnapshotStore:
         return self.manifest()["round"]
 
     # -- reads ------------------------------------------------------------
-    def read(self, table: str) -> DataFrame | None:
-        dirs = self.manifest()["tables"].get(table, [])
+    def read(self, table: str, as_of_round: int | None = None) -> DataFrame | None:
+        """Read a table at the current snapshot, or — with `as_of_round` —
+        at the newest retained snapshot whose round <= as_of_round (Iceberg
+        `VERSION AS OF`). Returns None when the table doesn't exist at that
+        snapshot or the snapshot has been expired/compacted away."""
+        if as_of_round is None:
+            dirs = self.manifest()["tables"].get(table, [])
+        else:
+            snaps = self.manifest().get("snapshots", {})
+            eligible = [int(r) for r in snaps if int(r) <= as_of_round]
+            if not eligible:
+                return None
+            dirs = snaps[str(max(eligible))].get(table, [])
         paths = [os.path.join(self.root, d) for d in dirs]
         paths = [p for p in paths if os.path.exists(p)]
         # a 0-row write can leave a dir with only _SUCCESS (no part files,
@@ -158,6 +175,10 @@ class SnapshotStore:
             "round": round_no,
             "tables": tables,
             "history": m.get("history", []) + [{"round": round_no, **(extra or {})}],
+            # per-round table states for time-travel reads; pruned by
+            # expire_snapshots (manifest growth is O(rounds x tables) dir
+            # names — the Iceberg metadata-tree analogue, not data)
+            "snapshots": {**m.get("snapshots", {}), str(round_no): tables},
         }
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
@@ -205,13 +226,62 @@ class SnapshotStore:
     # -- maintenance ------------------------------------------------------
     def _swap_tables(self, tables: dict, old_dirs: list[str]) -> None:
         m = self.manifest()
-        new_manifest = {**m, "tables": tables}
+        # maintenance deletes dirs immediately, so scrub any retained
+        # snapshot that referenced them: a table whose dir-list loses a
+        # member would time-travel to PARTIAL data — drop that table from
+        # the affected snapshot instead (like Iceberg, compaction trades
+        # pre-compaction time-travel for reclaimed space)
+        gone = set(old_dirs)
+        snapshots = {
+            r: {t: ds for t, ds in snap.items() if not (set(ds) & gone)}
+            for r, snap in m.get("snapshots", {}).items()
+        }
+        # the current state stays travel-able under its own round number
+        snapshots[str(m["round"])] = tables
+        new_manifest = {**m, "tables": tables, "snapshots": snapshots}
         tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as f:
             json.dump(new_manifest, f, indent=1)
         os.replace(tmp, self._manifest_path)
         for d in old_dirs:
             shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[str]:
+        """Retain only the newest `keep_last` snapshot entries (the current
+        round's state is always kept) and delete every data dir that no
+        retained snapshot references — Iceberg expire_snapshots +
+        remove_orphan_files. This is what reclaims replaced frontier dirs
+        and pre-heal bloom sidecars. Returns the deleted dirs.
+
+        Must not run concurrently with an in-flight begin_commit: phase-1
+        write dirs are on disk but not yet in any manifest, so they would
+        look orphaned. The crawl loop calls this between rounds."""
+        m = self.manifest()
+        snaps = m.get("snapshots", {})
+        keep_rounds = sorted((int(r) for r in snaps), reverse=True)[: max(keep_last, 1)]
+        kept = {str(r): snaps[str(r)] for r in keep_rounds}
+        kept[str(m["round"])] = m["tables"]
+        referenced = {d for snap in kept.values() for ds in snap.values() for d in ds}
+        referenced |= {d for ds in m["tables"].values() for d in ds}
+        # candidate dirs: every table-level child dir on disk (layout is
+        # <root>/<table>/<round-or-compact dir>); manifest files are skipped
+        doomed: list[str] = []
+        for table in sorted({rel.split("/", 1)[0] for rel in referenced} | set(m["tables"])):
+            tdir = os.path.join(self.root, table)
+            if not os.path.isdir(tdir):
+                continue
+            for child in sorted(os.listdir(tdir)):
+                rel = f"{table}/{child}"
+                if rel not in referenced:
+                    doomed.append(rel)
+        new_manifest = {**m, "snapshots": kept}
+        tmp = self._manifest_path + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as f:
+            json.dump(new_manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path)
+        for rel in doomed:
+            shutil.rmtree(os.path.join(self.root, rel), ignore_errors=True)
+        return doomed
 
     def drop_table(self, table: str) -> None:
         """Remove a table from the manifest (and its dirs from disk)."""

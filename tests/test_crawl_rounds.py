@@ -266,6 +266,70 @@ def test_commit_failure_cleans_orphans_and_resumes(spark, tmp_path):
     assert store.read("frontier").count() == 5
 
 
+def test_snapshot_time_travel_and_expiry(spark, corpus, tmp_path):
+    """Iceberg snapshot semantics on the store: (a) read(t, as_of_round=k)
+    returns the table exactly as round k committed it (VERSION AS OF);
+    (b) compaction scrubs only the compacted table from older snapshots;
+    (c) expire_snapshots prunes old snapshots and deletes every data dir no
+    retained snapshot references — the mechanism that reclaims replaced
+    frontier dirs — while current reads and resume stay intact."""
+    import os
+
+    _, pages = corpus
+    cfg = CrawlConfig(max_rounds=6, compact_every=0)
+    store, metrics = run_crawl(
+        spark, pages, seed_urls(SPEC), str(tmp_path / "state_tt"), cfg
+    )
+    rounds = [m["round"] for m in metrics]
+
+    # (a) frontier AS OF round k has exactly that round's frontier_next rows;
+    # the seen table only ever grows round-over-round
+    prev: set[str] = set()
+    for m in metrics:
+        f = store.read("frontier", as_of_round=m["round"])
+        assert (0 if f is None else f.count()) == m["frontier_next"], m["round"]
+        s = store.read("seen", as_of_round=m["round"])
+        cur = {r["url_hash"] for r in s.select("url_hash").collect()}
+        assert prev <= cur, m["round"]
+        prev = cur
+    now = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
+    assert prev == now  # latest snapshot == current state
+
+    # (b) compaction deletes superseded seen dirs -> those snapshots lose
+    # ONLY their seen table (partial time-travel would be silent corruption)
+    mid = rounds[len(rounds) // 2]
+    store.compact("seen", partition_cols=["bucket"])
+    assert store.read("seen", as_of_round=mid) is None
+    assert store.read("frontier", as_of_round=mid) is not None
+    assert {
+        r["url_hash"] for r in store.read("seen").select("url_hash").collect()
+    } == now
+
+    # (c) expiry: old frontier dirs are reclaimed, retained rounds still read
+    deleted = store.expire_snapshots(keep_last=2)
+    assert deleted  # the replaced frontier dirs of expired rounds
+    assert store.read("frontier", as_of_round=rounds[0]) is None
+    m2 = store.manifest()
+    referenced = {d for dirs in m2["tables"].values() for d in dirs} | {
+        d for snap in m2["snapshots"].values() for ds in snap.values() for d in ds
+    }
+    on_disk = {
+        f"{t}/{d}"
+        for t in os.listdir(store.root)
+        if os.path.isdir(os.path.join(store.root, t))
+        for d in os.listdir(os.path.join(store.root, t))
+    }
+    assert on_disk == referenced
+    assert {
+        r["url_hash"] for r in store.read("seen").select("url_hash").collect()
+    } == now
+    # resume on the expired store is a clean no-op (crawl already drained)
+    store2, extra = run_crawl(
+        spark, pages, seed_urls(SPEC), str(tmp_path / "state_tt"), cfg, resume=True
+    )
+    assert [m["round"] for m in extra] == rounds
+
+
 def test_bloom_sizing_holds_fp_at_100x_load():
     """North-rule sizing (VERDICT r2 'What's wrong' #3): at 100x the
     per-bucket key load the derived bitmap keeps FP < 5%, while the OLD
