@@ -3,9 +3,13 @@ with typed metadata, processed via mapInPandas in Arrow batches.
 
 Codecs, honestly partitioned by what this container can do:
   * REAL: PPM/P6 images (pure numpy — parse, channel stats, nearest-neighbor
-    resize) and PCM WAV audio (stdlib `wave` — duration, RMS/peak stats).
-    These run the actual decode->ndarray->feature path end-to-end.
-  * STUBBED: lib-dependent formats (PNG/JPEG via PIL, MP4/MP3 via ffmpeg)
+    resize), PNG (stdlib zlib inflate + all five scanline filters; 8-bit
+    grey/RGB/RGBA, non-interlaced) and PCM WAV audio (stdlib `wave` —
+    duration, RMS/peak stats). These run the actual decode->ndarray->feature
+    path end-to-end. The PNG unfilter is pure Python/numpy — right for
+    Arrow-batched feature extraction of web-sized images; a C-backed decoder
+    (PIL) slots into decode_image unchanged when available.
+  * STUBBED: lib-dependent formats (JPEG via PIL, MP4/MP3 via ffmpeg)
     raise NotImplementedError — swapping them in is a kernel-only change,
     the Spark-side plumbing (schema, Arrow batching, partition shape) is
     identical and tested through the real codecs.
@@ -54,9 +58,14 @@ def decode_header(payload: bytes) -> tuple[int, int, int]:
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return 0, 0, int(len(samples) * 1000 // rate)
+    if payload[:8] == PNG_SIG:
+        # IHDR is always the first chunk — header-only parse, no inflate
+        w, h = struct.unpack(">II", payload[16:24])
+        return w, h, 0
     raise NotImplementedError(
-        "PNG/JPEG/MP4/MP3 decode requires PIL/ffmpeg, not present in this "
-        "environment; P6/PPM, PCM WAV and the FAKE test codec are implemented"
+        "JPEG/MP4/MP3 decode requires PIL/ffmpeg, not present in this "
+        "environment; PNG, P6/PPM, PCM WAV and the FAKE test codec are "
+        "implemented"
     )
 
 
@@ -100,6 +109,127 @@ def decode_ppm(payload: bytes) -> tuple[int, int, np.ndarray]:
         raise NotImplementedError("only 8-bit PPM")
     arr = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     return w, h, arr.reshape(h, w, 3)
+
+
+# --- REAL codec: PNG (stdlib zlib; 8-bit grey/RGB/RGBA, non-interlaced) ---
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 6: 4}  # color_type -> samples/pixel (8-bit)
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """Minimal spec-conformant PNG encoder: 8-bit, filter 0 on every
+    scanline, one zlib IDAT. arr is [h, w] (grey), [h, w, 3] or [h, w, 4]."""
+    import zlib
+
+    arr = np.asarray(arr, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color_type = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """(width, height, uint8 array [h, w, channels]) from a PNG — stdlib
+    zlib inflate + the five scanline filters (None/Sub/Up/Average/Paeth),
+    RFC 2083 §6. 8-bit grey (type 0), RGB (2), RGBA (6), non-interlaced."""
+    import zlib
+
+    if payload[:8] != PNG_SIG:
+        raise NotImplementedError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            meta = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+    if meta is None:
+        raise NotImplementedError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = meta
+    if depth != 8 or color_type not in _PNG_CHANNELS or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color_type={color_type} interlace={interlace}"
+            " unsupported (8-bit grey/RGB/RGBA, non-interlaced only)"
+        )
+    ch = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (1 + stride):
+        raise NotImplementedError("PNG size mismatch (truncated IDAT?)")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(h):
+        row_start = y * (1 + stride)
+        ftype = raw[row_start]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=row_start + 1
+        ).astype(np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub — sequential in x, vectorized over channels
+            cur = line.copy()
+            for x in range(ch, stride):
+                cur[x] = (cur[x] + cur[x - ch]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            for x in range(stride):
+                left = cur[x - ch] if x >= ch else 0
+                cur[x] = (cur[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            for x in range(stride):
+                left = int(cur[x - ch]) if x >= ch else 0
+                ul = int(prev[x - ch]) if x >= ch else 0
+                cur[x] = (cur[x] + _paeth(left, int(prev[x]), ul)) & 0xFF
+        else:
+            raise NotImplementedError(f"PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return w, h, out.reshape(h, w, ch)
+
+
+def decode_image(payload: bytes) -> tuple[int, int, np.ndarray]:
+    """Dispatch P6/PPM or PNG by magic -> (w, h, uint8 [h, w, channels])."""
+    if payload[:2] == b"P6":
+        return decode_ppm(payload)
+    if payload[:8] == PNG_SIG:
+        return decode_png(payload)
+    raise NotImplementedError("unsupported image format (P6/PPM and PNG)")
 
 
 def resize_nearest(arr: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
@@ -216,8 +346,12 @@ def image_stats(df: DataFrame) -> DataFrame:
             out = {"media_id": [], "width": [], "height": [],
                    "mean_r": [], "mean_g": [], "mean_b": []}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                w, h, arr = decode_ppm(payload)
-                m = arr.reshape(-1, 3).mean(axis=0)
+                w, h, arr = decode_image(payload)
+                flat = arr.reshape(h * w, -1)
+                if flat.shape[1] == 1:  # grey: r=g=b
+                    m = np.repeat(flat.mean(axis=0), 3)
+                else:  # RGB / RGBA (alpha excluded from channel means)
+                    m = flat[:, :3].mean(axis=0)
                 out["media_id"].append(mid)
                 out["width"].append(w)
                 out["height"].append(h)
@@ -265,13 +399,18 @@ def resize_images(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
         for pdf in batches:
             ids, payloads = [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                _w, _h, arr = decode_ppm(payload)
-                small = resize_nearest(arr, out_w, out_h)
-                ids.append(mid)
-                payloads.append(
-                    f"P6\n{out_w} {out_h}\n255\n".encode()
-                    + np.ascontiguousarray(small, dtype=np.uint8).tobytes()
+                is_png = payload[:8] == PNG_SIG
+                _w, _h, arr = decode_image(payload)
+                small = np.ascontiguousarray(
+                    resize_nearest(arr, out_w, out_h), dtype=np.uint8
                 )
+                ids.append(mid)
+                if is_png:  # thumbnails keep their source format
+                    payloads.append(encode_png(small.squeeze(-1) if small.shape[-1] == 1 else small))
+                else:
+                    payloads.append(
+                        f"P6\n{out_w} {out_h}\n255\n".encode() + small.tobytes()
+                    )
             yield pd.DataFrame({"media_id": ids, "payload": payloads})
 
     return df.mapInPandas(_resize, schema="media_id long, payload binary")
