@@ -640,7 +640,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     # ---- text analysis ----
     def text_quality(spark, sf):
-        from cis455crawler_spark.functions.text import quality_score, token_count, word_char_ratio
+        """Cheap quality + Gopher-style repetition signals, all pure JVM
+        columns (no shuffle — per-doc statistics stay per-row)."""
+        from cis455crawler_spark.functions.text import (
+            dup_line_fraction,
+            dup_ngram_fraction,
+            quality_score,
+            token_count,
+            top_ngram_fraction,
+            word_char_ratio,
+        )
 
         docs = _load(spark, sf, "documents")
         return docs.select(
@@ -648,6 +657,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             token_count("text").alias("n_tok"),
             F.round(word_char_ratio("text"), 6).alias("alnum_ratio"),
             quality_score("text").alias("quality"),
+            F.round(top_ngram_fraction("text", 2), 6).alias("top_bigram_frac"),
+            F.round(dup_ngram_fraction("text", 3), 6).alias("dup_trigram_frac"),
+            F.round(dup_line_fraction("text"), 6).alias("dup_line_frac"),
         ).orderBy("doc_id")
 
     q["text_quality"] = text_quality
@@ -1318,13 +1330,41 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 0.0 END AS ratio,
                      list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
                                  x -> x <> '') AS toks
-              FROM documents)
-            SELECT doc_id, n_tok, ROUND(ratio, 6) AS alnum_ratio,
+              FROM documents),
+            grams AS (
+              SELECT doc_id, u.g AS g FROM base, UNNEST(
+                CASE WHEN len(toks) >= 2 THEN
+                  list_transform(range(1, len(toks)), i -> array_to_string(toks[i:i+1], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS u(g)
+              WHERE len(toks) > 0),
+            gcounts AS (SELECT doc_id, g, COUNT(*) AS c FROM grams GROUP BY 1, 2),
+            modes AS (SELECT doc_id, CAST(MAX(c) AS DOUBLE) / SUM(c) AS top2
+                      FROM gcounts GROUP BY doc_id),
+            tri AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3 THEN
+                       list_transform(range(1, len(toks) - 1),
+                                      i -> array_to_string(toks[i:i+2], ' '))
+                     ELSE [array_to_string(toks, ' ')] END AS g3,
+                     list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+                                 l -> l <> '') AS lines
+              FROM base)
+            SELECT b.doc_id, n_tok, ROUND(ratio, 6) AS alnum_ratio,
                    ROUND(((CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
                           + ratio
                           + (CASE WHEN len(list_intersect(list_distinct(toks),
-                               [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
-            FROM base ORDER BY doc_id
+                               [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                   ROUND(COALESCE(m.top2, 0.0), 6) AS top_bigram_frac,
+                   ROUND(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
+                         END, 6) AS dup_trigram_frac,
+                   ROUND(CASE WHEN len(lines) = 0 THEN 0.0
+                         ELSE CAST(len(lines) - len(list_distinct(lines)) AS DOUBLE)
+                              / len(lines) END, 6) AS dup_line_frac
+            FROM base b
+            LEFT JOIN modes m ON m.doc_id = b.doc_id
+            JOIN tri t ON t.doc_id = b.doc_id
+            ORDER BY b.doc_id
         """,
         "token_count_bpe": r"""
             SELECT doc_id,

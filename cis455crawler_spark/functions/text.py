@@ -156,6 +156,62 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(norm)
 
 
+def _max_run_count(arr: Column) -> Column:
+    """Multiplicity of the most frequent element of an ARRAY<STRING>:
+    sort, then longest run of equal adjacent elements via one aggregate
+    scan. O(n log n) per row, pure JVM — no shuffle, no Python. This is
+    the scale-correct shape for per-document mode statistics: an
+    explode+groupBy per doc would turn an embarrassingly parallel map
+    into two corpus-wide shuffles."""
+    s = F.array_sort(arr)
+    run = lambda a, x: F.when(x == a["prev"], a["run"]).otherwise(F.lit(0)) + 1
+    return F.aggregate(
+        s,
+        F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda a, x: F.struct(
+            x.alias("prev"),
+            run(a, x).alias("run"),
+            F.greatest(a["best"], run(a, x)).alias("best"),
+        ),
+        lambda a: a["best"],
+    )
+
+
+def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition signal: fraction of the document's n-gram
+    occurrences taken by the single most frequent n-gram (Gopher/MassiveText
+    'top n-gram fraction', Rae et al. 2021 §A1.1, expressed over token
+    counts). High values flag boilerplate/keyword-stuffed pages. 0.0 for
+    token-less documents."""
+    toks = tokenize(text)
+    grams = shingles(toks, n)
+    frac = _max_run_count(grams) / F.size(grams)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+
+def dup_ngram_fraction(text: Column | str, n: int = 3) -> Column:
+    """Fraction of n-gram occurrences that are repeats of an earlier
+    occurrence (Gopher's 'duplicate n-gram fraction' family): 1 -
+    distinct/total. Pure columns; 0.0 for token-less documents."""
+    toks = tokenize(text)
+    grams = shingles(toks, n)
+    frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+
+def dup_line_fraction(text: Column | str) -> Column:
+    """Fraction of non-blank lines that duplicate another line (Gopher's
+    'duplicate line fraction') — catches nav menus / footer spam repeated
+    down a page. 0.0 for documents with no non-blank lines."""
+    lines = F.filter(
+        F.transform(F.split(_c(text), r"\n"), lambda l: F.trim(l)),
+        lambda l: l != "",
+    )
+    nl = F.size(lines)
+    frac = (nl - F.size(F.array_distinct(lines))) / nl
+    return F.when(nl == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles as strings — input to MinHash/Jaccard dedup.
     JVM-side: transform over a sequence of start offsets."""

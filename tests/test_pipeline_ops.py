@@ -542,6 +542,79 @@ def test_text_analysis_cols(spark, sf_dir):
     assert {r["doc_id"]: r["fp"] for r in rows} == {r["doc_id"]: r["fp"] for r in rows2}
 
 
+def test_repetition_signals_vs_python_oracle(spark):
+    """Gopher-style repetition columns vs an independently written Python
+    oracle — multi-line docs (fixture documents are single-line, so
+    dup_line_fraction is only exercised here), heavy n-gram repetition,
+    and the empty/one-token edge cases."""
+    import re
+    from collections import Counter
+
+    from cis455crawler_spark.functions.text import (
+        dup_line_fraction,
+        dup_ngram_fraction,
+        top_ngram_fraction,
+    )
+
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "buy now buy now buy now buy now buy now",
+        "Home | About | Contact\nWelcome to the page\nHome | About | Contact\n\nHome | About | Contact",
+        "one line only",
+        "word",
+        "",
+        "   \n   \n",
+        "a b c d e f g h",  # all-distinct: zero repetition
+        "x x x x x x",      # single repeated token
+    ]
+
+    def py_toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def py_grams(toks, n):
+        if len(toks) >= n:
+            return [" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)]
+        return [" ".join(toks)]
+
+    def py_top(t, n):
+        toks = py_toks(t)
+        if not toks:
+            return 0.0
+        g = py_grams(toks, n)
+        return Counter(g).most_common(1)[0][1] / len(g)
+
+    def py_dup(t, n):
+        toks = py_toks(t)
+        if not toks:
+            return 0.0
+        g = py_grams(toks, n)
+        return (len(g) - len(set(g))) / len(g)
+
+    def py_lines(t):
+        lines = [l.strip() for l in t.split("\n") if l.strip()]
+        if not lines:
+            return 0.0
+        return (len(lines) - len(set(lines))) / len(lines)
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    got = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            top_ngram_fraction("text", 2).alias("top2"),
+            dup_ngram_fraction("text", 3).alias("dup3"),
+            dup_line_fraction("text").alias("dupl"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert abs(got[i]["top2"] - py_top(t, 2)) < 1e-9, (i, t)
+        assert abs(got[i]["dup3"] - py_dup(t, 3)) < 1e-9, (i, t)
+        assert abs(got[i]["dupl"] - py_lines(t)) < 1e-9, (i, t)
+    # the spam doc must score maximally repetitive, the distinct doc zero
+    assert got[8]["top2"] == 1.0 and got[7]["top2"] < 0.2
+    assert got[1]["dup3"] > 0.5 and got[7]["dup3"] == 0.0
+
+
 def test_sessionize_and_windows(spark, sf_dir):
     from cis455crawler_spark.streaming.events import sessionize, tumbling_event_counts
 
