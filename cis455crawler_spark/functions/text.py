@@ -212,6 +212,35 @@ def dup_line_fraction(text: Column | str) -> Column:
     return F.when(nl == 0, F.lit(0.0)).otherwise(frac.cast("double"))
 
 
+# PII patterns, restricted to regex constructs with identical semantics in
+# Java regex (Spark executors), RE2 (DuckDB oracle), and Python re (tests):
+# char classes, bounded repetition, \d, word boundary. Ordered: email first
+# so its digits-and-dots domain can never be half-eaten by the IP rule.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?", "[PHONE]"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+]
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace emails, international-format phone numbers, and IPv4
+    addresses with typed placeholder tokens ([EMAIL]/[PHONE]/[IP]) —
+    the standard pre-training redaction pass (RefinedWeb §3.4 does
+    exactly this class of regex scrub). Chained JVM regexp_replace;
+    zero Python."""
+    t = _c(text)
+    for _, pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return t
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-type PII match counts (audit columns for the redaction pass)."""
+    t = _c(text)
+    return {name: F.regexp_count(t, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+
+
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles as strings — input to MinHash/Jaccard dedup.
     JVM-side: transform over a sequence of start offsets."""

@@ -615,6 +615,103 @@ def test_repetition_signals_vs_python_oracle(spark):
     assert got[1]["dup3"] > 0.5 and got[7]["dup3"] == 0.0
 
 
+def test_duplicate_spans_and_decontaminate(spark):
+    """duplicate_span_stats + decontaminate vs an independent Python
+    oracle: a span planted in two docs, a within-doc repeat, a doc shorter
+    than the span, and a benchmark-overlap doc."""
+    import re
+    from collections import Counter
+
+    from cis455crawler_spark.operators.spans import decontaminate, duplicate_span_stats
+
+    shared = "alpha beta gamma delta epsilon"  # 5 tokens, shared across docs
+    docs = [
+        (1, f"unique one {shared} tail words here"),
+        (2, f"other opening {shared} different ending tokens"),
+        (3, "repeat me now repeat me now repeat me now"),  # within-doc dups
+        (4, "tiny doc"),  # shorter than span -> single whole-doc span
+        (5, "completely unrelated content with no overlaps at all everywhere"),
+    ]
+    span = 5
+
+    def py_toks(t):
+        return [w for w in re.split(r"[^a-z0-9]+", t.lower()) if w]
+
+    def py_spans(t):
+        toks = py_toks(t)
+        if not toks:
+            return []
+        if len(toks) < span:
+            return [" ".join(toks)]
+        return [" ".join(toks[i : i + span]) for i in range(len(toks) - span + 1)]
+
+    corpus = Counter(g for _, t in docs for g in py_spans(t))
+    expect = {}
+    for i, t in enumerate(docs):
+        sp = py_spans(t[1])
+        dup = sum(1 for g in sp if corpus[g] > 1)
+        expect[t[0]] = (len(sp), dup)
+
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in duplicate_span_stats(df, span=span).collect()
+    }
+    assert got == expect
+    # docs 1 and 2 share the planted span; doc 3 self-duplicates; 4/5 clean
+    assert got[1][1] > 0 and got[2][1] > 0 and got[3][1] > 0
+    assert got[4][1] == 0 and got[5][1] == 0
+
+    # decontamination: benchmark = doc 1; doc 2 shares a 5-gram with it
+    bench = df.filter(F.col("doc_id") == 1)
+    dec = {
+        r["doc_id"]: (r["n_contam_grams"], r["contaminated"])
+        for r in decontaminate(df, bench, n=span).collect()
+    }
+    b_grams = set(py_spans(docs[0][1]))
+    for did, t in docs:
+        n_hit = len(set(py_spans(t)) & b_grams)
+        assert dec[did] == (n_hit, 1 if n_hit else 0), (did, dec[did], n_hit)
+    assert dec[1][1] == 1 and dec[2][1] == 1 and dec[5][1] == 0
+
+
+def test_pii_redaction_vs_python_oracle(spark):
+    """redact_pii / pii_counts vs Python re on crafted strings — the same
+    patterns run on three engines (Java regex, RE2 oracle, Python re), so
+    the test pins the shared-construct subset actually behaving the same."""
+    import re
+
+    from cis455crawler_spark.functions.text import PII_PATTERNS, pii_counts, redact_pii
+
+    texts = [
+        "mail me at alice.smith+spam@sub.example.co.uk today",
+        "two mails a@b.io and c_d%e@f-g.org plus ip 192.168.0.1",
+        "call +1 555 0100 or +44 207 946 0958 now",
+        "no pii here at all",
+        "edge 999.999.999.999 still matches the ipv4 shape",
+        "not-an-ip 1.2.3.4.5 has five octets",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "text"])
+    counts = pii_counts("text")
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i",
+            redact_pii("text").alias("red"),
+            *[counts[name].alias(name) for name, _, _ in PII_PATTERNS],
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        red = t
+        for _, pat, repl in PII_PATTERNS:
+            red = re.sub(pat, repl, red)
+        assert rows[i]["red"] == red, (i, rows[i]["red"], red)
+        for name, pat, _ in PII_PATTERNS:
+            assert rows[i][name] == len(re.findall(pat, t)), (i, name)
+    assert "[EMAIL]" in rows[0]["red"] and "[IP]" in rows[1]["red"]
+    assert rows[2]["phone"] == 2 and rows[3]["red"] == texts[3]
+
+
 def test_sessionize_and_windows(spark, sf_dir):
     from cis455crawler_spark.streaming.events import sessionize, tumbling_event_counts
 
