@@ -578,6 +578,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ngram_jaccard_dups"] = ngram_jaccard_dups
 
+    def dedup_clusters(spark, sf):
+        """Duplicate-CLUSTER resolution: ngram-Jaccard pairs -> distributed
+        connected components (alternating large-star/small-star, Kiveris et
+        al. 2014) -> one canonical doc per cluster. The step pair generators
+        alone can't do: similarity pairs aren't transitive, so dedup needs
+        the component structure."""
+        from cis455crawler_spark.operators.components import resolve_duplicates
+        from cis455crawler_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+
+        docs = _load(spark, sf, "documents")
+        pairs = ngram_jaccard_pairs(docs, k=3, threshold=0.8)
+        return resolve_duplicates(docs, pairs).orderBy("doc_id")
+
+    q["dedup_clusters"] = dedup_clusters
+
     def minhash_lsh_dups(spark, sf):  # rows-only (engine-specific hashing)
         from cis455crawler_spark.operators.dedup_fuzzy import (
             minhash_jaccard,
@@ -732,6 +747,56 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pii_redact"] = pii_redact
 
+    def curate_corpus_e2e(spark, sf):
+        """The full training-data curation pass as ONE DAG: language gate,
+        quality gate, token-band gate, exact dedup (md5 fingerprint, keep
+        lowest doc_id), and 13-gram benchmark decontamination (benchmark =
+        docs 1-5), with the per-doc decision trail. kept=1 rows are the
+        surviving corpus; every signal column rides one scan of documents."""
+        from pyspark.sql import Window
+
+        from cis455crawler_spark.functions.text import (
+            fingerprint_md5,
+            lang_id,
+            quality_score,
+            token_count,
+        )
+        from cis455crawler_spark.operators.spans import decontaminate
+
+        docs = _load(spark, sf, "documents")
+        bench = docs.filter(F.col("doc_id") <= 5)
+        contam = decontaminate(docs, bench, n=13).select(
+            "doc_id", "contaminated"
+        )
+        sig = docs.select(
+            "doc_id",
+            token_count("text").alias("n_tok"),
+            quality_score("text").alias("quality"),
+            lang_id("text").alias("lang"),
+            fingerprint_md5("text").alias("fp"),
+        )
+        dup_rank = F.row_number().over(
+            Window.partitionBy("fp").orderBy("doc_id")
+        )
+        sig = sig.withColumn("dup_rank", dup_rank)
+        kept = (
+            (F.col("lang") == "en")
+            & (F.col("quality") >= 0.5)
+            & F.col("n_tok").between(10, 100000)
+            & (F.col("dup_rank") == 1)
+            & (F.col("contaminated") == 0)
+        )
+        return (
+            sig.join(contam, "doc_id")
+            .select(
+                "doc_id", "n_tok", "quality", "lang", "dup_rank",
+                "contaminated", kept.cast("int").alias("kept"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["curate_corpus_e2e"] = curate_corpus_e2e
+
     def json_extract_props(spark, sf):
         ev = _load(spark, sf, "events")
         k = F.get_json_object("props", "$.k").cast("int")
@@ -810,25 +875,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["streaming_tumbling_counts"] = streaming_tumbling_counts
 
     # ---- fetch-path filters & routing (O-F1/F2/F3) ----
-    def mime_size_filter(spark, sf):
-        docs = _load(spark, sf, "documents")
-        ct = (
-            F.when(F.col("doc_id") % 5 == 0, F.lit("text/html; charset=utf-8"))
-            .when(F.col("doc_id") % 5 == 1, F.lit("application/xhtml+xml"))
-            .when(F.col("doc_id") % 5 == 2, F.lit("image/png"))
-            .when(F.col("doc_id") % 5 == 3, F.lit("text/xml; charset=iso-8859-1"))
-            .otherwise(F.lit("application/pdf"))
-        )
-        allowed = F.array(
-            *[F.lit(t) for t in ("text/html", "text/xml", "application/xml", "application/xhtml+xml")]
-        )
-        mime_ok = F.exists(allowed, lambda t: ct.contains(t))
-        size_ok = F.col("n_chars").isNotNull() & (F.col("n_chars") <= 2000)
-        return docs.select(
-            "doc_id", ct.alias("content_type"), (mime_ok & size_ok).alias("passed")
-        ).orderBy("doc_id")
-
-    q["mime_size_filter"] = mime_size_filter
+    # mime_size_filter folded in round 3 (50-entry cap): the MIME
+    # allowlist + Content-Length gate stay oracle-covered by
+    # fetch_routing_crawl (the actual crawl fetch columns) and pytest.
 
     def fetch_routing_crawl(spark, sf):
         """The crawl plan's ACTUAL fetch-route derivation (functions/fetch.py
@@ -873,16 +922,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snippet_extract"] = snippet_extract
 
-    def http_date_format(spark, sf):
-        o = _load(spark, sf, "orders")
-        return o.select(
-            "o_orderkey",
-            F.concat(
-                F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss"), F.lit(" GMT")
-            ).alias("http_date"),
-        ).orderBy("o_orderkey")
-
-    q["http_date_format"] = http_date_format
+    # http_date_format folded in round 3 (50-entry cap): the If-Modified-
+    # Since date quirk rides window_suite_orders as the http_date column
+    # (same orders row grain) and stays pytest-covered on the recrawl path.
 
     # ---- postings assembly (O-A4/O-T3): rank-desc parallel lists per word ----
     def postings_assembly(spark, sf):
@@ -926,6 +968,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.ntile(4)
             .over(Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey"))
             .alias("price_quartile"),
+            # folded from the former http_date_format entry (round 3,
+            # 50-entry gate): the If-Modified-Since header date quirk
+            F.concat(
+                F.date_format("o_orderdate", "EEE, dd MMM yyyy HH:mm:ss"),
+                F.lit(" GMT"),
+            ).alias("http_date"),
         )
 
     q["window_suite_orders"] = window_suite_orders
@@ -1195,6 +1243,62 @@ def oracle_sql() -> dict[str, str]:
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red_text
             FROM planted ORDER BY doc_id
         """,
+        # one CTE chain reusing the verified fragments: text_quality's
+        # n_tok/ratio/stopword quality, lang_id's marker CASE (same
+        # tie-break), the md5-fingerprint dup_rank, and decontaminate's
+        # 13-gram benchmark overlap
+        "curate_corpus_e2e": f"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+                     CASE WHEN len(text) > 0 THEN
+                            CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]', '', 'g')) AS DOUBLE)
+                            / len(text)
+                          ELSE 0.0 END AS ratio,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS toks,
+                     md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+              FROM documents),
+            lng AS (
+              SELECT doc_id,
+                len(list_intersect(list_distinct(toks), ['the','and','of','to','is','in','that','it','for','with'])) AS h_en,
+                len(list_intersect(list_distinct(toks), ['der','die','das','und','ist','nicht','ein','mit','auf','sich'])) AS h_de,
+                len(list_intersect(list_distinct(toks), ['le','la','les','et','est','des','une','dans','que','pour'])) AS h_fr,
+                len(list_intersect(list_distinct(toks), ['el','los','las','es','en','una','por','con','para','del'])) AS h_es
+              FROM base),
+            sig AS (
+              SELECT b.doc_id, b.n_tok,
+                     ROUND(((CASE WHEN b.n_tok BETWEEN 10 AND 100000 THEN 1.0 ELSE 0.0 END)
+                            + b.ratio
+                            + (CASE WHEN len(list_intersect(list_distinct(b.toks),
+                                 [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                          WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                          WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                          WHEN h_en >= h_de THEN 'en'
+                          ELSE 'de' END AS lang,
+                     ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS dup_rank
+              FROM base b JOIN lng ON lng.doc_id = b.doc_id),
+            sp AS (
+              SELECT doc_id, u.g AS g FROM base, UNNEST(
+                CASE WHEN len(toks) >= 13 THEN
+                  list_transform(range(1, len(toks) - 11),
+                                 i -> array_to_string(toks[i:i+12], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS u(g)
+              WHERE len(toks) > 0),
+            bench AS (SELECT DISTINCT g FROM sp WHERE doc_id <= 5),
+            contam AS (SELECT DISTINCT doc_id FROM sp
+                       WHERE g IN (SELECT g FROM bench))
+            SELECT s.doc_id, s.n_tok, s.quality, s.lang, s.dup_rank,
+                   CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
+                   CASE WHEN s.lang = 'en' AND s.quality >= 0.5
+                             AND s.n_tok BETWEEN 10 AND 100000
+                             AND s.dup_rank = 1 AND c.doc_id IS NULL
+                        THEN 1 ELSE 0 END AS kept
+            FROM sig s LEFT JOIN contam c ON c.doc_id = s.doc_id
+            ORDER BY s.doc_id
+        """,
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS DECIMAL(20,2))) AS DOUBLE) AS sum_qty,
@@ -1394,6 +1498,46 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8
             ORDER BY id_a, id_b
         """,
+        # components oracle: recursive min-label propagation to fixpoint
+        # over the same Jaccard pair set; the lbl < v guard only prunes
+        # labels that can never be a node's component min (v itself is
+        # smaller and reaches everything L would via the same path)
+        "dedup_clusters": """
+            WITH RECURSIVE toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sh AS (
+              SELECT doc_id, u.s AS sh FROM toks, UNNEST(
+                CASE WHEN len(t) >= 3 THEN
+                  list_distinct(list_transform(range(1, len(t) - 1),
+                                i -> array_to_string(t[i:i+2], ' ')))
+                ELSE [array_to_string(t, ' ')] END) AS u(s)),
+            sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
+            common AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
+              FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2),
+            pairs AS (
+              SELECT id_a, id_b
+              FROM common JOIN sizes sa ON sa.doc_id = id_a
+                          JOIN sizes sb ON sb.doc_id = id_b
+              WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.8),
+            edges AS (
+              SELECT id_a AS u, id_b AS v FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+            walk(id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.v, w.lbl FROM walk w JOIN edges e ON e.u = w.id
+              WHERE w.lbl < e.v),
+            comp AS (SELECT id, MIN(lbl) AS cluster_id FROM walk GROUP BY id)
+            SELECT d.doc_id, c.cluster_id,
+                   CASE WHEN c.cluster_id = d.doc_id THEN 1 ELSE 0 END AS is_canonical
+            FROM documents d JOIN comp c ON c.id = d.doc_id
+            ORDER BY d.doc_id
+        """,
         "embedding_cosine_topk": """
             WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id IN (1,2,3)),
@@ -1481,22 +1625,6 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n, ROUND(SUM(value), 4) AS total_value
             FROM events GROUP BY 1, 2 ORDER BY 1, 2
         """,
-        "mime_size_filter": """
-            WITH typed AS (
-              SELECT doc_id, n_chars,
-                     CASE WHEN doc_id % 5 = 0 THEN 'text/html; charset=utf-8'
-                          WHEN doc_id % 5 = 1 THEN 'application/xhtml+xml'
-                          WHEN doc_id % 5 = 2 THEN 'image/png'
-                          WHEN doc_id % 5 = 3 THEN 'text/xml; charset=iso-8859-1'
-                          ELSE 'application/pdf' END AS content_type
-              FROM documents)
-            SELECT doc_id, content_type,
-                   ((contains(content_type, 'text/html') OR contains(content_type, 'text/xml')
-                     OR contains(content_type, 'application/xml')
-                     OR contains(content_type, 'application/xhtml+xml'))
-                    AND n_chars IS NOT NULL AND n_chars <= 2000) AS passed
-            FROM typed ORDER BY doc_id
-        """,
         "fetch_routing_crawl": f"""
             {doc_urls},
             meta AS (
@@ -1523,11 +1651,6 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN p > 0 THEN substring(text, greatest(1, p - 20), 75) END AS snippet
             FROM pos ORDER BY doc_id
         """,
-        "http_date_format": """
-            SELECT o_orderkey,
-                   strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS http_date
-            FROM orders ORDER BY o_orderkey
-        """,
         "postings_assembly": f"""
             {tokens},
             tf AS (SELECT word, doc_id, COUNT(*) AS tf FROM tokens GROUP BY word, doc_id)
@@ -1547,7 +1670,8 @@ def oracle_sql() -> dict[str, str]:
                    RANK() OVER wb AS band_rank,
                    DENSE_RANK() OVER wb AS band_dense,
                    NTILE(4) OVER (PARTITION BY o_orderstatus
-                                  ORDER BY o_totalprice, o_orderkey) AS price_quartile
+                                  ORDER BY o_totalprice, o_orderkey) AS price_quartile,
+                   strftime(o_orderdate, '%a, %d %b %Y %H:%M:%S') || ' GMT' AS http_date
             FROM orders
             WINDOW w  AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
                    wb AS (PARTITION BY o_custkey

@@ -900,3 +900,70 @@ def test_asof_null_ts_and_column_collisions(spark):
     right2 = spark.createDataFrame([(1, None, 99.0)], "k int, ts timestamp, v double")
     row2 = asof_join_backward(left, right2, on=["k"], right_value_cols=["v"]).collect()[0]
     assert row2["asof_v"] is None and row2["asof_ts"] is None
+
+
+def test_connected_components_vs_union_find(spark):
+    """Large-star/small-star components vs an independent union-find oracle:
+    a chain (the worst case for plain min-label propagation), a star, a pair,
+    and a seeded random graph with self-loops."""
+    import random
+
+    from cis455crawler_spark.operators.components import (
+        connected_components,
+        resolve_duplicates,
+    )
+
+    edges = (
+        [(i, i + 1) for i in range(1, 8)]  # chain 1..8
+        + [(20, k) for k in range(21, 26)]  # star
+        + [(30, 31)]
+    )
+    rng = random.Random(7)
+    nodes = list(range(100, 140))
+    edges += [(rng.choice(nodes), rng.choice(nodes)) for _ in range(30)]
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    expect = {x: find(x) for x in parent}
+    # oracle labels are component minima by construction of the union rule
+    mins: dict[int, int] = {}
+    for x, r in expect.items():
+        mins[r] = min(mins.get(r, x), x)
+    expect = {x: mins[r] for x, r in expect.items()}
+    # self-loop-only nodes never enter the Spark edge set
+    for a, b in edges:
+        if a == b and all(x != a or y != a for x, y in edges if x != y):
+            pass
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    # drop oracle nodes that only ever appeared in self-loops
+    touched = {x for a, b in edges if a != b for x in (a, b)}
+    assert got == {x: c for x, c in expect.items() if x in touched}
+
+    ids = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 20, 21, 30, 31, 40]], ["doc_id"]
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (20, 21), (30, 31)], ["id_a", "id_b"]
+    )
+    res = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in resolve_duplicates(ids, pairs).collect()
+    }
+    assert res == {
+        1: (1, 1), 2: (1, 0), 3: (1, 0), 20: (20, 1),
+        21: (20, 0), 30: (30, 1), 31: (30, 0), 40: (40, 1),
+    }
