@@ -912,15 +912,67 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # title_extract folded in round 3 (50-entry cap): O-X6 is covered by
     # meta_title_rank (title_of over real html -> postings membership) and
     # search_serve_e2e's title column
-    def snippet_extract(spark, sf):
-        docs = _load(spark, sf, "documents")
-        pos = F.locate("spark", F.lower(F.col("text")))
-        snip = F.when(
-            pos > 0, F.substring(F.col("text"), F.greatest(F.lit(1), pos - 20), 75)
-        )
-        return docs.select("doc_id", snip.alias("snippet")).orderBy("doc_id")
+    # snippet_extract folded in the round-3 third pass (50-entry cap):
+    # O-X7 stays oracle-covered by search_serve_e2e's snippet column
+    # (same locate/substring kernel over the pages join).
 
-    q["snippet_extract"] = snippet_extract
+    def stratified_sample_docs(spark, sf):
+        """Temperature-weighted corpus mixing (the multilingual-LM sampling
+        recipe): per-language rate ∝ sqrt(count) normalized to a 50% token
+        budget, then DETERMINISTIC hash-mod selection — a doc is sampled iff
+        its md5(doc_id) 8-hex prefix sorts below the bucket's rate threshold.
+        No RNG: the same doc set is selected on every engine and every run,
+        which is how reproducible pipeline sampling is actually done (and
+        what makes the entry strict-oracle-able)."""
+        from cis455crawler_spark.functions.text import lang_id
+
+        docs = _load(spark, sf, "documents").select(
+            "doc_id", lang_id("text").alias("lang")
+        )
+        counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+        wall = Window.partitionBy()
+        rates = counts.select(
+            "lang",
+            "n_lang",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(0.5)
+                    * F.sum("n_lang").over(wall)
+                    * F.sqrt("n_lang")
+                    / F.sum(F.sqrt("n_lang")).over(wall)
+                    / F.col("n_lang"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+        thr = F.lower(
+            F.lpad(
+                F.hex(F.floor(F.col("rate") * F.lit(4294967296.0)).cast("bigint")),
+                8,
+                "0",
+            )
+        )
+        return (
+            docs.join(F.broadcast(rates), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                "n_lang",
+                "rate",
+                # rate >= 1 short-circuits: lpad would truncate the 9-digit
+                # hex of 2^32 and silently under-sample the full bucket
+                F.when(F.col("rate") >= 1.0, 1)
+                .when(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8) < thr, 1
+                )
+                .otherwise(0)
+                .alias("sampled"),
+            )
+            .orderBy("doc_id")
+        )
+
+    q["stratified_sample_docs"] = stratified_sample_docs
 
     # http_date_format folded in round 3 (50-entry cap): the If-Modified-
     # Since date quirk rides window_suite_orders as the http_date column
@@ -1645,11 +1697,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'parse' END AS action
             FROM meta ORDER BY doc_id
         """,
-        "snippet_extract": """
-            WITH pos AS (SELECT doc_id, text, strpos(lower(text), 'spark') AS p FROM documents)
-            SELECT doc_id,
-                   CASE WHEN p > 0 THEN substring(text, greatest(1, p - 20), 75) END AS snippet
-            FROM pos ORDER BY doc_id
+        "stratified_sample_docs": """
+            WITH base AS (
+              SELECT doc_id,
+                     list_distinct(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS toks
+              FROM documents),
+            hits AS (
+              SELECT doc_id,
+                len(list_intersect(toks, ['the','and','of','to','is','in','that','it','for','with'])) AS h_en,
+                len(list_intersect(toks, ['der','die','das','und','ist','nicht','ein','mit','auf','sich'])) AS h_de,
+                len(list_intersect(toks, ['le','la','les','et','est','des','une','dans','que','pour'])) AS h_fr,
+                len(list_intersect(toks, ['el','los','las','es','en','una','por','con','para','del'])) AS h_es
+              FROM base),
+            langs AS (
+              SELECT doc_id,
+                     CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                          WHEN h_fr >= h_es AND h_fr >= h_en AND h_fr >= h_de THEN 'fr'
+                          WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
+                          WHEN h_en >= h_de THEN 'en'
+                          ELSE 'de' END AS lang
+              FROM hits),
+            counts AS (SELECT lang, COUNT(*) AS n_lang FROM langs GROUP BY lang),
+            rates AS (
+              SELECT lang, n_lang,
+                     ROUND(LEAST(1.0,
+                       0.5 * (SUM(n_lang) OVER ()) * sqrt(n_lang)
+                       / (SUM(sqrt(n_lang)) OVER ()) / n_lang), 6) AS rate
+              FROM counts)
+            SELECT l.doc_id, l.lang, r.n_lang, r.rate,
+                   CASE WHEN r.rate >= 1.0 THEN 1
+                        WHEN substr(md5(CAST(l.doc_id AS VARCHAR)), 1, 8)
+                             < lpad(lower(hex(CAST(floor(r.rate * 4294967296.0) AS BIGINT))), 8, '0')
+                        THEN 1 ELSE 0 END AS sampled
+            FROM langs l JOIN rates r ON r.lang = l.lang
+            ORDER BY l.doc_id
         """,
         "postings_assembly": f"""
             {tokens},

@@ -55,6 +55,9 @@ BENCH_QUERIES = [
     "minhash_lsh_dups",
     "simhash_dups",
     "ngram_jaccard_dups",
+    "dedup_clusters",
+    "dup_span_stats",
+    "curate_corpus_e2e",
     "embedding_cosine_topk",
     "ann_ivf_topk",
     "asof_last_click",

@@ -967,3 +967,32 @@ def test_connected_components_vs_union_find(spark):
         1: (1, 1), 2: (1, 0), 3: (1, 0), 20: (20, 1),
         21: (20, 0), 30: (30, 1), 31: (30, 0), 40: (40, 1),
     }
+
+
+def test_stratified_sample_rates_realized(spark, sf_dir):
+    """Deterministic hash-mod sampling must realize each bucket's target
+    rate (binomial tolerance) and be exactly reproducible run-to-run."""
+    import math
+
+    from __spark_entry__ import queries
+
+    fn = queries()["stratified_sample_docs"]
+    rows = fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    assert len(by_lang) >= 2  # the fixture has a language mix
+    for lang, rs in by_lang.items():
+        rate = rs[0]["rate"]
+        got = sum(r["sampled"] for r in rs)
+        n = len(rs)
+        # 4-sigma binomial band (hash prefixes are uniform)
+        tol = 4 * math.sqrt(max(rate * (1 - rate) * n, 1.0))
+        assert abs(got - rate * n) <= tol, (lang, got, rate * n, tol)
+    # sqrt temperature upweights rare buckets: smallest bucket's rate must
+    # be >= the largest bucket's
+    smallest = min(by_lang.values(), key=len)[0]
+    largest = max(by_lang.values(), key=len)[0]
+    assert smallest["rate"] >= largest["rate"]
+    again = {r["doc_id"]: r["sampled"] for r in fn(spark, sf_dir).collect()}
+    assert again == {r["doc_id"]: r["sampled"] for r in rows}

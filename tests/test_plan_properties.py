@@ -22,7 +22,8 @@ LAZY_ENTRIES = [
     "asof_last_click",
     "window_suite_orders",
     "fetch_routing_crawl",
-    "snippet_extract",
+    "stratified_sample_docs",
+    "curate_corpus_e2e",
     "embedding_cosine_topk",
 ]
 
