@@ -930,6 +930,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id", lang_id("text").alias("lang")
         )
         counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+        # the empty-partition window runs over the aggregated COUNTS table
+        # (one row per language, bounded by #languages) — the single-
+        # partition warning it triggers is about those few rows, never the
+        # corpus; the corpus side only sees a broadcast join of the rates
         wall = Window.partitionBy()
         rates = counts.select(
             "lang",

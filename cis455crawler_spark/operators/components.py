@@ -78,6 +78,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    rounds_out: list | None = None,
 ) -> DataFrame:
     """(id, component) for every node appearing in `edges`; component is
     the minimum node id of the node's connected component (so component
@@ -105,6 +106,8 @@ def connected_components(
         nsig = _sig(nxt)
         e = nxt
         if nsig == sig:
+            if rounds_out is not None:
+                rounds_out.append(i + 1)
             break
         sig = nsig
     else:

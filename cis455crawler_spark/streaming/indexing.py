@@ -1,0 +1,166 @@
+"""Incremental inverted-index maintenance over a stream of (re)crawled
+pages — the capability the reference lacks entirely: its Indexer is a
+batch MapReduce job re-run over the whole page store
+(/root/reference/Indexer/src/edu/upenn/cis455/mapreduce/job/Indexer.java),
+so every recrawl pays a full rebuild. Here the index is maintained as a
+STATE TABLE of per-document term statistics, updated per micro-batch, from
+which the reference's exact rank formula is recomputed on demand.
+
+The decomposition that makes this incremental:
+
+  * tf, max_tf, is_title, is_meta are PER-DOCUMENT — a changed page
+    invalidates only its own rows, so the micro-batch update is a per-doc
+    replacement MERGE (anti-join out the re-crawled doc_ids, union the
+    fresh rows). No global state is touched.
+  * df (document frequency) and therefore rank are CORPUS-GLOBAL — they
+    are one window count over the maintained stats table, recomputed at
+    read time with arithmetic identical to operators/indexer.py's
+    bug-compatible formula. At 100 TB this read-time window is the same
+    single shuffle the batch indexer pays ONCE — but the per-batch
+    maintenance cost is proportional to the batch, not the corpus.
+
+Invariant (tested across micro-batches incl. a recrawled doc):
+rank_from_stats(state) == operators.indexer.postings(final corpus),
+row-for-row. State persists through sources/tables.SnapshotStore (atomic
+manifest swap per batch, time-travel-able like every other table).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import remove_stopwords, tokenize
+from ..operators.indexer import IDF_CORPUS, W_META, W_TFIDF, W_TITLE
+
+STATS_TABLE = "tf_stats"
+
+
+def doc_term_stats(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    title_col: str | None = None,
+    meta_col: str | None = None,
+) -> DataFrame:
+    """(doc_id, word, tf, max_tf, is_title, is_meta) — everything the rank
+    formula needs that is derivable from the document ALONE. One groupBy
+    on (doc_id, word) plus a per-doc window; both partition by doc_id, so
+    a micro-batch of B docs costs O(B) regardless of corpus size."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
+        *([F.lower(F.col(title_col)).alias("_title")] if title_col else []),
+        *([F.lower(F.col(meta_col)).alias("_meta")] if meta_col else []),
+    )
+    tf = toks.groupBy(
+        "doc_id",
+        "word",
+        *(["_title"] if title_col else []),
+        *(["_meta"] if meta_col else []),
+    ).agg(F.count("*").alias("tf"))
+    tf = tf.withColumn("max_tf", F.max("tf").over(Window.partitionBy("doc_id")))
+    is_title = (
+        F.when(F.array_contains(tokenize(F.col("_title")), F.col("word")), 1).otherwise(0)
+        if title_col
+        else F.lit(0)
+    )
+    is_meta = (
+        F.when(F.array_contains(tokenize(F.col("_meta")), F.col("word")), 1).otherwise(0)
+        if meta_col
+        else F.lit(0)
+    )
+    return tf.select(
+        "doc_id",
+        "word",
+        "tf",
+        "max_tf",
+        is_title.alias("is_title"),
+        is_meta.alias("is_meta"),
+    )
+
+
+def merge_doc_stats(state: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """Per-document replacement MERGE: every doc_id present in `delta`
+    (new page or recrawl) has its old rows dropped wholesale, then the
+    fresh rows appended — a page's token set changes as a unit, so row-
+    level upserts would leave stale terms behind. One broadcast-able
+    anti-join on the (small) batch doc-id set; the state table never
+    shuffles on anything but its own doc_id."""
+    if state is None:
+        return delta
+    changed = delta.select("doc_id").distinct()
+    return state.join(F.broadcast(changed), "doc_id", "left_anti").unionByName(delta)
+
+
+def rank_from_stats(stats: DataFrame, bug_compatible: bool = True) -> DataFrame:
+    """The reference's rank over the maintained stats table — identical
+    arithmetic to operators/indexer.postings (Indexer.java:212-232,
+    including the int-division idf quirk); df is the one corpus-global
+    window recomputed at read time."""
+    out = stats.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+    if bug_compatible:
+        tf_prime = 0.5 + 0.5 * F.col("tf") / F.col("max_tf")
+        idf = F.log(F.floor(F.lit(IDF_CORPUS) / F.col("df")).cast("double"))
+    else:
+        tf_prime = 0.5 + 0.5 * (F.col("tf") / F.col("max_tf"))
+        idf = F.log(F.lit(float(IDF_CORPUS)) / F.col("df"))
+    return out.select(
+        "doc_id",
+        "word",
+        "tf",
+        "max_tf",
+        "df",
+        "is_title",
+        "is_meta",
+        (
+            F.lit(W_TFIDF) * tf_prime * idf
+            + F.lit(W_TITLE) * F.col("is_title")
+            + F.lit(W_META) * F.col("is_meta")
+        ).alias("rank"),
+    )
+
+
+def run_incremental_index(
+    spark,
+    input_dir: str,
+    state_root: str,
+    schema: str = "doc_id long, text string, title string",
+    title_col: str | None = "title",
+    meta_col: str | None = None,
+) -> int:
+    """Drain `input_dir` (a parquet directory new page files land in) with
+    a Trigger.AvailableNow file stream; each micro-batch merges its docs'
+    term stats into the SnapshotStore state table (atomic manifest swap per
+    batch — a killed job resumes from the last committed batch via the
+    stream checkpoint + manifest, same recovery story as the crawl).
+    Returns the number of micro-batches processed."""
+    from ..sources.tables import SnapshotStore
+
+    store = SnapshotStore(spark, state_root)
+    n_batches = [0]
+
+    def _merge_batch(batch: DataFrame, batch_id: int) -> None:
+        delta = doc_term_stats(
+            batch, title_col=title_col, meta_col=meta_col
+        )
+        state = store.read(STATS_TABLE)
+        merged = merge_doc_stats(state, delta)
+        # the replace writes into a fresh uuid dir while reading the old
+        # one, then swaps the manifest — never an in-place overwrite
+        store.commit_round(
+            store.current_round() + 1, replaces={STATS_TABLE: merged}
+        )
+        n_batches[0] += 1
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)  # one landed file = one batch
+        .parquet(input_dir)
+        .writeStream.foreachBatch(_merge_batch)
+        .option("checkpointLocation", f"{state_root}/_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return n_batches[0]

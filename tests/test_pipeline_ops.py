@@ -996,3 +996,20 @@ def test_stratified_sample_rates_realized(spark, sf_dir):
     assert smallest["rate"] >= largest["rate"]
     again = {r["doc_id"]: r["sampled"] for r in fn(spark, sf_dir).collect()}
     assert again == {r["doc_id"]: r["sampled"] for r in rows}
+
+
+def test_connected_components_chain_converges_logarithmically(spark):
+    """A 256-node chain is the adversarial case for min-label propagation
+    (needs ~n rounds); alternating large-star/small-star must collapse it
+    in O(log n) rounds — the property that makes components viable on
+    web-scale dedup graphs."""
+    from cis455crawler_spark.operators.components import connected_components
+
+    n = 256
+    df = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["src", "dst"])
+    rounds: list = []
+    got = connected_components(df, rounds_out=rounds).collect()
+    assert {r["id"] for r in got} == set(range(n))
+    assert all(r["component"] == 0 for r in got)
+    # log2(256) = 8; allow 2x slack plus the final no-change round
+    assert rounds and rounds[0] <= 17, rounds
