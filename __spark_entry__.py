@@ -1034,24 +1034,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["window_suite_orders"] = window_suite_orders
 
-    def cube_counts(spark, sf):
-        o = _load(spark, sf, "orders")
-        return (
-            o.cube("o_orderstatus", "o_orderpriority")
-            .agg(
-                F.count("*").alias("n"),
-                F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("total_cents"),
-            )
-            .select(
-                F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
-                F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
-                "n",
-                "total_cents",
-            )
-            .orderBy("status", "priority")
-        )
+    def lm_bigram_quality(spark, sf):
+        """CCNet/RefinedWeb-style corpus-quality signal: per-doc bigram
+        cross-entropy under an add-one LM trained on the corpus itself
+        (operators/lm_quality.py). Replaces the former cube_counts entry
+        (round 3, 50-entry gate): CUBE is the same grouping-sets family as
+        rollup_lineitem and keeps pytest coverage (tests/test_lm_quality.py)."""
+        from cis455crawler_spark.operators.lm_quality import bigram_lm_score
 
-    q["cube_counts"] = cube_counts
+        docs = _load(spark, sf, "documents")
+        return bigram_lm_score(docs).orderBy("doc_id")
+
+    q["lm_bigram_quality"] = lm_bigram_quality
 
     def full_outer_nation_balance(spark, sf):
         c = _load(spark, sf, "customer").groupBy("c_nationkey").agg(
@@ -1763,13 +1757,32 @@ def oracle_sql() -> dict[str, str]:
                    wb AS (PARTITION BY o_custkey
                           ORDER BY CAST(FLOOR(o_totalprice / 1000) AS BIGINT) DESC)
         """,
-        "cube_counts": """
-            SELECT COALESCE(o_orderstatus, 'ALL') AS status,
-                   COALESCE(o_orderpriority, 'ALL') AS priority,
-                   COUNT(*) AS n,
-                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
-            FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-            ORDER BY status, priority
+        "lm_bigram_quality": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            bg AS (
+              SELECT doc_id, u.bg AS bg
+              FROM toks, UNNEST(CASE WHEN len(t) >= 2
+                                     THEN list_transform(range(1, len(t)),
+                                                         i -> t[i] || ' ' || t[i+1])
+                                     ELSE [] END) AS u(bg)),
+            bc AS (SELECT bg, COUNT(*) AS c_big FROM bg GROUP BY bg),
+            cc AS (SELECT split_part(bg, ' ', 1) AS w1, COUNT(*) AS c_ctx
+                   FROM bg GROUP BY 1),
+            v AS (SELECT COUNT(DISTINCT u.w) AS v FROM toks, UNNEST(t) AS u(w)),
+            scored AS (
+              SELECT doc_id,
+                     CAST(ROUND(-LN((c_big + 1.0) / (c_ctx + 1.0 * v)) * 1e6)
+                          AS BIGINT) AS lp_micro
+              FROM bg JOIN bc USING (bg)
+              JOIN cc ON split_part(bg.bg, ' ', 1) = cc.w1
+              CROSS JOIN v)
+            SELECT doc_id, COUNT(*) AS n_bigrams,
+                   ROUND(SUM(lp_micro) / 1e6 / COUNT(*), 6) AS xent
+            FROM scored GROUP BY doc_id ORDER BY doc_id
         """,
         "full_outer_nation_balance": """
             WITH c AS (SELECT c_nationkey, COUNT(*) AS n_cust,
