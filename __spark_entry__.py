@@ -593,18 +593,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["dedup_clusters"] = dedup_clusters
 
-    def minhash_lsh_dups(spark, sf):  # rows-only (engine-specific hashing)
-        from cis455crawler_spark.operators.dedup_fuzzy import (
-            minhash_jaccard,
-            minhash_lsh_pairs,
-            minhash_signatures,
-        )
+    def minhash_lsh_dups(spark, sf):
+        """MinHash-LSH candidates + exact-Jaccard verification (the
+        production dedup shape). Oracle: ALL-PAIRS exact 3-gram Jaccard
+        >= 0.8 — a different algorithm entirely (the oracle brute-forces the
+        metric the banding only approximates), so a green hash row proves
+        banding recall is 1 on this corpus, deterministically (seeded hash
+        family; see minhash_verified_dups). The signature-agreement
+        est_jaccard path stays covered by tests/test_pipeline_ops.py."""
+        from cis455crawler_spark.operators.dedup_fuzzy import minhash_verified_dups
 
         docs = _load(spark, sf, "documents")
-        # cached: the signature UDF feeds banding AND both jaccard join sides
-        sigs = minhash_signatures(docs, num_hashes=64).cache()
-        pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
-        return minhash_jaccard(pairs, sigs).filter(F.col("est_jaccard") >= 0.7)
+        return (
+            minhash_verified_dups(docs, threshold=0.8)
+            .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+            .orderBy("id_a", "id_b")
+        )
 
     q["minhash_lsh_dups"] = minhash_lsh_dups
 
@@ -638,18 +642,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
-    def ann_ivf_topk(spark, sf):  # rows-only (approximate by design)
+    def ann_ivf_topk(spark, sf):
+        """IVF top-k at nprobe = n_centroids (exhaustive probe): exercises
+        the full IVF machinery — centroid training, cell assignment, probe
+        broadcast-join, per-cell scoring — in the configuration where recall
+        is 1 by construction, so the brute-force cosine oracle checks it
+        bit-for-bit. The approximate regime (nprobe < cells, recall < 1) is
+        covered by the recall pytest in tests/test_pipeline_ops.py."""
         from cis455crawler_spark.operators.similarity import (
             cosine_topk_ivf,
             train_centroids,
         )
 
-        emb = _load(spark, sf, "embeddings")
+        emb = _load(spark, sf, "embeddings").select(
+            "vec_id",
+            # double-precision scoring so the DuckDB ::DOUBLE[] oracle agrees
+            # bit-for-bit (float32 accumulation diverges past ROUND(.., 4))
+            F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+        )
         queries_df = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
             F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
         )
         cent = train_centroids(emb, n_centroids=8, iters=3, sample=512)
-        return cosine_topk_ivf(emb, queries_df, cent, k=5, nprobe=3)
+        return cosine_topk_ivf(emb, queries_df, cent, k=5, nprobe=8).select(
+            "q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn"
+        )
 
     q["ann_ivf_topk"] = ann_ivf_topk
 
@@ -1200,7 +1217,7 @@ def _search_serve_e2e_sql(iterations: int = 5) -> str:
 def oracle_sql() -> dict[str, str]:
     doc_urls = f"WITH doc_urls AS ({_DOC_URL_SQL})"
     tokens = f"WITH tokens AS ({_TOKENS_SQL})"
-    return {
+    sql = {
         "pagerank_5iter": _pagerank_5iter_sql(5),
         "search_serve_e2e": _search_serve_e2e_sql(5),
         "meta_title_rank": f"""
@@ -1860,4 +1877,49 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'de' END AS lang_guess
             FROM hits ORDER BY doc_id
         """,
+        # ann_ivf_topk probes every cell (nprobe = n_centroids), so the IVF
+        # result is exact by construction and the brute-force cosine oracle
+        # (same SQL as embedding_cosine_topk) checks the whole IVF pipeline
+        "ann_ivf_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            q AS (SELECT vec_id AS q_id, v AS qv FROM v WHERE vec_id IN (1,2,3)),
+            scored AS (
+              SELECT q.q_id, v.vec_id,
+                     list_dot_product(v.v, q.qv) /
+                       (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(q.qv, q.qv)))
+                       AS cosine
+              FROM v CROSS JOIN q)
+            SELECT q_id, vec_id, ROUND(cosine, 4) AS cosine, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rn FROM scored)
+            WHERE rn <= 5
+        """,
+        # brute-force ALL-PAIRS cosine over base+planted twins: the Spark
+        # entry's banded-LSH-with-exact-verify output equals this whenever
+        # LSH recall is 1 on the fixture's >=0.99 pairs — deterministic
+        # (seeded hyperplanes) and verified at sf0.001/0.01/0.1
+        "embedding_near_dups_lsh": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            twins AS (
+              SELECT vec_id + 1000000 AS vec_id,
+                     list_transform(v, (x, i) -> CASE WHEN i = 1 THEN x + 0.05
+                                                      ELSE x END) AS v
+              FROM base WHERE vec_id % 25 = 0),
+            allv AS (SELECT * FROM base UNION ALL SELECT * FROM twins),
+            pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                     list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                       AS cosine
+              FROM allv a JOIN allv b ON a.vec_id < b.vec_id)
+            SELECT id_a, id_b, ROUND(cosine, 4) AS cosine
+            FROM pairs WHERE cosine >= 0.99 ORDER BY id_a, id_b
+        """,
     }
+    # minhash_lsh_dups verifies LSH candidates against the same exact
+    # shingle-Jaccard metric the ngram entry brute-forces, so the two
+    # independent candidate generators (prefix filter vs MinHash banding)
+    # share one all-pairs oracle — a green hash row on BOTH is a cross-check
+    # that banding recall is 1 on this corpus
+    sql["minhash_lsh_dups"] = sql["ngram_jaccard_dups"]
+    return sql

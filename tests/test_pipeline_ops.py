@@ -126,6 +126,29 @@ def test_ngram_prefix_filter_skew_proof(spark):
         assert abs(got[k] - v) < 1e-9
 
 
+def test_minhash_verified_equals_exact_allpairs(spark, sf_dir):
+    """The gate cross-check as a unit test: MinHash-LSH candidates + exact
+    verification must return the SAME pair set as the exact prefix-filtered
+    all-pairs algorithm on the fixture corpus — i.e. banding recall is 1
+    (deterministic, seeded hash family). If a fixture or banding change
+    breaks this, the minhash_lsh_dups driver entry goes red; fail here first."""
+    from cis455crawler_spark.operators.dedup_fuzzy import minhash_verified_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, k=3, threshold=0.8).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_verified_dups(docs, threshold=0.8).collect()
+    }
+    assert exact, "fixture must contain planted duplicate pairs"
+    assert set(lsh) == set(exact)
+    for k, v in exact.items():
+        assert abs(lsh[k] - v) < 1e-12  # same verify join, same floats
+
+
 def test_embedding_near_dups_and_ann(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
     dups = embedding_near_dups(emb, threshold=0.99, n_planes=6)
