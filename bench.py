@@ -60,6 +60,7 @@ BENCH_QUERIES = [
     "curate_corpus_e2e",
     "embedding_cosine_topk",
     "ann_ivf_topk",
+    "lm_bigram_quality",
     "asof_last_click",
     "fetch_routing_crawl",
     "pagerank_5iter",
