@@ -612,11 +612,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["minhash_lsh_dups"] = minhash_lsh_dups
 
-    def simhash_dups(spark, sf):  # rows-only
+    def simhash_dups(spark, sf):
+        """SimHash near-dup pairs with the md5 token-hash family: md5 is
+        computed identically by Spark and DuckDB, and the 4-block pigeonhole
+        banding is COMPLETE for hamming <= 3, so the all-pairs SQL oracle
+        checks the full operator (bit-sums, banding, hamming verify) exactly
+        — no recall caveat at all. The faster xxhash64 family (same code
+        path, different bit source) is differential-tested in pytest."""
         from cis455crawler_spark.operators.dedup_fuzzy import simhash64, simhash_near_pairs
 
         docs = _load(spark, sf, "documents")
-        return simhash_near_pairs(simhash64(docs), max_hamming=3)
+        return (
+            simhash_near_pairs(simhash64(docs, token_hash="md5"), max_hamming=3)
+            .select("id_a", "id_b", F.col("hamming").cast("long").alias("hamming"))
+            .orderBy("id_a", "id_b")
+        )
 
     q["simhash_dups"] = simhash_dups
 
@@ -1922,4 +1932,44 @@ def oracle_sql() -> dict[str, str]:
     # share one all-pairs oracle — a green hash row on BOTH is a cross-check
     # that banding recall is 1 on this corpus
     sql["minhash_lsh_dups"] = sql["ngram_jaccard_dups"]
+    sql["simhash_dups"] = _simhash_md5_sql(max_hamming=3)
     return sql
+
+
+def _simhash_md5_sql(max_hamming: int) -> str:
+    """All-pairs md5-SimHash oracle, generated: per token, bit b of the
+    64-bit simhash input is bit (b%4) of hex digit b//4 of md5(token) —
+    exactly the Spark md5 family in simhash64. Sign rule sum(+1/-1) > 0,
+    then brute-force pairwise hamming (the Spark side's pigeonhole banding
+    is complete for d <= max_hamming, so the sets are identical)."""
+    digits = ",\n                     ".join(
+        f"strpos('0123456789abcdef', substr(m, {d + 1}, 1)) - 1 AS d{d}"
+        for d in range(16)
+    )
+    bits = ",\n                   ".join(
+        f"CASE WHEN SUM(CASE WHEN (d{b // 4} // {1 << (b % 4)}) % 2 = 1"
+        f" THEN 1 ELSE -1 END) > 0 THEN 1 ELSE 0 END AS b{b}"
+        for b in range(64)
+    )
+    ham = " + ".join(
+        f"CASE WHEN a.b{b} <> b.b{b} THEN 1 ELSE 0 END" for b in range(64)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, u.tok AS tok
+              FROM (SELECT doc_id,
+                           list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                       x -> x <> '') AS t
+                    FROM documents), UNNEST(t) AS u(tok)),
+            dg AS (SELECT doc_id,
+                     {digits}
+                   FROM (SELECT doc_id, md5(tok) AS m FROM toks)),
+            bits AS (SELECT doc_id,
+                   {bits}
+                   FROM dg GROUP BY doc_id)
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST({ham} AS BIGINT) AS hamming
+            FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+            WHERE {ham} <= {max_hamming}
+            ORDER BY id_a, id_b
+        """

@@ -153,20 +153,45 @@ def minhash_jaccard(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     return j.select("id_a", "id_b", "est_jaccard")
 
 
-def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def simhash64(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_hash: str = "xxhash64",
+) -> DataFrame:
     """(id, simhash LONG) — 64-bit SimHash over tokens, pure JVM columns:
-    per bit b, sign of sum over tokens of (bit b of xxhash64(token) ? +1 : -1).
+    per bit b, sign of sum over tokens of (bit b of hash(token) ? +1 : -1).
+
+    token_hash picks the per-token hash family:
+      * "xxhash64" (default) — fastest, JVM-intrinsic; the production path.
+      * "md5" — bit b = bit (b%4) of hex digit b//4 of md5(token). ~2x the
+        hash cost, but md5 is computed identically by every engine, so the
+        whole operator (bits, banding, hamming) becomes exactly reproducible
+        in SQL — the gate entry uses this to earn a hash-checked oracle row
+        (the xxhash64 path is differential-tested in pytest instead).
+    Both families give i.i.d.-enough bits; SimHash only needs each bit to be
+    an unbiased independent hash of the token.
     """
-    toks = (
-        df.repartition(F.col(id_col))  # parallelize past single-file sources
-        .select(F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
+    toks = df.repartition(F.col(id_col)).select(  # parallelize past single-file sources
+        F.col(id_col).alias("id"), F.explode(tokenize(F.col(text_col))).alias("tok")
     )
+    if token_hash == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64("tok"))
+        bit_of = lambda b: F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1))
+    elif token_hash == "md5":
+        toks = toks.withColumn("m", F.md5("tok")).select(
+            "id",
+            *[
+                F.conv(F.substring("m", d + 1, 1), 16, 10).cast("int").alias(f"d{d}")
+                for d in range(16)
+            ],
+        )
+        bit_of = lambda b: F.shiftright(F.col(f"d{b // 4}"), b % 4).bitwiseAND(F.lit(1))
+    else:  # pragma: no cover
+        raise ValueError(f"unknown token_hash {token_hash!r}")
     bit_sums = toks.groupBy("id").agg(
         *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"b{b}")
+            F.sum(F.when(bit_of(b) == 1, 1).otherwise(-1)).alias(f"b{b}")
             for b in range(64)
         ]
     )

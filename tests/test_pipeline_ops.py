@@ -68,6 +68,34 @@ def test_simhash_near_pairs(spark, docs):
         assert pairs[(1, 3)] <= 10
 
 
+def test_simhash_md5_family_vs_python_oracle(spark, docs):
+    """The md5 token-hash family (the one the SQL-oracled gate entry uses)
+    bit-for-bit against an independent hashlib.md5 reimplementation of the
+    same bit convention: bit b = bit (b%4) of hex digit b//4 of md5(token),
+    sign rule sum(+1/-1) > 0."""
+    import hashlib
+    import re as _re
+
+    got = {r["id"]: r["simhash"] for r in simhash64(docs, token_hash="md5").collect()}
+
+    def py_simhash(text):
+        toks = [t for t in _re.split(r"[^a-z0-9]+", text.lower()) if t]
+        if not toks:
+            return None
+        sums = [0] * 64
+        for tok in toks:
+            hx = hashlib.md5(tok.encode()).hexdigest()
+            for b in range(64):
+                bit = (int(hx[b // 4], 16) >> (b % 4)) & 1
+                sums[b] += 1 if bit else -1
+        v = sum(1 << b for b in range(64) if sums[b] > 0)
+        return v - (1 << 64) if v >= (1 << 63) else v  # Spark longs are signed
+
+    rows = [(r["doc_id"], r["text"]) for r in docs.collect()]
+    want = {i: py_simhash(t) for i, t in rows if py_simhash(t) is not None}
+    assert got == want
+
+
 def test_ngram_jaccard_exact(spark, docs):
     pairs = {
         (r["id_a"], r["id_b"]): r["jaccard"]
