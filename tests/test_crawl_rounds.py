@@ -387,3 +387,69 @@ def test_bloom_path_identical(spark, corpus, oracle_res, tmp_path):
     )
     engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
     assert engine_seen == oracle_res.seen
+
+
+def test_crawl_feeds_curation_pipeline(spark, corpus, tmp_path):
+    """The seam the engine exists for: the crawler's parsed table IS the
+    training-data curation input. Crawl the smoke corpus, then run exact
+    dedup + MinHash-verified near-dup directly over the crawled `text`
+    column (url as document id — no re-keying), and check the surviving url
+    set against an independent pure-Python oracle over the same parsed rows.
+    Per-operator semantics are oracled elsewhere; this pins the composition:
+    Common-Crawl-style fetch output flows into curation without leaving
+    Spark or rewriting the table."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from cis455crawler_spark.operators.dedup_fuzzy import (
+        exact_dedup,
+        minhash_verified_dups,
+    )
+
+    _, pages = corpus
+    store, _ = run_crawl(
+        spark,
+        pages,
+        seed_urls(SPEC),
+        str(tmp_path / "state_cur"),
+        CrawlConfig(max_rounds=MAX_ROUNDS, compact_every=0),
+    )
+    docs = (
+        store.read("parsed")
+        .filter(F.col("text").isNotNull() & (F.length("text") > 0))
+        .select("url", "text")
+    )
+    rows = [(r["url"], r["text"]) for r in docs.collect()]
+    assert rows, "crawl must have parsed pages"
+
+    surv = exact_dedup(docs, id_col="url")
+    pairs = minhash_verified_dups(surv, id_col="url", threshold=0.8)
+    drop = pairs.select(F.col("id_b").alias("url")).distinct()
+    final = surv.join(drop, "url", "left_anti")
+    got = {r["url"] for r in final.select("url").collect()}
+
+    # ---- independent Python oracle over the same parsed rows ----
+    def norm(t):
+        return re.sub(r"\s+", " ", t.lower().strip())
+
+    keep = {}
+    for url, text in sorted(rows):  # min-url representative per fingerprint
+        keep.setdefault(norm(text), url)
+    survivors = sorted(keep.values())
+
+    def sh3(text):
+        toks = [t for t in re.split(r"[^a-z0-9]+", text.lower()) if t]
+        return {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)} or {
+            " ".join(toks)
+        }
+
+    sets = {u: sh3(dict(rows)[u]) for u in survivors}
+    dropped = set()
+    for i, a in enumerate(survivors):
+        for b in survivors[i + 1 :]:
+            j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+            if j >= 0.8:
+                dropped.add(b)
+    want = set(survivors) - dropped
+    assert got == want
