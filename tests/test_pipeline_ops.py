@@ -1064,3 +1064,80 @@ def test_connected_components_chain_converges_logarithmically(spark):
     assert all(r["component"] == 0 for r in got)
     # log2(256) = 8; allow 2x slack plus the final no-change round
     assert rounds and rounds[0] <= 17, rounds
+
+
+def test_host_quality_rollup_and_blocklist(spark, sf_dir):
+    """Domain-level curation (RefinedWeb-style host gate) over documents
+    given synthetic per-host urls: the rollup must equal a Python
+    aggregation of the separately-oracled per-row quality/token columns
+    grouped by the separately-oracled host parse, and the blocklist filter
+    must drop exactly the failing hosts' documents via a broadcast anti-join
+    (corpus side never shuffles)."""
+    from collections import defaultdict
+
+    from cis455crawler_spark.functions.text import quality_score, token_count
+    from cis455crawler_spark.operators.curation import (
+        apply_host_blocklist,
+        host_blocklist,
+        host_quality_rollup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .withColumn(
+            "url",
+            F.concat(
+                F.lit("http://h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example/p/"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+    )
+    rollup = host_quality_rollup(docs).cache()
+
+    # composition oracle: per-row columns (oracled by the text_quality gate
+    # entry) aggregated host-side in Python
+    rows = docs.select(
+        "url",
+        "doc_id",
+        quality_score("text").alias("q"),
+        token_count("text").alias("t"),
+    ).collect()
+    agg = defaultdict(lambda: [0, 0.0, 0])
+    for r in rows:
+        host = r["url"].split("//")[1].split("/")[0]
+        a = agg[host]
+        a[0] += 1
+        a[1] += r["q"]
+        a[2] += r["t"]
+    want = {
+        h: (n, round(qs / n, 6), ts, round(ts / n, 6))
+        for h, (n, qs, ts) in agg.items()
+    }
+    got = {
+        r["host"]: (r["n_docs"], r["avg_quality"], r["total_tokens"], r["avg_tokens"])
+        for r in rollup.collect()
+    }
+    assert set(got) == set(want)
+    for h in want:
+        assert got[h][0] == want[h][0] and got[h][2] == want[h][2]
+        assert abs(got[h][1] - want[h][1]) < 1e-6
+        assert abs(got[h][3] - want[h][3]) < 1e-6
+
+    # pick a threshold that splits hosts, then filter must drop exactly them
+    qs = sorted(v[1] for v in want.values())
+    thr = qs[len(qs) // 2] + 1e-9
+    bl = host_blocklist(rollup, min_avg_quality=thr)
+    bad_hosts = {r["host"] for r in bl.collect()}
+    assert 0 < len(bad_hosts) < len(want)
+    kept = apply_host_blocklist(docs, bl)
+    want_ids = {
+        r["doc_id"] for r in rows if r["url"].split("//")[1].split("/")[0] not in bad_hosts
+    }
+    assert {r["doc_id"] for r in kept.select("doc_id").collect()} == want_ids
+
+    # the corpus side must NOT shuffle: blocklist joins as broadcast anti
+    plan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
