@@ -291,8 +291,19 @@ def exact_jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> Da
     Jaccard computed from sh(id, sh); keep pairs >= threshold. The candidate
     generator (prefix filter, MinHash banding, SimHash blocks, ...) only
     prunes the pair space — this join is what makes the answer exact, so
-    false positives never survive regardless of how sloppy the generator is."""
-    sets = sh.groupBy("id").agg(
+    false positives never survive regardless of how sloppy the generator is.
+
+    Scale shape: shingle sets are collected ONLY for documents that appear
+    in a candidate pair (left-semi restriction first). Candidates are a
+    vanishing fraction of a deduplicated web corpus, so at 10^10 docs this
+    skips building sorted shingle arrays for ~all of the table — the
+    collect_list groupBy runs over |cand docs|, not |corpus|."""
+    ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sets = sh.join(ids, "id", "left_semi").groupBy("id").agg(
         F.sort_array(F.collect_list("sh")).alias("set"), F.count("*").alias("n")
     )
     sa = sets.select(F.col("id").alias("id_a"), F.col("set").alias("set_a"), F.col("n").alias("n_a"))
