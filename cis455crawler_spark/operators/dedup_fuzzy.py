@@ -298,6 +298,11 @@ def exact_jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> Da
     vanishing fraction of a deduplicated web corpus, so at 10^10 docs this
     skips building sorted shingle arrays for ~all of the table — the
     collect_list groupBy runs over |cand docs|, not |corpus|."""
+    # cand has two consumers below (the ids restriction and the final join);
+    # without the cache the candidate-generation self-join evaluates twice.
+    # Candidate pairs are small by construction (that is the generator's job),
+    # so caching them is cheap at any scale.
+    cand = cand.cache()
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -357,7 +362,9 @@ def minhash_verified_dups(
     is verified, not hoped for."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    sh = _shingle_lists(df, text_col, id_col, shingle_k).cache()
+    # sh has a single consumer here (the verify's semi-joined set build) —
+    # no cache, unlike ngram_jaccard_pairs where it also feeds candidate gen
+    sh = _shingle_lists(df, text_col, id_col, shingle_k)
     return exact_jaccard_verify(cand, sh, threshold)
 
 
