@@ -255,7 +255,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["search_serve_e2e"] = search_serve_e2e
 
-    def embedding_near_dups_lsh(spark, sf):  # rows-only (LSH recall < 1)
+    def embedding_near_dups_lsh(spark, sf):
         """Banded hyperplane LSH near-dup detection with PLANTED twins: every
         25th vector gets a deterministic near-duplicate (id+10^6, first
         component nudged +0.05 -> cosine ~0.9987 on the unit-norm fixture),
@@ -1554,7 +1554,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_dups": f"""
             WITH toks AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                  x -> x <> '') AS t
               FROM documents),
             sh AS (
@@ -1562,7 +1562,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN len(t) >= 3 THEN
                   list_distinct(list_transform(range(1, len(t) - 1),
                                 i -> array_to_string(t[i:i+2], ' ')))
-                ELSE [array_to_string(t, ' ')] END) AS u(s)),
+                ELSE [coalesce(array_to_string(t, ' '), '')] END) AS u(s)),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c
@@ -1582,7 +1582,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": """
             WITH RECURSIVE toks AS (
               SELECT doc_id,
-                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z0-9]+'),
                                  x -> x <> '') AS t
               FROM documents),
             sh AS (
@@ -1590,7 +1590,7 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN len(t) >= 3 THEN
                   list_distinct(list_transform(range(1, len(t) - 1),
                                 i -> array_to_string(t[i:i+2], ' ')))
-                ELSE [array_to_string(t, ' ')] END) AS u(s)),
+                ELSE [coalesce(array_to_string(t, ' '), '')] END) AS u(s)),
             sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id),
             common AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS c

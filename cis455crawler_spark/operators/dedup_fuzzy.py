@@ -96,6 +96,31 @@ def minhash_signatures(
     return agg.select("id", sig.alias("sig"))
 
 
+def minhash_signatures_from_shingles(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 7
+) -> DataFrame:
+    """Signatures from an ALREADY-exploded distinct-shingle stream sh(id, sh)
+    — for callers that need the shingle rows anyway (verification), so the
+    expensive tokenize+shingle map pass over the corpus runs once, not twice.
+    Identical output to minhash_signatures on the same documents: min over
+    the distinct shingle set equals min over the multiset, and docs with no
+    shingle rows simply get no signature (they can never survive exact
+    verification either, so verified pair sets are unchanged)."""
+    a, b = _minhash_params(num_hashes, seed)
+    p = F.lit(_MERSENNE31)
+    ex = sh.select("id", F.pmod(F.xxhash64("sh"), p).alias("h"))
+    agg = ex.groupBy("id").agg(
+        *[
+            F.min(F.pmod(F.col("h") * F.lit(ai) + F.lit(bi), p)).alias(f"_m{i}")
+            for i, (ai, bi) in enumerate(zip(a, b))
+        ]
+    )
+    sig = F.array(
+        *[F.coalesce(F.col(f"_m{i}"), F.lit(0).cast("long")) for i in range(num_hashes)]
+    )
+    return agg.select("id", sig.alias("sig"))
+
+
 def minhash_lsh_pairs(
     signatures: DataFrame, bands: int = 16, rows_per_band: int = 4
 ) -> DataFrame:
@@ -360,11 +385,13 @@ def minhash_verified_dups(
     deterministic (seeded hash family), so recall on a FIXED corpus is a
     testable fact, not a random variable — the gate entry's oracle equality
     is verified, not hoped for."""
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    # ONE tokenize+shingle pass over the corpus, cached, feeding both the
+    # signature build and the exact verification (the two most expensive
+    # map-side consumers) — re-deriving shingles inside minhash_signatures
+    # would run the regex tokenization twice per corpus
+    sh = _shingle_lists(df, text_col, id_col, shingle_k).cache()
+    sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
-    # sh has a single consumer here (the verify's semi-joined set build) —
-    # no cache, unlike ngram_jaccard_pairs where it also feeds candidate gen
-    sh = _shingle_lists(df, text_col, id_col, shingle_k)
     return exact_jaccard_verify(cand, sh, threshold)
 
 

@@ -75,11 +75,14 @@ def bigram_lm_score(docs: DataFrame, id_col: str = "doc_id",
     with ``c(w1 ·)`` the count of bigrams starting with w1 and V the corpus
     vocabulary size. Documents with fewer than two tokens produce no row.
 
-    One DAG: train and score share the exploded bigram stream (self-joins on
-    the bg key; Catalyst reuses the scan, AQE picks broadcast for the count
-    sides when they fit).
+    One DAG: train and score share the exploded bigram stream. ``big`` has
+    THREE consumers (bigram counts, context counts, scoring join) that group
+    on different keys, so no exchange is reusable between them — without the
+    cache the tokenize+explode map work over the whole corpus runs three
+    times. Cached once, each consumer re-reads the materialized rows; AQE
+    picks broadcast for the count sides when they fit.
     """
-    big = doc_bigrams(docs, id_col, text_col)
+    big = doc_bigrams(docs, id_col, text_col).cache()
     bc = big.groupBy("bg").agg(F.count("*").alias("c_big"))
     cc = (
         big.groupBy(F.split("bg", " ").getItem(0).alias("w1"))

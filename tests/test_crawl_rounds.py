@@ -431,7 +431,9 @@ def test_crawl_feeds_curation_pipeline(spark, corpus, tmp_path):
 
     # ---- independent Python oracle over the same parsed rows ----
     def norm(t):
-        return re.sub(r"\s+", " ", t.lower().strip())
+        # mirror fingerprint64 exactly: F.trim strips SPACES only, then
+        # \s+ collapses (so a leading tab/newline becomes a leading space)
+        return re.sub(r"\s+", " ", t.lower().strip(" "))
 
     keep = {}
     for url, text in sorted(rows):  # min-url representative per fingerprint
