@@ -266,6 +266,62 @@ def test_commit_failure_cleans_orphans_and_resumes(spark, tmp_path):
     assert store.read("frontier").count() == 5
 
 
+def test_kill_between_commit_phases_resumes_and_reclaims(spark, tmp_path):
+    """Hard-kill between commit phases (VERDICT r2 #9, the other half of the
+    atomic-swap claim): the process dies AFTER phase-1 data writes land on
+    disk but BEFORE finish_commit swaps the manifest. A restarted store must
+    see the previous round untouched (only the manifest is authoritative),
+    accept the redone commit, and expire_snapshots must reclaim the dead
+    phase-1 dirs as orphans."""
+    import os
+
+    store = SnapshotStore(spark, str(tmp_path / "st"))
+    ok = spark.range(5).selectExpr("cast(id as string) as url")
+    store.commit_round(0, replaces={"frontier": ok})
+
+    # phase 1 completes: data dirs written, futures drained ...
+    bigger = spark.range(9).selectExpr("cast(id as string) as url")
+    pool, _, afuts, rfuts, attempted = store.begin_commit(
+        1, appends={"seen": bigger}, replaces={"frontier": bigger}
+    )
+    for _, f in afuts + rfuts:
+        f.result()
+    pool.shutdown(wait=True)
+    # ... and the process dies here: finish_commit never runs.
+    assert attempted and all(
+        os.path.isdir(os.path.join(store.root, rel)) for rel in attempted
+    )
+
+    # restart: a fresh store over the same root sees round 0 only
+    store2 = SnapshotStore(spark, str(tmp_path / "st"))
+    assert store2.current_round() == 0
+    assert store2.read("frontier").count() == 5
+    assert "seen" not in store2.manifest()["tables"]
+
+    # the resumed crawl redoes round 1; the dead dirs are now orphans
+    store2.commit_round(1, appends={"seen": bigger}, replaces={"frontier": bigger})
+    assert store2.current_round() == 1
+    assert store2.read("frontier").count() == 9
+
+    deleted = store2.expire_snapshots(keep_last=1)
+    assert set(attempted) <= set(deleted)  # phase-1 dirs of the dead commit
+    referenced = {
+        d
+        for snap in list(store2.manifest()["snapshots"].values())
+        + [store2.manifest()["tables"]]
+        for ds in snap.values()
+        for d in ds
+    }
+    on_disk = {
+        f"{t}/{c}"
+        for t in os.listdir(store2.root)
+        if os.path.isdir(os.path.join(store2.root, t))
+        for c in os.listdir(os.path.join(store2.root, t))
+    }
+    assert on_disk == referenced
+    assert store2.read("frontier").count() == 9  # reads intact post-expiry
+
+
 def test_snapshot_time_travel_and_expiry(spark, corpus, tmp_path):
     """Iceberg snapshot semantics on the store: (a) read(t, as_of_round=k)
     returns the table exactly as round k committed it (VERSION AS OF);
