@@ -93,3 +93,102 @@ def resolve_href(page_url: Column | str, href: Column | str) -> Column:
         .otherwise(F.concat(u, F.lit("/"), h))
     )
     return F.when(h.startswith("http"), F.when(junk, F.lit(None)).otherwise(h)).otherwise(rel)
+
+
+# -- beyond the reference: frontier-scale URL canonicalization ---------------
+
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|ref|ref_src)(=.*)?$"
+
+
+def canonicalize_url(url: Column | str) -> Column:
+    """Crawl-frontier URL canonicalization (beyond the reference, which dedups
+    on the verbatim string): collapses the common aliases of one resource so
+    the seen-set anti-join treats them as one URL — at a 10^10-URL frontier
+    the alias multiplicity (tracking params, host case, default ports,
+    fragments, param order) is a direct multiplier on seen-set size and
+    frontier shuffle width.
+
+    Pure JVM Column expressions (string splits + higher-order array functions;
+    whole-stage codegen, no Python). Steps, all RFC 3986 §6 safe
+    normalizations plus the standard tracking-param scrub:
+
+      1. trim; drop the #fragment
+      2. lowercase the scheme and the host (userinfo and path keep case)
+      3. drop default ports (http:80, https:443)
+      4. empty path -> '/'
+      5. drop tracking params (utm_*, gclid, fbclid, msclkid, mc_eid, ref,
+         ref_src), sort the survivors byte-wise, drop a now-empty '?'
+
+    URLs without '://' are returned trimmed but otherwise untouched (the
+    quirk-exact reference path never produces them; defensive for ingest).
+    Percent-encoding case is NOT normalized (no per-match case mapping in
+    JVM regex replace; %-aliases are rare enough to not pay a UDF for).
+    """
+    raw = F.trim(_c(url))
+    u = F.substring_index(raw, "#", 1)  # fragment strip
+
+    scheme = F.lower(F.substring_index(u, "://", 1))
+    rest = F.substr(
+        u, F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.length(u)
+    )
+    # authority ends at the first '/' OR '?' (a query can follow the host
+    # directly, e.g. http://host?a=1); remainder = path?query ('' if none)
+    slash_pos = F.instr(rest, "/")
+    q_pos = F.instr(rest, "?")
+    cut = (
+        F.when((slash_pos > 0) & ((q_pos == 0) | (slash_pos < q_pos)), slash_pos)
+        .when(q_pos > 0, q_pos)
+        .otherwise(F.lit(0))
+    )
+    authority = F.when(cut > 0, F.substr(rest, F.lit(1), cut - F.lit(1))).otherwise(rest)
+    pathq = F.when(cut > 0, F.substr(rest, cut, F.length(rest))).otherwise(F.lit(""))
+
+    # authority = [userinfo@]host[:port]; userinfo keeps case, host lowers.
+    # IPv6 literals ([::1]:8080) keep their bracketed form verbatim — ':' is
+    # not a port separator inside brackets, so skip the port split for them.
+    has_user = authority.contains("@")
+    userinfo = F.when(
+        has_user, F.concat(F.substring_index(authority, "@", 1), F.lit("@"))
+    ).otherwise(F.lit(""))
+    hostport = F.substring_index(authority, "@", -1)
+    ipv6 = hostport.startswith("[")
+    host = F.when(
+        ipv6, F.lower(F.concat(F.substring_index(hostport, "]", 1), F.lit("]")))
+    ).otherwise(F.lower(F.substring_index(hostport, ":", 1)))
+    port = F.when(
+        ipv6 & (F.substring_index(hostport, "]", -1).startswith(":")),
+        F.substr(
+            F.substring_index(hostport, "]", -1),
+            F.lit(2),
+            F.length(F.substring_index(hostport, "]", -1)),
+        ),
+    ).when(
+        ~ipv6 & (F.instr(hostport, ":") > 0), F.substring_index(hostport, ":", -1)
+    ).otherwise(F.lit(""))
+    default_port = ((scheme == "http") & (port == "80")) | (
+        (scheme == "https") & (port == "443")
+    )
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(
+        F.concat(F.lit(":"), port)
+    )
+
+    path = F.substring_index(pathq, "?", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.when(
+        F.instr(pathq, "?") > 0,
+        F.substr(pathq, F.instr(pathq, "?") + F.lit(1), F.length(pathq)),
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+        )
+    )
+    query_part = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(
+        F.lit("")
+    )
+
+    canonical = F.concat(
+        scheme, F.lit("://"), userinfo, host, port_part, path, query_part
+    )
+    return F.when(u.contains("://"), canonical).otherwise(raw)
