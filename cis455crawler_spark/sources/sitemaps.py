@@ -1,0 +1,120 @@
+"""Sitemap ingestion — seed-URL discovery from sitemap.xml / sitemap-index
+files (beyond the reference: RobotsTxtInfo.java collects Sitemap: lines via
+XPathCrawlerThread.java:548-549 but nothing ever reads them; a real crawl
+seeds its frontier from them).
+
+Spark-first shape: the sitemap set is tiny relative to the frontier (one to
+a few files per host), so each expansion level is ONE broadcast join of the
+sitemap-URL list against the pages table plus one Arrow-batched parse pass —
+the page bodies never reach the driver, and the discovered seed URLs stay
+distributed end-to-end. Sitemap-index recursion is a driver-coordinated loop
+bounded by `max_depth` (the protocol allows index→index nesting; real-world
+depth is 1-2), with a visited set to break reference cycles.
+
+Parsing is regex-based like the repo's HTML kernel (no XML lib in the
+container): `<loc>` values in document order; `<sitemapindex` anywhere in
+the body marks an index file. Entity-decoding is limited to the five XML
+predefined entities, which is all the sitemap protocol requires of `<loc>`.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
+_INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.IGNORECASE)
+_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+
+
+def _decode_loc(loc: str) -> str:
+    for ent, ch in _ENTITIES.items():
+        loc = loc.replace(ent, ch)
+    return loc
+
+
+@F.pandas_udf(
+    T.StructType(
+        [
+            T.StructField("is_index", T.BooleanType()),
+            T.StructField("locs", T.ArrayType(T.StringType())),
+        ]
+    )
+)
+def parse_sitemap_udf(body: pd.Series) -> pd.DataFrame:
+    is_index, locs = [], []
+    for b in body:
+        text = (
+            b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
+        )
+        is_index.append(bool(_INDEX_RE.search(text)))
+        locs.append([_decode_loc(m) for m in _LOC_RE.findall(text)])
+    return pd.DataFrame({"is_index": is_index, "locs": locs})
+
+
+def default_sitemap_urls(robots_df: DataFrame) -> DataFrame:
+    """Sitemap URLs to try per host: the `http://host/sitemap.xml` convention
+    for every robots-bearing host, plus any value from the robots `sitemaps`
+    column that still looks like a URL (the reference's split(':') parser
+    quirk truncates absolute values to 'http', which this filters out).
+    Output: (url STRING), distinct."""
+    conventional = robots_df.select(
+        F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")).alias("url")
+    )
+    from_robots = (
+        robots_df.select(F.explode_outer("sitemaps").alias("url"))
+        .where(F.col("url").contains("://"))
+    )
+    return conventional.unionByName(from_robots).distinct()
+
+
+def expand_sitemaps(
+    pages: DataFrame, sitemap_urls: DataFrame, max_depth: int = 3
+) -> DataFrame:
+    """Expand sitemap files (fetched from the pages table — the offline-corpus
+    analogue of HTTP GET, same as the crawl plan's fetch join) into the seed
+    URLs they list. Index files recurse up to `max_depth` levels; URLs listed
+    by urlset files accumulate. Missing sitemap files (no pages row) are
+    skipped silently — the conventional /sitemap.xml probe usually 404s.
+
+    Returns (seed_url STRING, sitemap_url STRING) distinct: each discovered
+    URL with the sitemap file that listed it (per-partition lineage for the
+    frontier, same spirit as the crawl's lineage table)."""
+    frontier = sitemap_urls.select("url").distinct()
+    visited = frontier
+    seeds: DataFrame | None = None
+
+    for _ in range(max_depth):
+        fetched = F.broadcast(frontier).join(pages.select("url", "html"), "url")
+        parsed = fetched.select(
+            "url", parse_sitemap_udf(F.col("html").cast("binary")).alias("_p")
+        ).select(
+            "url",
+            F.col("_p.is_index").alias("is_index"),
+            F.col("_p.locs").alias("locs"),
+        )
+        level_seeds = (
+            parsed.where(~F.col("is_index"))
+            .select(F.col("url").alias("sitemap_url"), F.explode("locs").alias("seed_url"))
+            .select("seed_url", "sitemap_url")
+        )
+        seeds = level_seeds if seeds is None else seeds.unionByName(level_seeds)
+        children = (
+            parsed.where(F.col("is_index"))
+            .select(F.explode("locs").alias("url"))
+            .distinct()
+            .join(visited, "url", "left_anti")
+        )
+        frontier = children.localCheckpoint(eager=True)
+        if frontier.isEmpty():
+            break
+        visited = visited.unionByName(frontier)
+
+    return seeds.distinct() if seeds is not None else sitemap_urls.select(
+        F.lit(None).cast("string").alias("seed_url"),
+        F.lit(None).cast("string").alias("sitemap_url"),
+    ).where(F.lit(False))

@@ -1,0 +1,121 @@
+"""Sitemap ingestion vs an independent Python oracle: index recursion,
+depth cap, cycle tolerance, missing-file tolerance, entity decoding, and
+the robots-quirk filter in default_sitemap_urls."""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.sources.sitemaps import (
+    default_sitemap_urls,
+    expand_sitemaps,
+)
+
+
+def _urlset(*urls: str) -> str:
+    locs = "".join(f"<url><loc> {u} </loc></url>" for u in urls)
+    return f'<?xml version="1.0"?><urlset xmlns="http://x">{locs}</urlset>'
+
+
+def _index(*maps: str) -> str:
+    locs = "".join(f"<sitemap><loc>{u}</loc></sitemap>" for u in maps)
+    return f'<?xml version="1.0"?><sitemapindex xmlns="http://x">{locs}</sitemapindex>'
+
+
+SITEMAPS = {
+    # host a: index -> two child urlsets (+ a missing child, + a cycle back)
+    "http://a.test/sitemap.xml": _index(
+        "http://a.test/sm1.xml",
+        "http://a.test/sm2.xml",
+        "http://a.test/missing.xml",
+        "http://a.test/sitemap.xml",  # cycle: must not loop
+    ),
+    "http://a.test/sm1.xml": _urlset("http://a.test/p1", "http://a.test/p2"),
+    "http://a.test/sm2.xml": _urlset("http://a.test/p2", "http://a.test/p3&amp;x"),
+    # host b: plain urlset at the conventional path
+    "http://b.test/sitemap.xml": _urlset("http://b.test/only"),
+    # host c: index chain deeper than the depth cap
+    "http://c.test/sitemap.xml": _index("http://c.test/l2.xml"),
+    "http://c.test/l2.xml": _index("http://c.test/l3.xml"),
+    "http://c.test/l3.xml": _urlset("http://c.test/deep"),
+}
+
+
+def oracle_expand(start: list[str], max_depth: int) -> set[tuple[str, str]]:
+    frontier, visited, seeds = set(start), set(start), set()
+    for _ in range(max_depth):
+        nxt = set()
+        for sm in frontier:
+            body = SITEMAPS.get(sm)
+            if body is None:
+                continue
+            locs = [
+                m.strip().replace("&amp;", "&")
+                for m in re.findall(r"<loc>\s*(.*?)\s*</loc>", body, re.S)
+            ]
+            if "<sitemapindex" in body:
+                nxt |= {u for u in locs if u not in visited}
+            else:
+                seeds |= {(u, sm) for u in locs}
+        if not nxt:
+            break
+        visited |= nxt
+        frontier = nxt
+    return seeds
+
+
+def test_expand_sitemaps_matches_oracle(spark):
+    pages = spark.createDataFrame(
+        [(u, b.encode()) for u, b in SITEMAPS.items()], "url string, html binary"
+    )
+    start = [
+        "http://a.test/sitemap.xml",
+        "http://b.test/sitemap.xml",
+        "http://c.test/sitemap.xml",
+        "http://no-such.test/sitemap.xml",
+    ]
+    starts = spark.createDataFrame([(u,) for u in start], "url string")
+
+    got = {
+        (r["seed_url"], r["sitemap_url"])
+        for r in expand_sitemaps(pages, starts, max_depth=3).collect()
+    }
+    assert got == oracle_expand(start, 3)
+    assert ("http://a.test/p3&x", "http://a.test/sm2.xml") in got  # entity decode
+    assert ("http://c.test/deep", "http://c.test/l3.xml") in got  # depth-3 reach
+
+    # depth cap: c.test's level-3 urlset is out of reach at max_depth=2
+    shallow = {
+        (r["seed_url"], r["sitemap_url"])
+        for r in expand_sitemaps(pages, starts, max_depth=2).collect()
+    }
+    assert shallow == oracle_expand(start, 2)
+    assert not any(u == "http://c.test/deep" for u, _ in shallow)
+
+
+def test_default_sitemap_urls_quirk_filter(spark):
+    robots = spark.createDataFrame(
+        [
+            ("a.test", ["http"]),  # reference split(':') quirk residue: dropped
+            ("b.test", ["http://b.test/real.xml"]),  # survives
+            ("c.test", []),
+        ],
+        "host string, sitemaps array<string>",
+    )
+    got = {r["url"] for r in default_sitemap_urls(robots).collect()}
+    assert got == {
+        "http://a.test/sitemap.xml",
+        "http://b.test/sitemap.xml",
+        "http://c.test/sitemap.xml",
+        "http://b.test/real.xml",
+    }
+
+
+def test_expand_sitemaps_no_hits_is_empty(spark):
+    pages = spark.createDataFrame([("http://x/p", b"<urlset/>")], "url string, html binary")
+    starts = spark.createDataFrame([("http://gone/sitemap.xml",)], "url string")
+    out = expand_sitemaps(pages, starts, max_depth=3)
+    assert out.count() == 0
+    assert out.columns == ["seed_url", "sitemap_url"]
