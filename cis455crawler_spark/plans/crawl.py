@@ -89,6 +89,11 @@ class CrawlConfig:
     # fixed default — changing it mid-crawl is safe, the n_bits-mismatch
     # heal rebuilds the sidecar from the seen table on the next round
     expected_total_urls: int | None = None
+    # opt-in (beyond reference): seed the round-0 frontier from sitemap
+    # files too (robots Sitemap: lines + the /sitemap.xml convention,
+    # sources/sitemaps.py). Off by default — the parity gate's BFS starts
+    # from the explicit seed list exactly like the reference.
+    seed_from_sitemaps: bool = False
 
     def __post_init__(self) -> None:
         if self.expected_total_urls:
@@ -126,12 +131,22 @@ def _bloom_lags(history: list[dict]) -> bool:
 
 
 def init_crawl(
-    spark: SparkSession, store: SnapshotStore, seeds: list[str], cfg: CrawlConfig
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    extra_seed_df: DataFrame | None = None,
 ) -> None:
-    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311)."""
+    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311),
+    optionally unioned with a distributed extra-seed DataFrame (url STRING)
+    — the sitemap-discovery path, which never passes through the driver."""
     frontier0 = spark.createDataFrame(
         [(u, 0) for u in dict.fromkeys(seeds)], schema="url string, depth int"
     )
+    if extra_seed_df is not None:
+        frontier0 = frontier0.unionByName(
+            extra_seed_df.select(F.col("url"), F.lit(0).alias("depth"))
+        ).dropDuplicates(["url"])
     store.commit_round(0, replaces={"frontier": frontier0}, extra={"phase": "init"})
 
 
@@ -514,8 +529,22 @@ def run_crawl(
     cfg = cfg or CrawlConfig()
     store = SnapshotStore(spark, state_dir)
     stored: DataFrame | None = None
+
+    robots = build_robots_df(spark, pages).cache()
+    robots.count()
+
+    sitemap_seed_df: DataFrame | None = None
+    if cfg.seed_from_sitemaps and (store.current_round() < 0 or recrawl):
+        from ..sources.sitemaps import default_sitemap_urls, expand_sitemaps
+
+        sitemap_seed_df = (
+            expand_sitemaps(pages, default_sitemap_urls(robots))
+            .select(F.col("seed_url").alias("url"))
+            .distinct()
+        )
+
     if store.current_round() < 0:
-        init_crawl(spark, store, seeds, cfg)
+        init_crawl(spark, store, seeds, cfg, extra_seed_df=sitemap_seed_df)
     elif recrawl:
         stored = parsed_latest(store)
         if stored is not None:
@@ -528,6 +557,10 @@ def run_crawl(
         frontier0 = spark.createDataFrame(
             [(u, 0) for u in dict.fromkeys(seeds)], schema="url string, depth int"
         )
+        if sitemap_seed_df is not None:
+            frontier0 = frontier0.unionByName(
+                sitemap_seed_df.select(F.col("url"), F.lit(0).alias("depth"))
+            ).dropDuplicates(["url"])
         empty_seen = spark.createDataFrame(
             [], schema="url_hash string, url string, bucket int"
         )
@@ -540,9 +573,6 @@ def run_crawl(
         store.drop_table("bloom")
     elif not resume:
         raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
-
-    robots = build_robots_df(spark, pages).cache()
-    robots.count()
 
     # max_pages / max_rounds / metrics are per-generation (each reference
     # run has its own TotalMaxRequests budget and round count)

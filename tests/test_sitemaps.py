@@ -119,3 +119,64 @@ def test_expand_sitemaps_no_hits_is_empty(spark):
     out = expand_sitemaps(pages, starts, max_depth=3)
     assert out.count() == 0
     assert out.columns == ["seed_url", "sitemap_url"]
+
+
+def test_crawl_seed_from_sitemaps_matches_oracle(spark):
+    """Opt-in integration: run_crawl(seed_from_sitemaps=True) must equal the
+    oracle BFS whose seed list is the explicit seeds plus the sitemap-listed
+    URLs — island pages unreachable from the seed link graph are crawled."""
+    from cis455crawler_spark.functions.html import extract_text_py
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import (
+        CorpusSpec,
+        generate_pages_pdf,
+        seed_urls,
+    )
+
+    from .oracle import oracle_crawl
+
+    spec = CorpusSpec.smoke()
+    pdf = generate_pages_pdf(spec)
+
+    # host-2 (robots pattern 2: Disallow /private only) gets a conventional
+    # sitemap listing two island pages no corpus link graph reaches
+    islands = ["http://host-2.test/island1.html", "http://host-2.test/island2.html"]
+    sm_body = _urlset(*islands).encode()
+    island_html = b'<html><a href="http://abs.test/x">dropped</a>island</html>'
+    import pandas as pd
+
+    extra = pd.DataFrame(
+        [
+            ("http://host-2.test/sitemap.xml", pdf["warc_ts"].iloc[0], sm_body,
+             extract_text_py(sm_body), "en"),
+            *[
+                (u, pdf["warc_ts"].iloc[0], island_html,
+                 extract_text_py(island_html), "en")
+                for u in islands
+            ],
+        ],
+        columns=pdf.columns,
+    )
+    aug = pd.concat([pdf, extra], ignore_index=True)
+    pages = spark.createDataFrame(
+        aug, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        store, metrics = run_crawl(
+            spark, pages, seed_urls(spec), td,
+            CrawlConfig(max_rounds=12, compact_every=0, seed_from_sitemaps=True),
+        )
+        engine_seen = {
+            r["url_hash"] for r in store.read("seen").select("url_hash").collect()
+        }
+
+    page_map = dict(zip(aug["url"], aug["html"]))
+    want = oracle_crawl(page_map, seed_urls(spec) + islands, max_rounds=12).seen
+    assert engine_seen == want
+    import hashlib
+
+    for u in islands:
+        assert hashlib.sha1(u.encode()).hexdigest() in engine_seen
