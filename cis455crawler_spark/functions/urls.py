@@ -144,17 +144,18 @@ def canonicalize_url(url: Column | str) -> Column:
     pathq = F.when(cut > 0, F.substr(rest, cut, F.length(rest))).otherwise(F.lit(""))
 
     # authority = [userinfo@]host[:port]; userinfo keeps case, host lowers.
-    # IPv6 literals ([::1]:8080) keep their bracketed form verbatim — ':' is
-    # not a port separator inside brackets, so skip the port split for them.
-    has_user = authority.contains("@")
-    userinfo = F.when(
-        has_user, F.concat(F.substring_index(authority, "@", 1), F.lit("@"))
-    ).otherwise(F.lit(""))
+    # The host starts after the LAST '@' (WHATWG — the userinfo-phishing
+    # shape 'a@b@evil.com' must keep 'a@b@' as userinfo) and the port is
+    # after the LAST ':' of the host-port part; both computed by suffix
+    # length so multi-'@'/multi-':' authorities round-trip. IPv6 literals
+    # ([::1]:8080) keep their bracketed form verbatim — ':' is not a port
+    # separator inside brackets, so the port split keys on ']' for them.
     hostport = F.substring_index(authority, "@", -1)
+    userinfo = F.when(
+        authority.contains("@"),
+        F.substr(authority, F.lit(1), F.length(authority) - F.length(hostport)),
+    ).otherwise(F.lit(""))
     ipv6 = hostport.startswith("[")
-    host = F.when(
-        ipv6, F.lower(F.concat(F.substring_index(hostport, "]", 1), F.lit("]")))
-    ).otherwise(F.lower(F.substring_index(hostport, ":", 1)))
     port = F.when(
         ipv6 & (F.substring_index(hostport, "]", -1).startswith(":")),
         F.substr(
@@ -165,6 +166,18 @@ def canonicalize_url(url: Column | str) -> Column:
     ).when(
         ~ipv6 & (F.instr(hostport, ":") > 0), F.substring_index(hostport, ":", -1)
     ).otherwise(F.lit(""))
+    host = F.when(
+        ipv6, F.lower(F.concat(F.substring_index(hostport, "]", 1), F.lit("]")))
+    ).when(
+        F.instr(hostport, ":") > 0,
+        F.lower(
+            F.substr(
+                hostport,
+                F.lit(1),
+                F.length(hostport) - F.length(port) - F.lit(1),
+            )
+        ),
+    ).otherwise(F.lower(hostport))
     default_port = ((scheme == "http") & (port == "80")) | (
         (scheme == "https") & (port == "443")
     )

@@ -130,16 +130,13 @@ def _bloom_lags(history: list[dict]) -> bool:
     )
 
 
-def init_crawl(
-    spark: SparkSession,
-    store: SnapshotStore,
-    seeds: list[str],
-    cfg: CrawlConfig,
-    extra_seed_df: DataFrame | None = None,
-) -> None:
-    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311),
-    optionally unioned with a distributed extra-seed DataFrame (url STRING)
-    — the sitemap-discovery path, which never passes through the driver."""
+def _seed_frontier(
+    spark: SparkSession, seeds: list[str], extra_seed_df: DataFrame | None = None
+) -> DataFrame:
+    """Round-0 frontier: explicit seed list, optionally unioned with a
+    distributed extra-seed DataFrame (url STRING) — the sitemap-discovery
+    path, which never passes through the driver. Shared by fresh inits and
+    recrawl generations so seed semantics cannot diverge between them."""
     frontier0 = spark.createDataFrame(
         [(u, 0) for u in dict.fromkeys(seeds)], schema="url string, depth int"
     )
@@ -147,6 +144,18 @@ def init_crawl(
         frontier0 = frontier0.unionByName(
             extra_seed_df.select(F.col("url"), F.lit(0).alias("depth"))
         ).dropDuplicates(["url"])
+    return frontier0
+
+
+def init_crawl(
+    spark: SparkSession,
+    store: SnapshotStore,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    extra_seed_df: DataFrame | None = None,
+) -> None:
+    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311)."""
+    frontier0 = _seed_frontier(spark, seeds, extra_seed_df)
     store.commit_round(0, replaces={"frontier": frontier0}, extra={"phase": "init"})
 
 
@@ -530,6 +539,11 @@ def run_crawl(
     store = SnapshotStore(spark, state_dir)
     stored: DataFrame | None = None
 
+    # validate BEFORE any Spark job runs: the misuse path must not pay a
+    # robots parse or pin a cache it never unpersists
+    if store.current_round() >= 0 and not (resume or recrawl):
+        raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
+
     robots = build_robots_df(spark, pages).cache()
     robots.count()
 
@@ -554,13 +568,7 @@ def run_crawl(
                 StorageLevel.DISK_ONLY
             )
             stored.count()
-        frontier0 = spark.createDataFrame(
-            [(u, 0) for u in dict.fromkeys(seeds)], schema="url string, depth int"
-        )
-        if sitemap_seed_df is not None:
-            frontier0 = frontier0.unionByName(
-                sitemap_seed_df.select(F.col("url"), F.lit(0).alias("depth"))
-            ).dropDuplicates(["url"])
+        frontier0 = _seed_frontier(spark, seeds, sitemap_seed_df)
         empty_seen = spark.createDataFrame(
             [], schema="url_hash string, url string, bucket int"
         )
@@ -571,8 +579,6 @@ def run_crawl(
         )
         # stale bitmaps describe the previous generation's seen set
         store.drop_table("bloom")
-    elif not resume:
-        raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
 
     # max_pages / max_rounds / metrics are per-generation (each reference
     # run has its own TotalMaxRequests budget and round count)

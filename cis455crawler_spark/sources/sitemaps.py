@@ -28,11 +28,13 @@ from pyspark.sql import types as T
 
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.IGNORECASE)
-_ENTITIES = {"&amp;": "&", "&lt;": "<", "&gt;": ">", "&quot;": '"', "&apos;": "'"}
+# order matters: '&amp;' must decode LAST or '&amp;lt;' (a literal '&lt;' in
+# the URL) would double-decode to '<'
+_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
 
 
 def _decode_loc(loc: str) -> str:
-    for ent, ch in _ENTITIES.items():
+    for ent, ch in _ENTITIES:
         loc = loc.replace(ent, ch)
     return loc
 
@@ -57,13 +59,19 @@ def parse_sitemap_udf(body: pd.Series) -> pd.DataFrame:
 
 
 def default_sitemap_urls(robots_df: DataFrame) -> DataFrame:
-    """Sitemap URLs to try per host: the `http://host/sitemap.xml` convention
-    for every robots-bearing host, plus any value from the robots `sitemaps`
-    column that still looks like a URL (the reference's split(':') parser
-    quirk truncates absolute values to 'http', which this filters out).
-    Output: (url STRING), distinct."""
+    """Sitemap URLs to try per host: the `/sitemap.xml` convention under BOTH
+    schemes for every robots-bearing host (the robots table keys on bare
+    host, so the original scheme is gone; a miss just drops out of the fetch
+    join), plus any value from the robots `sitemaps` column that still looks
+    like a URL (the reference's split(':') parser quirk truncates absolute
+    values to 'http', which this filters out). Output: (url STRING), distinct."""
     conventional = robots_df.select(
-        F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")).alias("url")
+        F.explode(
+            F.array(
+                F.concat(F.lit("http://"), F.col("host"), F.lit("/sitemap.xml")),
+                F.concat(F.lit("https://"), F.col("host"), F.lit("/sitemap.xml")),
+            )
+        ).alias("url")
     )
     from_robots = (
         robots_df.select(F.explode_outer("sitemaps").alias("url"))
@@ -100,12 +108,14 @@ def expand_sitemaps(
         level_seeds = (
             parsed.where(~F.col("is_index"))
             .select(F.col("url").alias("sitemap_url"), F.explode("locs").alias("seed_url"))
+            .where(F.col("seed_url") != "")  # '<loc></loc>' must not seed ''
             .select("seed_url", "sitemap_url")
         )
         seeds = level_seeds if seeds is None else seeds.unionByName(level_seeds)
         children = (
             parsed.where(F.col("is_index"))
             .select(F.explode("locs").alias("url"))
+            .where(F.col("url") != "")
             .distinct()
             .join(visited, "url", "left_anti")
         )

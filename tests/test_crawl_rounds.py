@@ -511,3 +511,14 @@ def test_crawl_feeds_curation_pipeline(spark, corpus, tmp_path):
                 dropped.add(b)
     want = set(survivors) - dropped
     assert got == want
+
+
+def test_run_crawl_existing_dir_requires_resume(spark, corpus, tmp_path):
+    """The misuse guard raises BEFORE any Spark job runs (no robots parse,
+    no pinned cache) when a state dir already has a crawl and neither
+    resume nor recrawl was passed."""
+    _, pages = corpus
+    state = str(tmp_path / "st")
+    run_crawl(spark, pages, seed_urls(SPEC), state, CrawlConfig(max_rounds=1))
+    with pytest.raises(ValueError, match="resume"):
+        run_crawl(spark, pages, seed_urls(SPEC), state, CrawlConfig(max_rounds=1))

@@ -197,6 +197,11 @@ CANON_CASES = [
     "mailto:a@b.c",
     "http://example.com:80?utm_medium=m",
     "ftp://Mixed.Case/keep:me?utm_x=1&k=v",
+    # host starts after the LAST '@' (userinfo-phishing shape keeps 'a@b@')
+    "http://a@B@Evil.com/x",
+    # port is after the LAST ':' of hostport; 'h:1' stays in the host part
+    "http://H:1:2/p",
+    "http://u:p@h.test:80/q",
 ]
 
 

@@ -75,9 +75,9 @@ def test_url_kernels_match_oracle_batched(spark, pairs):
 # -- canonicalize_url (beyond-reference frontier op) -------------------------
 
 _c_scheme = st.sampled_from(["http", "https", "HTTP", "ftp"])
-_c_user = st.sampled_from(["", "User:Pw@", "u@"])
+_c_user = st.sampled_from(["", "User:Pw@", "u@", "a@B@"])
 _c_host = st.sampled_from(
-    ["Example.COM", "h.test", "H", "[::1]", "[2001:DB8::1]"]
+    ["Example.COM", "h.test", "H", "[::1]", "[2001:DB8::1]", "Odd:1"]
 )
 _c_port = st.sampled_from(["", ":80", ":443", ":8080", ":0"])
 _c_path = st.sampled_from(["", "/", "/A/b.html", "/p//q", "/CaseKept"])

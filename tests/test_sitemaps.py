@@ -33,7 +33,11 @@ SITEMAPS = {
         "http://a.test/sitemap.xml",  # cycle: must not loop
     ),
     "http://a.test/sm1.xml": _urlset("http://a.test/p1", "http://a.test/p2"),
-    "http://a.test/sm2.xml": _urlset("http://a.test/p2", "http://a.test/p3&amp;x"),
+    # sm2: entity fodder — '&amp;' decodes to '&', '&amp;lt;' must decode to
+    # the literal '&lt;' (NOT '<': no double-decode) — plus an empty <loc>
+    "http://a.test/sm2.xml": _urlset(
+        "http://a.test/p2", "http://a.test/p3&amp;x", "http://a.test/e&amp;lt;x", ""
+    ),
     # host b: plain urlset at the conventional path
     "http://b.test/sitemap.xml": _urlset("http://b.test/only"),
     # host c: index chain deeper than the depth cap
@@ -51,10 +55,17 @@ def oracle_expand(start: list[str], max_depth: int) -> set[tuple[str, str]]:
             body = SITEMAPS.get(sm)
             if body is None:
                 continue
+            def dec(s: str) -> str:
+                for e, c in (("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                             ("&apos;", "'"), ("&amp;", "&")):
+                    s = s.replace(e, c)
+                return s
+
             locs = [
-                m.strip().replace("&amp;", "&")
+                dec(m.strip())
                 for m in re.findall(r"<loc>\s*(.*?)\s*</loc>", body, re.S)
             ]
+            locs = [u for u in locs if u]
             if "<sitemapindex" in body:
                 nxt |= {u for u in locs if u not in visited}
             else:
@@ -84,7 +95,9 @@ def test_expand_sitemaps_matches_oracle(spark):
     }
     assert got == oracle_expand(start, 3)
     assert ("http://a.test/p3&x", "http://a.test/sm2.xml") in got  # entity decode
+    assert ("http://a.test/e&lt;x", "http://a.test/sm2.xml") in got  # no double-decode
     assert ("http://c.test/deep", "http://c.test/l3.xml") in got  # depth-3 reach
+    assert not any(u == "" for u, _ in got)  # empty <loc> never seeds
 
     # depth cap: c.test's level-3 urlset is out of reach at max_depth=2
     shallow = {
@@ -106,9 +119,10 @@ def test_default_sitemap_urls_quirk_filter(spark):
     )
     got = {r["url"] for r in default_sitemap_urls(robots).collect()}
     assert got == {
-        "http://a.test/sitemap.xml",
-        "http://b.test/sitemap.xml",
-        "http://c.test/sitemap.xml",
+        # both schemes probed: the robots table keys on bare host
+        "http://a.test/sitemap.xml", "https://a.test/sitemap.xml",
+        "http://b.test/sitemap.xml", "https://b.test/sitemap.xml",
+        "http://c.test/sitemap.xml", "https://c.test/sitemap.xml",
         "http://b.test/real.xml",
     }
 
