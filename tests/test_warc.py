@@ -1,0 +1,121 @@
+"""WARC ingestion: byte round-trip through the stdlib parser (plain and
+gzip-member layouts), non-response skipping, malformed-tail tolerance, the
+input_hint pages projection, and the full WARC -> pages -> crawl seam vs
+the Python crawl oracle."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+import pytest
+
+from cis455crawler_spark.sources.warc import (
+    build_warc_bytes,
+    parse_warc_bytes,
+    read_warc,
+    warc_to_pages,
+)
+
+RECORDS = [
+    ("http://w.test/a.html", datetime(2013, 3, 1, 12, 0, 0), 200,
+     "text/html", b"<html><title>A</title>body a</html>"),
+    ("http://w.test/redir", datetime(2013, 3, 1, 12, 0, 1), 301,
+     "text/html", b""),
+    ("http://w.test/b.html", datetime(2013, 3, 2, 0, 30, 59), 200,
+     "text/html; charset=utf-8", b"<html>body &amp; b</html>"),
+]
+
+
+def _request_record() -> bytes:
+    http = b"GET /a.html HTTP/1.1\r\nHost: w.test\r\n\r\n"
+    return (
+        "WARC/1.0\r\nWARC-Type: request\r\n"
+        "WARC-Target-URI: http://w.test/a.html\r\n"
+        "WARC-Date: 2013-03-01T12:00:00Z\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode() + http + b"\r\n\r\n"
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_parse_warc_round_trip(compress):
+    data = _request_record() + build_warc_bytes(RECORDS, compress=compress)
+    if compress:
+        # mixed plain+gzip is not a valid file; gzip the request record too
+        import gzip, io
+
+        buf = io.BytesIO()
+        with gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(_request_record())
+        data = buf.getvalue() + build_warc_bytes(RECORDS, compress=True)
+    got = parse_warc_bytes(data)
+    assert [(r["url"], r["warc_ts"], r["http_status"], r["body"]) for r in got] == [
+        (u, ts, st, body) for u, ts, st, _, body in RECORDS
+    ]
+    assert got[2]["content_type"] == "text/html; charset=utf-8"
+
+
+def test_parse_warc_malformed_tail_stops_clean():
+    data = build_warc_bytes(RECORDS[:1]) + b"garbage that is not a record"
+    got = parse_warc_bytes(data)
+    assert len(got) == 1 and got[0]["url"] == RECORDS[0][0]
+
+
+def test_read_warc_and_pages_projection(spark, tmp_path):
+    from cis455crawler_spark.functions.html import extract_text_py
+
+    (tmp_path / "a.warc").write_bytes(build_warc_bytes(RECORDS[:2]))
+    (tmp_path / "b.warc.gz").write_bytes(build_warc_bytes(RECORDS[2:], compress=True))
+
+    df = read_warc(spark, str(tmp_path) + "/*.warc*")
+    rows = {r["url"]: r for r in df.collect()}
+    assert set(rows) == {u for u, *_ in RECORDS}
+    assert rows["http://w.test/redir"]["http_status"] == 301
+    assert bytes(rows["http://w.test/b.html"]["html"]) == RECORDS[2][4]
+
+    pages = warc_to_pages(df)
+    assert pages.columns == ["url", "warc_ts", "html", "text", "lang"]
+    prows = {r["url"]: r for r in pages.collect()}
+    assert set(prows) == {"http://w.test/a.html", "http://w.test/b.html"}  # 200s only
+    for u in prows:
+        body = next(b for uu, _, _, _, b in RECORDS if uu == u)
+        assert prows[u]["text"] == extract_text_py(body)  # byte-identical gate
+        assert prows[u]["lang"] is not None
+
+
+def test_warc_to_crawl_seam_matches_oracle(spark, tmp_path):
+    """Export the synthetic corpus as WARC, re-ingest it, run the crawl over
+    the re-ingested pages — seen set must equal the oracle BFS (the full
+    archive->table->engine seam, timestamps included for the 304 economy)."""
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import (
+        CorpusSpec,
+        generate_pages_pdf,
+        seed_urls,
+    )
+
+    from .oracle import oracle_crawl
+
+    spec = CorpusSpec(hosts=6, pages_per_host=12, seed=7)
+    pdf = generate_pages_pdf(spec)
+    recs = [
+        (u, ts.to_pydatetime(), 200, "text/html", bytes(h))
+        for u, ts, h in zip(pdf["url"], pdf["warc_ts"], pdf["html"])
+    ]
+    # two files: exercises multi-file parallel ingest
+    (tmp_path / "c0.warc.gz").write_bytes(build_warc_bytes(recs[::2], compress=True))
+    (tmp_path / "c1.warc").write_bytes(build_warc_bytes(recs[1::2]))
+
+    pages = warc_to_pages(read_warc(spark, str(tmp_path) + "/*.warc*"))
+    assert pages.count() == len(pdf)
+
+    store, _ = run_crawl(
+        spark, pages, seed_urls(spec), str(tmp_path / "st"),
+        CrawlConfig(max_rounds=4, compact_every=0),
+    )
+    engine_seen = {
+        r["url_hash"] for r in store.read("seen").select("url_hash").collect()
+    }
+    want = oracle_crawl(
+        dict(zip(pdf["url"], pdf["html"])), seed_urls(spec), max_rounds=4
+    ).seen
+    assert engine_seen == want
