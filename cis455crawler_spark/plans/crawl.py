@@ -94,6 +94,12 @@ class CrawlConfig:
     # sources/sitemaps.py). Off by default — the parity gate's BFS starts
     # from the explicit seed list exactly like the reference.
     seed_from_sitemaps: bool = False
+    # "quirk" (default) = the reference's isCrawlingAllowed semantics, which
+    # the parity gate requires; "standard" = RFC 9309 longest-match
+    # Allow/Disallow with wildcards (functions/robots_standard.py). Either
+    # way politeness uses the same Crawl-delay parse (delay is an extension
+    # outside RFC 9309).
+    robots_mode: str = "quirk"
 
     def __post_init__(self) -> None:
         if self.expected_total_urls:
@@ -244,12 +250,19 @@ def run_round(
         raw, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
     )
 
-    # robots gate (broadcast join + pure-column quirk predicate)
+    # robots gate (broadcast join + pure-column predicate: quirk-exact by
+    # default, RFC 9309 longest-match when cfg.robots_mode == "standard")
+    if cfg.robots_mode == "standard":
+        from ..functions.robots_standard import allowed_standard, url_path_of
+
+        allowed_col = allowed_standard(url_path_of(F.col("url")), F.col("std_rules"))
+    else:
+        allowed_col = crawl_allowed(
+            F.col("url"), F.col("has_robots"), F.col("disallow")
+        )
     cand = (
         fresh_cand.join(F.broadcast(robots), "host", "left")
-        .withColumn(
-            "allowed", crawl_allowed(F.col("url"), F.col("has_robots"), F.col("disallow"))
-        )
+        .withColumn("allowed", allowed_col)
         .cache()
     )
     denied = cand.filter(~F.col("allowed"))
@@ -544,7 +557,18 @@ def run_crawl(
     if store.current_round() >= 0 and not (resume or recrawl):
         raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
 
-    robots = build_robots_df(spark, pages).cache()
+    robots = build_robots_df(spark, pages)
+    if cfg.robots_mode == "standard":
+        from ..functions.robots_standard import build_robots_standard_df
+
+        robots = robots.join(
+            build_robots_standard_df(spark, pages).withColumnRenamed(
+                "rules", "std_rules"
+            ),
+            "host",
+            "left",
+        )
+    robots = robots.cache()
     robots.count()
 
     sitemap_seed_df: DataFrame | None = None

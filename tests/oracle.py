@@ -177,11 +177,15 @@ def oracle_crawl(
     max_content_bytes: int = MAX_CONTENT_BYTES,
     stored: dict[str, tuple] | None = None,  # url -> (warc_ts, links): prior gen
     pages_ts: dict | None = None,  # url -> warc_ts of the current corpus
+    allowed_fn=None,  # (url, raw_robots_body|None) -> bool; None = quirk o_allowed
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
+    raw_robots_by_host: dict[str, str] = {}
     for url, html in pages.items():
         if url.endswith("/robots.txt"):
-            robots_by_host[o_host(url)] = o_parse_robots(html.decode("iso-8859-1"))
+            body = html.decode("iso-8859-1")
+            robots_by_host[o_host(url)] = o_parse_robots(body)
+            raw_robots_by_host[o_host(url)] = body
 
     res = OracleResult()
     frontier: dict[str, int] = {u: 0 for u in seeds}
@@ -196,7 +200,12 @@ def oracle_crawl(
         denied, by_host = [], {}
         for u in sorted(cand):
             rb = robots_by_host.get(o_host(u))
-            if o_allowed(u, rb):
+            ok = (
+                allowed_fn(u, raw_robots_by_host.get(o_host(u)))
+                if allowed_fn is not None
+                else o_allowed(u, rb)
+            )
+            if ok:
                 by_host.setdefault(o_host(u), []).append(u)
             else:
                 denied.append(u)

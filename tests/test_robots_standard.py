@@ -140,3 +140,44 @@ def test_url_path_of(spark):
     )
     got = [r["p"] for r in df.select(url_path_of("url").alias("p")).collect()]
     assert got == ["/a/b?q=1", "/", "/p"]
+
+
+def test_crawl_standard_mode_matches_oracle(spark, tmp_path):
+    """CrawlConfig(robots_mode='standard') end-to-end: the engine's seen set
+    equals an oracle BFS whose permission predicate is the independent RFC
+    9309 oracle — and differs from the quirk-mode crawl on this corpus
+    (quirk deny-by-default hosts are standard-allowed), so the flag
+    demonstrably changes verdicts."""
+    from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from cis455crawler_spark.sources.corpus import (
+        CorpusSpec,
+        generate_pages_pdf,
+        seed_urls,
+    )
+
+    from .oracle import oracle_crawl
+
+    spec = CorpusSpec(hosts=8, pages_per_host=15, seed=11)
+    pdf = generate_pages_pdf(spec)
+    pages = spark.createDataFrame(
+        pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    page_map = dict(zip(pdf["url"], pdf["html"]))
+
+    def std_fn(url: str, body: str | None) -> bool:
+        rest = url.split("://", 1)[-1]
+        path = rest[rest.find("/"):] if "/" in rest else "/"
+        return o_allowed(body, path)
+
+    store, metrics = run_crawl(
+        spark, pages, seed_urls(spec), str(tmp_path / "std"),
+        CrawlConfig(max_rounds=8, compact_every=0, robots_mode="standard"),
+    )
+    engine_seen = {
+        r["url_hash"] for r in store.read("seen").select("url_hash").collect()
+    }
+    want = oracle_crawl(page_map, seed_urls(spec), max_rounds=8, allowed_fn=std_fn)
+    assert engine_seen == want.seen
+
+    quirk = oracle_crawl(page_map, seed_urls(spec), max_rounds=8)
+    assert want.seen != quirk.seen  # the mode genuinely flips verdicts here
