@@ -13,7 +13,11 @@ per snapshot, so file-level parallelism saturates any executor count without
 a splittable decoder (100 TB / 1 GB = 100k tasks). Records stream out of
 mapInPandas in bounded Arrow batches; only one file's bytes are resident per
 task at a time. Member-concatenated gzip (Common Crawl's per-record members)
-decompresses with stdlib gzip, which loops over members.
+decompresses with stdlib gzip, which loops over members. Peak per-task
+memory is one file DECOMPRESSED (~4-5x a 1 GB .warc.gz) — size executor
+memory or repackage archives smaller accordingly; a member-at-a-time
+streaming decode would cap the peak at one record and is the upgrade path
+if archives outgrow that.
 """
 
 from __future__ import annotations
