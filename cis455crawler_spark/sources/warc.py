@@ -11,19 +11,17 @@ Scale shape: `spark.read.format("binaryFile")` gives one task per file —
 Common Crawl publishes ~1 GB .warc.gz segments in the hundreds of thousands
 per snapshot, so file-level parallelism saturates any executor count without
 a splittable decoder (100 TB / 1 GB = 100k tasks). Records stream out of
-mapInPandas in bounded Arrow batches; only one file's bytes are resident per
-task at a time. Member-concatenated gzip (Common Crawl's per-record members)
-decompresses with stdlib gzip, which loops over members. Peak per-task
-memory is one file DECOMPRESSED (~4-5x a 1 GB .warc.gz) — size executor
-memory or repackage archives smaller accordingly; a member-at-a-time
-streaming decode would cap the peak at one record and is the upgrade path
-if archives outgrow that.
+mapInPandas in bounded Arrow batches; gzip input decodes MEMBER-AT-A-TIME
+(Common Crawl gzips one record per member), so peak per-task memory is the
+compressed file plus one in-flight record — never the whole decompressed
+archive.
 """
 
 from __future__ import annotations
 
 import gzip
 import io
+import zlib
 from datetime import datetime, timezone
 from typing import Iterator
 
@@ -43,68 +41,114 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _record_from(headers: dict[str, str], payload: bytes) -> dict | None:
+    """One framed WARC record -> response dict, or None for non-response /
+    URI-less records. Tolerates a missing HTTP message (body = payload)."""
+    if headers.get("warc-type") != "response":
+        return None
+    url = headers.get("warc-target-uri")
+    if not url:
+        return None
+    ts_raw = headers.get("warc-date", "")
+    try:
+        ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        ).replace(tzinfo=None)
+    except ValueError:
+        ts = None
+    status: int | None = None
+    content_type = ""
+    body = payload
+    if payload[:5] == b"HTTP/":  # payload is an HTTP response message
+        http_end = payload.find(_CRLF + _CRLF)
+        if http_end >= 0:
+            status_line, _, rest = payload[:http_end].partition(_CRLF)
+            parts = status_line.split()
+            if len(parts) >= 2 and parts[1].isdigit():
+                status = int(parts[1])
+            content_type = _parse_headers(rest).get("content-type", "")
+            body = payload[http_end + 4 :]
+    return {
+        "url": url,
+        "warc_ts": ts,
+        "http_status": status,
+        "content_type": content_type,
+        "body": body,
+    }
+
+
+def _drain(buf: bytes) -> tuple[list[dict], bytes, bool]:
+    """Parse every COMPLETE record at the head of buf. Returns (records,
+    remainder, stop): stop=True on a malformed head (non-WARC prefix or
+    unframed record) — the caller halts rather than resyncing
+    heuristically. An incomplete trailing record stays in the remainder."""
+    out: list[dict] = []
+    pos = 0
+    n = len(buf)
+    while True:
+        while buf.startswith(_CRLF, pos):
+            pos += 2
+        if pos >= n:
+            return out, b"", False
+        if not buf.startswith(b"WARC/", pos):
+            if n - pos < 5 and b"WARC/"[: n - pos].startswith(buf[pos:]):
+                return out, buf[pos:], False  # possible split prefix: wait
+            return out, buf[pos:], True
+        hdr_end = buf.find(_CRLF + _CRLF, pos)
+        if hdr_end < 0:
+            return out, buf[pos:], False  # incomplete headers: wait
+        headers = _parse_headers(buf[pos:hdr_end])
+        try:
+            length = int(headers.get("content-length", ""))
+        except ValueError:
+            return out, buf[pos:], True  # unframed: cannot advance safely
+        end = hdr_end + 4 + length
+        if end > n:
+            return out, buf[pos:], False  # incomplete payload: wait
+        rec = _record_from(headers, buf[hdr_end + 4 : end])
+        if rec is not None:
+            out.append(rec)
+        pos = end
+
+
+def iter_warc_records(data: bytes) -> Iterator[dict]:
+    """Stream response records out of one WARC file's bytes. Gzip input
+    decodes member-at-a-time (zlib wbits=31 + unused_data), so at most the
+    compressed bytes plus one record's decompressed bytes are resident —
+    the Common Crawl per-record-member layout never materializes the whole
+    decompressed archive."""
+    if data[:2] == b"\x1f\x8b":
+
+        def chunks() -> Iterator[bytes]:
+            pos = 0
+            while pos < len(data):
+                d = zlib.decompressobj(31)
+                out = d.decompress(data[pos:]) + d.flush()
+                yield out
+                consumed = len(data) - pos - len(d.unused_data)
+                if consumed <= 0:
+                    break
+                pos += consumed
+
+        source = chunks()
+    else:
+        source = iter((data,))
+
+    buf = b""
+    for chunk in source:
+        buf += chunk
+        recs, buf, stop = _drain(buf)
+        yield from recs
+        if stop:
+            return
+
+
 def parse_warc_bytes(data: bytes) -> list[dict]:
     """Parse one WARC file's bytes into response records:
     [{url, warc_ts (datetime), http_status (int|None), content_type,
     body (bytes)}]. Non-response records (request/metadata/warcinfo) are
-    skipped. Tolerates missing HTTP headers (body = raw payload)."""
-    if data[:2] == b"\x1f\x8b":  # gzip magic; multi-member streams loop
-        data = gzip.decompress(data)
-    out: list[dict] = []
-    pos = 0
-    n = len(data)
-    while pos < n:
-        # skip inter-record CRLFs
-        while data.startswith(_CRLF, pos):
-            pos += 2
-        if pos >= n:
-            break
-        if not data.startswith(b"WARC/", pos):
-            break  # malformed tail: stop rather than resync heuristically
-        hdr_end = data.find(_CRLF + _CRLF, pos)
-        if hdr_end < 0:
-            break
-        headers = _parse_headers(data[pos:hdr_end])
-        try:
-            length = int(headers.get("content-length", ""))
-        except ValueError:
-            break  # unframed record: cannot advance safely
-        payload = data[hdr_end + 4 : hdr_end + 4 + length]
-        pos = hdr_end + 4 + length
-        if headers.get("warc-type") != "response":
-            continue
-        url = headers.get("warc-target-uri")
-        if not url:
-            continue
-        ts_raw = headers.get("warc-date", "")
-        try:
-            ts = datetime.fromisoformat(ts_raw.replace("Z", "+00:00")).astimezone(
-                timezone.utc
-            ).replace(tzinfo=None)
-        except ValueError:
-            ts = None
-        status: int | None = None
-        content_type = ""
-        body = payload
-        if payload[:5] == b"HTTP/":  # payload is an HTTP response message
-            http_end = payload.find(_CRLF + _CRLF)
-            if http_end >= 0:
-                status_line, _, rest = payload[:http_end].partition(_CRLF)
-                parts = status_line.split()
-                if len(parts) >= 2 and parts[1].isdigit():
-                    status = int(parts[1])
-                content_type = _parse_headers(rest).get("content-type", "")
-                body = payload[http_end + 4 :]
-        out.append(
-            {
-                "url": url,
-                "warc_ts": ts,
-                "http_status": status,
-                "content_type": content_type,
-                "body": body,
-            }
-        )
-    return out
+    skipped; a malformed tail stops the parse cleanly."""
+    return list(iter_warc_records(data))
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -113,21 +157,30 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
     html BINARY). One task per file (binaryFile source); bodies never pass
     through the driver."""
     files = spark.read.format("binaryFile").load(path).select("content")
+    batch_rows = 256  # bounded Arrow batches: the stream never materializes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def flush(recs: list[dict]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": [r["url"] for r in recs],
+                    "warc_ts": [r["warc_ts"] for r in recs],
+                    "http_status": [r["http_status"] for r in recs],
+                    "content_type": [r["content_type"] for r in recs],
+                    "html": [r["body"] for r in recs],
+                }
+            )
+
         for pdf in batches:
             for blob in pdf["content"]:
-                recs = parse_warc_bytes(bytes(blob))
-                if recs:
-                    yield pd.DataFrame(
-                        {
-                            "url": [r["url"] for r in recs],
-                            "warc_ts": [r["warc_ts"] for r in recs],
-                            "http_status": [r["http_status"] for r in recs],
-                            "content_type": [r["content_type"] for r in recs],
-                            "html": [r["body"] for r in recs],
-                        }
-                    )
+                pending: list[dict] = []
+                for rec in iter_warc_records(bytes(blob)):
+                    pending.append(rec)
+                    if len(pending) >= batch_rows:
+                        yield flush(pending)
+                        pending = []
+                if pending:
+                    yield flush(pending)
 
     return files.mapInPandas(
         gen,

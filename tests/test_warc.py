@@ -119,3 +119,37 @@ def test_warc_to_crawl_seam_matches_oracle(spark, tmp_path):
         dict(zip(pdf["url"], pdf["html"])), seed_urls(spec), max_rounds=4
     ).seen
     assert engine_seen == want
+
+
+def test_iter_warc_records_streams_members():
+    """Member-at-a-time decode: records stream out lazily, a record split
+    across gzip members still assembles, and results equal the batch
+    parser's on every layout."""
+    import gzip as _gzip
+    import io as _io
+
+    from cis455crawler_spark.sources.warc import iter_warc_records
+
+    # per-record members (the Common Crawl layout)
+    data = build_warc_bytes(RECORDS, compress=True)
+    it = iter_warc_records(data)
+    first = next(it)
+    assert first["url"] == RECORDS[0][0]  # lazy: first record without the rest
+    assert [r["url"] for r in it] == [u for u, *_ in RECORDS[1:]]
+
+    # one record split across TWO members (legal, not CC layout)
+    plain = build_warc_bytes(RECORDS[:1])
+    half = len(plain) // 2
+    parts = []
+    for piece in (plain[:half], plain[half:]):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(piece)
+        parts.append(buf.getvalue())
+    got = list(iter_warc_records(b"".join(parts)))
+    assert len(got) == 1 and got[0]["body"] == RECORDS[0][4]
+
+    # plain (uncompressed) path unchanged
+    assert [r["url"] for r in iter_warc_records(build_warc_bytes(RECORDS))] == [
+        u for u, *_ in RECORDS
+    ]
