@@ -83,7 +83,7 @@ def effective_delay(parsed: dict) -> int:
     return d if d > 0 else 0
 
 
-def build_robots_df(spark, pages: DataFrame) -> DataFrame:
+def build_robots_df(spark, pages: DataFrame, with_standard: bool = False) -> DataFrame:
     """robots rules table from the corpus's /robots.txt rows.
 
     Output: (host STRING, has_robots BOOLEAN, disallow ARRAY<STRING> nullable,
@@ -95,28 +95,47 @@ def build_robots_df(spark, pages: DataFrame) -> DataFrame:
     (RobotsTxtInfo.java addSitemapLink via XPathCrawlerThread.java:548-549);
     the stored value is split(':')[1].trim() — an absolute sitemap URL
     truncates to just 'http' — parser quirk kept verbatim.
+
+    with_standard=True adds a `std_rules` column (RFC 9309 pre-compiled
+    rules, functions/robots_standard.py) parsed from the SAME bodies in the
+    SAME Arrow pass — the standard-mode crawl pays one pages scan, not two.
     """
     from .urls import host_of
 
-    @F.pandas_udf(
-        "struct<disallow: array<string>, crawl_delay: int, sitemaps: array<string>>"
+    fields = (
+        "struct<disallow: array<string>, crawl_delay: int, sitemaps: array<string>"
+        + (
+            ", std_rules: array<struct<pattern: string, rlen: int, allow: boolean>>"
+            if with_standard
+            else ""
+        )
+        + ">"
     )
+    if with_standard:
+        from .robots_standard import parse_robots_standard
+
+    @F.pandas_udf(fields)
     def _parse(body: pd.Series) -> pd.DataFrame:
-        dis, delay, maps = [], [], []
+        cols: dict[str, list] = {"disallow": [], "crawl_delay": [], "sitemaps": []}
+        if with_standard:
+            cols["std_rules"] = []
         for b in body:
             p = parse_robots_txt(b or "")
-            dis.append(effective_disallow(p))
-            delay.append(effective_delay(p))
-            maps.append(p["sitemaps"])
-        return pd.DataFrame({"disallow": dis, "crawl_delay": delay, "sitemaps": maps})
+            cols["disallow"].append(effective_disallow(p))
+            cols["crawl_delay"].append(effective_delay(p))
+            cols["sitemaps"].append(p["sitemaps"])
+            if with_standard:
+                cols["std_rules"].append(parse_robots_standard(b or ""))
+        return pd.DataFrame(cols)
 
+    out_cols = ["disallow", "crawl_delay", "sitemaps"] + (
+        ["std_rules"] if with_standard else []
+    )
     return (
         pages.where(F.col("url").endswith("/robots.txt"))
         .select(host_of("url").alias("host"), F.col("html").cast("string").alias("body"))
         .select("host", F.lit(True).alias("has_robots"), _parse("body").alias("_p"))
-        .select("host", "has_robots", F.col("_p.disallow").alias("disallow"),
-                F.col("_p.crawl_delay").alias("crawl_delay"),
-                F.col("_p.sitemaps").alias("sitemaps"))
+        .select("host", "has_robots", *[F.col(f"_p.{c}").alias(c) for c in out_cols])
     )
 
 

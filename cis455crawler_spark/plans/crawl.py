@@ -557,18 +557,11 @@ def run_crawl(
     if store.current_round() >= 0 and not (resume or recrawl):
         raise ValueError(f"state dir {state_dir} already has a crawl; pass resume=True")
 
-    robots = build_robots_df(spark, pages)
-    if cfg.robots_mode == "standard":
-        from ..functions.robots_standard import build_robots_standard_df
-
-        robots = robots.join(
-            build_robots_standard_df(spark, pages).withColumnRenamed(
-                "rules", "std_rules"
-            ),
-            "host",
-            "left",
-        )
-    robots = robots.cache()
+    # standard mode parses quirk columns AND std_rules in ONE Arrow pass over
+    # one pages scan (no second scan + join for the same bodies)
+    robots = build_robots_df(
+        spark, pages, with_standard=(cfg.robots_mode == "standard")
+    ).cache()
     robots.count()
 
     sitemap_seed_df: DataFrame | None = None

@@ -91,6 +91,8 @@ def _drain(buf: bytes) -> tuple[list[dict], bytes, bool]:
         if pos >= n:
             return out, b"", False
         if not buf.startswith(b"WARC/", pos):
+            if buf[pos:] == b"\r":  # chunk split inside a separator CRLF: wait
+                return out, buf[pos:], False
             if n - pos < 5 and b"WARC/"[: n - pos].startswith(buf[pos:]):
                 return out, buf[pos:], False  # possible split prefix: wait
             return out, buf[pos:], True
@@ -101,7 +103,9 @@ def _drain(buf: bytes) -> tuple[list[dict], bytes, bool]:
         try:
             length = int(headers.get("content-length", ""))
         except ValueError:
-            return out, buf[pos:], True  # unframed: cannot advance safely
+            length = -1
+        if length < 0:
+            return out, buf[pos:], True  # unframed/negative: cannot advance
         end = hdr_end + 4 + length
         if end > n:
             return out, buf[pos:], False  # incomplete payload: wait
@@ -120,15 +124,35 @@ def iter_warc_records(data: bytes) -> Iterator[dict]:
     if data[:2] == b"\x1f\x8b":
 
         def chunks() -> Iterator[bytes]:
+            # Member-walking decompressor fed BOUNDED compressed slices: no
+            # per-member tail copies (a 1 GB archive of 100k per-record
+            # members would otherwise memcpy O(members x filesize)), and a
+            # corrupt member / trailing garbage ends the stream AFTER the
+            # good members' output — matching the plain path's
+            # malformed-tail stop semantics. (GzipFile.read would raise on
+            # the corrupt member before returning the same call's good
+            # bytes.)
+            chunk_sz = 1 << 20
+            d = zlib.decompressobj(31)
             pos = 0
-            while pos < len(data):
-                d = zlib.decompressobj(31)
-                out = d.decompress(data[pos:]) + d.flush()
-                yield out
-                consumed = len(data) - pos - len(d.unused_data)
-                if consumed <= 0:
-                    break
-                pos += consumed
+            pending = b""
+            while True:
+                if not pending:
+                    if pos >= len(data):
+                        return  # truncated final member: drained already
+                    pending = data[pos : pos + chunk_sz]
+                    pos += chunk_sz
+                try:
+                    out = d.decompress(pending)
+                except zlib.error:
+                    return  # corrupt member: tolerant stop
+                if out:
+                    yield out
+                if d.eof:  # member done; unused_data starts the next one
+                    pending = d.unused_data
+                    d = zlib.decompressobj(31)
+                else:
+                    pending = b""
 
         source = chunks()
     else:
@@ -227,7 +251,8 @@ def build_warc_bytes(
             "WARC/1.0\r\n"
             "WARC-Type: response\r\n"
             f"WARC-Target-URI: {url}\r\n"
-            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
+            f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%S')}"
+            f"{f'.{ts.microsecond:06d}' if ts.microsecond else ''}Z\r\n"
             f"Content-Length: {len(http)}\r\n"
             "Content-Type: application/http; msgtype=response\r\n\r\n"
         ).encode()

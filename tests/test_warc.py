@@ -153,3 +153,49 @@ def test_iter_warc_records_streams_members():
     assert [r["url"] for r in iter_warc_records(build_warc_bytes(RECORDS))] == [
         u for u, *_ in RECORDS
     ]
+
+
+def test_warc_parser_hardening():
+    """Review findings: negative Content-Length must stop (not loop), a gzip
+    member split inside the separator CRLF must not drop the tail, a corrupt
+    member ends the stream tolerantly, and sub-second WARC-Dates round-trip."""
+    import gzip as _gzip
+    import io as _io
+
+    from cis455crawler_spark.sources.warc import iter_warc_records
+
+    # negative Content-Length: clean stop, no hang
+    bad = (
+        b"WARC/1.0\r\nWARC-Type: response\r\n"
+        b"WARC-Target-URI: http://x/\r\n"
+        b"WARC-Date: 2013-03-01T00:00:00Z\r\n"
+        b"Content-Length: -82\r\n\r\n"
+    )
+    assert parse_warc_bytes(build_warc_bytes(RECORDS[:1]) + bad) == parse_warc_bytes(
+        build_warc_bytes(RECORDS[:1])
+    )
+
+    # member boundary one byte into the trailing CRLFCRLF separator
+    plain = build_warc_bytes(RECORDS[:2])
+    rec1_end = plain.find(b"\r\n\r\nWARC/") + 1  # split after the lone '\r'
+    parts = []
+    for piece in (plain[:rec1_end], plain[rec1_end:]):
+        buf = _io.BytesIO()
+        with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+            gz.write(piece)
+        parts.append(buf.getvalue())
+    got = list(iter_warc_records(b"".join(parts)))
+    assert [r["url"] for r in got] == [u for u, *_ in RECORDS[:2]]
+
+    # corrupt second member: first record survives, stream ends cleanly
+    m1, m2 = parts
+    corrupted = m1 + b"\x1f\x8bgarbage-not-a-member"
+    got = list(iter_warc_records(corrupted))
+    assert [r["url"] for r in got] == [RECORDS[0][0]]
+
+    # microsecond WARC-Date round-trips exactly
+    ts = datetime(2013, 3, 1, 12, 0, 0, 123456)
+    rec = [("http://x/us.html", ts, 200, "text/html", b"b")]
+    for compress in (False, True):
+        out = parse_warc_bytes(build_warc_bytes(rec, compress=compress))
+        assert out[0]["warc_ts"] == ts
