@@ -1,0 +1,86 @@
+"""Freshness-driven recrawl prioritization (beyond reference).
+
+The reference's recrawl is all-or-nothing: a new generation re-requests
+every stored URL and relies on If-Modified-Since 304s to skip unchanged
+pages (XPathCrawlerThread.java:129-146). At a 10^10-URL corpus even the
+304 round-trips dominate, so a production crawler ORDERS the recrawl by
+expected staleness instead (Cho & Garcia-Molina, "Effective page refresh
+policies for web crawlers", TODS 2003): estimate each page's change rate
+from its observed version history and spend the fetch budget where changes
+are most likely to have happened.
+
+This operator derives the estimate from state the engine already keeps —
+the parsed table's MERGE history, where each re-parse appended a row with
+the new warc_ts while 304s did not. One groupBy(url_hash) pass:
+
+    n_versions   distinct warc_ts values observed
+    change_rate  (n_versions - 1) / observed_span_days  (0 when span ~ 0)
+    staleness    as_of - last observed warc_ts (days)
+    priority     staleness_days * change_rate  -- expected missed changes
+
+The output ranks the whole corpus with one shuffle on url_hash (the same
+key the parsed table is already written by) and broadcasts nothing; take
+the top fetch-budget rows as the next generation's frontier.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SECONDS_PER_DAY = 86400.0
+
+
+def recrawl_priority(
+    parsed: DataFrame, as_of: datetime, min_span_s: float = 1.0
+) -> DataFrame:
+    """Per-URL recrawl priority from the parsed table's version history.
+
+    `parsed` needs (url_hash, url, warc_ts) with one row per OBSERVED
+    version (the engine's parsed table after >=1 generations). Returns
+    (url_hash, url, n_versions, change_rate_per_day, staleness_days,
+    priority) — priority descending is the recrawl order. URLs seen once
+    carry change_rate 0; rank ties break by staleness (oldest first).
+    """
+    agg = parsed.groupBy("url_hash").agg(
+        F.first("url", ignorenulls=True).alias("url"),
+        F.countDistinct("warc_ts").alias("n_versions"),
+        F.min("warc_ts").alias("first_ts"),
+        F.max("warc_ts").alias("last_ts"),
+    )
+    span_s = F.col("last_ts").cast("double") - F.col("first_ts").cast("double")
+    rate = F.when(
+        span_s >= min_span_s,
+        (F.col("n_versions") - 1) / (span_s / SECONDS_PER_DAY),
+    ).otherwise(F.lit(0.0))
+    staleness_days = (
+        F.lit(as_of.timestamp()) - F.col("last_ts").cast("double")
+    ) / SECONDS_PER_DAY
+    return (
+        agg.withColumn("change_rate_per_day", rate)
+        .withColumn("staleness_days", F.greatest(staleness_days, F.lit(0.0)))
+        .withColumn(
+            "priority", F.col("staleness_days") * F.col("change_rate_per_day")
+        )
+        .select(
+            "url_hash", "url", "n_versions", "change_rate_per_day",
+            "staleness_days", "priority",
+        )
+    )
+
+
+def recrawl_frontier(
+    parsed: DataFrame, as_of: datetime, budget: int
+) -> DataFrame:
+    """Top-`budget` URLs by (priority, staleness) — the freshness-ordered
+    seed list for the next recrawl generation. A global top-k: Spark runs
+    it as per-partition top-k + a single reduced sort, not a full shuffle
+    of the corpus."""
+    return (
+        recrawl_priority(parsed, as_of)
+        .orderBy(F.desc("priority"), F.desc("staleness_days"), "url")
+        .limit(budget)
+        .select("url")
+    )
