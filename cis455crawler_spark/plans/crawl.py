@@ -100,6 +100,13 @@ class CrawlConfig:
     # way politeness uses the same Crawl-delay parse (delay is an extension
     # outside RFC 9309).
     robots_mode: str = "quirk"
+    # opt-in crawler-trap containment: cap on URLs per host ever ADMITTED
+    # past the dedup gate (counted against the host's seen-set size at round
+    # start; candidates beyond the cap are dropped permanently in the
+    # round's deterministic url order, metric `quota_dropped`). None =
+    # reference behavior (unbounded — the parity gate requires it). Resets
+    # with the seen set on a recrawl generation.
+    max_urls_per_host: int | None = None
 
     def __post_init__(self) -> None:
         if self.expected_total_urls:
@@ -249,6 +256,37 @@ def run_round(
     fresh_cand = anti_join_seen(
         raw, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
     )
+
+    # per-host admission quota (opt-in trap containment): remaining budget =
+    # cap minus the host's seen-set size at round start; the salted
+    # two-phase pop admits exactly the first `remaining` candidates per host
+    # in url order and drops the rest permanently. The seen groupBy(host) is
+    # a small aggregate over the bucketed table; its result (one row per
+    # host) broadcasts.
+    pre_quota = None
+    if cfg.max_urls_per_host is not None:
+        pre_quota = fresh_cand.cache()
+        if seen is not None:
+            host_counts = seen.groupBy(host_of(F.col("url")).alias("host")).agg(
+                F.count(F.lit(1)).alias("_hc")
+            )
+        else:
+            host_counts = spark.createDataFrame([], "host string, _hc long")
+        gated = (
+            pre_quota.join(F.broadcast(host_counts), "host", "left")
+            .withColumn(
+                "_qrem",
+                F.greatest(
+                    F.lit(0),
+                    F.lit(cfg.max_urls_per_host) - F.coalesce(F.col("_hc"), F.lit(0)),
+                ).cast("int"),
+            )
+            .drop("_hc")
+        )
+        admitted, _dropped = pop_host_batches(
+            gated, budget_col="_qrem", salt_buckets=cfg.salt_buckets
+        )
+        fresh_cand = admitted.drop("_qrem")
 
     # robots gate (broadcast join + pure-column predicate: quirk-exact by
     # default, RFC 9309 longest-match when cfg.robots_mode == "standard")
@@ -429,17 +467,19 @@ def run_round(
 
     # all counters in ONE job over the now-materialized caches (1-row
     # aggregates cross-joined; each side is a cache scan, no recompute)
+    stats_df = (
+        raw.agg(*raw_exprs)
+        .crossJoin(cand.agg(*cand_exprs))
+        .crossJoin(scheduled.agg(*sched_exprs))
+        .crossJoin(parsed.agg(*parse_exprs))
+    )
+    if pre_quota is not None:
+        stats_df = stats_df.crossJoin(
+            pre_quota.agg(F.count(F.lit(1)).alias("n_pre_quota"))
+        )
     stats = {
         k: (v if v is not None else 0)
-        for k, v in (
-            raw.agg(*raw_exprs)
-            .crossJoin(cand.agg(*cand_exprs))
-            .crossJoin(scheduled.agg(*sched_exprs))
-            .crossJoin(parsed.agg(*parse_exprs))
-        )
-        .collect()[0]
-        .asDict()
-        .items()
+        for k, v in stats_df.collect()[0].asDict().items()
     }
     _tick("stats job (cache-hit aggregates)")
     urls_in = stats["n_raw"]
@@ -466,6 +506,8 @@ def run_round(
         "size_rejected": acts.get("size_reject", 0),
         "frontier_next": frontier_next,
     }
+    if pre_quota is not None:
+        metrics["quota_dropped"] = stats["n_pre_quota"] - fresh
     if cfg.use_bloom:
         metrics["bloom_delta"] = True  # _bloom_lags reads this from history
 
@@ -496,6 +538,8 @@ def run_round(
     _tick("commit finish (writes overlapped stats)")
     for df in (raw, cand, scheduled, parsed, new_seen):
         df.unpersist()
+    if pre_quota is not None:
+        pre_quota.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by
         # the context cleaner once the caller drops the reference

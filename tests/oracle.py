@@ -178,6 +178,7 @@ def oracle_crawl(
     stored: dict[str, tuple] | None = None,  # url -> (warc_ts, links): prior gen
     pages_ts: dict | None = None,  # url -> warc_ts of the current corpus
     allowed_fn=None,  # (url, raw_robots_body|None) -> bool; None = quirk o_allowed
+    max_urls_per_host: int | None = None,  # per-host admission quota
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
     raw_robots_by_host: dict[str, str] = {}
@@ -190,12 +191,33 @@ def oracle_crawl(
     res = OracleResult()
     frontier: dict[str, int] = {u: 0 for u in seeds}
     total_sched = 0
+    seen_hosts: dict[str, int] = {}  # per-host seen-set size (quota gate)
+
+    def _mark_seen(u: str) -> None:
+        h = o_sha1(u)
+        if h not in res.seen:
+            res.seen.add(h)
+            seen_hosts[o_host(u)] = seen_hosts.get(o_host(u), 0) + 1
     for round_no in range(1, max_rounds + 1):
         if not frontier or total_sched >= max_pages:
             break
         cand = {u: d for u, d in frontier.items() if o_sha1(u) not in res.seen}
         res.frontiers.append(set(frontier))
         urls_in = len(frontier)
+
+        # per-host admission quota: remaining = cap - host's seen-set size at
+        # round start; first `remaining` candidates per host in url order
+        # admitted, rest dropped permanently (engine's quota gate)
+        if max_urls_per_host is not None:
+            admitted_now: dict[str, int] = {}
+            kept = {}
+            for u in sorted(cand):
+                h = o_host(u)
+                used = seen_hosts.get(h, 0) + admitted_now.get(h, 0)
+                if used < max_urls_per_host:
+                    admitted_now[h] = admitted_now.get(h, 0) + 1
+                    kept[u] = cand[u]
+            cand = kept
 
         denied, by_host = [], {}
         for u in sorted(cand):
@@ -218,7 +240,7 @@ def oracle_crawl(
                 (scheduled if i < budget else deferred).append(u)
 
         for u in denied + scheduled:
-            res.seen.add(o_sha1(u))
+            _mark_seen(u)
         res.scheduled_rounds.append(set(scheduled))
         total_sched += len(scheduled)
 
@@ -237,7 +259,7 @@ def oracle_crawl(
             if st in (301, 302):
                 actions[u] = "redirect"
                 redirects += 1
-                res.seen.add(o_sha1(o_location(u)))
+                _mark_seen(o_location(u))
             elif (
                 stored is not None
                 and u in stored

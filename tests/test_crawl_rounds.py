@@ -522,3 +522,44 @@ def test_run_crawl_existing_dir_requires_resume(spark, corpus, tmp_path):
     run_crawl(spark, pages, seed_urls(SPEC), state, CrawlConfig(max_rounds=1))
     with pytest.raises(ValueError, match="resume"):
         run_crawl(spark, pages, seed_urls(SPEC), state, CrawlConfig(max_rounds=1))
+
+
+def test_crawl_host_quota_matches_oracle(spark, tmp_path):
+    """Opt-in per-host admission quota (crawler-trap containment): engine
+    seen set == oracle BFS with the same cap; the hot host is demonstrably
+    capped vs the unrestricted crawl; quota_dropped metric surfaces."""
+    from collections import Counter
+
+    from .oracle import o_host
+
+    spec = CorpusSpec(hosts=5, pages_per_host=25, seed=3, hot_factor=4)
+    pdf = generate_pages_pdf(spec)
+    pages = spark.createDataFrame(
+        pdf, schema="url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    page_map = dict(zip(pdf["url"], pdf["html"]))
+    QUOTA = 15
+
+    store, metrics = run_crawl(
+        spark, pages, seed_urls(spec), str(tmp_path / "q"),
+        CrawlConfig(max_rounds=10, compact_every=0, max_urls_per_host=QUOTA),
+    )
+    engine_seen_urls = {r["url"] for r in store.read("seen").select("url").collect()}
+    engine_seen = {r["url_hash"] for r in store.read("seen").select("url_hash").collect()}
+
+    want = oracle_crawl(page_map, seed_urls(spec), max_rounds=10, max_urls_per_host=QUOTA)
+    assert engine_seen == want.seen
+
+    # quota binds on the hot host, and beats the unrestricted crawl
+    counts = Counter(o_host(u) for u in engine_seen_urls)
+    free = oracle_crawl(page_map, seed_urls(spec), max_rounds=10)
+    free_counts = Counter()
+    for u in page_map:  # count the unrestricted seen set per host
+        if __import__("hashlib").sha1(u.encode()).hexdigest() in free.seen:
+            free_counts[o_host(u)] += 1
+    hot = "host-0.test"
+    assert free_counts[hot] > QUOTA  # the trap is real without the cap
+    # redirect Locations may exceed the admission cap slightly (documented)
+    assert counts[hot] <= QUOTA + 5
+    assert counts[hot] < free_counts[hot]
+    assert sum(m.get("quota_dropped", 0) for m in metrics) > 0
