@@ -25,12 +25,22 @@ the top fetch-budget rows as the next generation's frontier.
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SECONDS_PER_DAY = 86400.0
+
+
+def _as_of_epoch(as_of: datetime) -> float:
+    """Naive as_of is interpreted as UTC — the engine pins the session
+    timezone to UTC (session.py), so warc_ts epoch seconds are UTC; letting
+    datetime.timestamp() localize via the SYSTEM timezone would skew every
+    staleness by the driver's UTC offset."""
+    if as_of.tzinfo is None:
+        as_of = as_of.replace(tzinfo=timezone.utc)
+    return as_of.timestamp()
 
 
 def recrawl_priority(
@@ -56,7 +66,7 @@ def recrawl_priority(
         (F.col("n_versions") - 1) / (span_s / SECONDS_PER_DAY),
     ).otherwise(F.lit(0.0))
     staleness_days = (
-        F.lit(as_of.timestamp()) - F.col("last_ts").cast("double")
+        F.lit(_as_of_epoch(as_of)) - F.col("last_ts").cast("double")
     ) / SECONDS_PER_DAY
     return (
         agg.withColumn("change_rate_per_day", rate)
@@ -72,14 +82,14 @@ def recrawl_priority(
 
 
 def recrawl_frontier(
-    parsed: DataFrame, as_of: datetime, budget: int
+    parsed: DataFrame, as_of: datetime, budget: int, min_span_s: float = 1.0
 ) -> DataFrame:
     """Top-`budget` URLs by (priority, staleness) — the freshness-ordered
     seed list for the next recrawl generation. A global top-k: Spark runs
     it as per-partition top-k + a single reduced sort, not a full shuffle
     of the corpus."""
     return (
-        recrawl_priority(parsed, as_of)
+        recrawl_priority(parsed, as_of, min_span_s=min_span_s)
         .orderBy(F.desc("priority"), F.desc("staleness_days"), "url")
         .limit(budget)
         .select("url")

@@ -143,6 +143,16 @@ def _bloom_lags(history: list[dict]) -> bool:
     )
 
 
+def _host_counts_lag(history: list[dict]) -> bool:
+    """True when some round of this generation appended to seen without
+    committing a host_counts delta (quota toggled on mid-crawl) — the
+    rollup then undercounts and MUST be rebuilt from the seen table."""
+    return any(
+        "scheduled" in h and not h.get("host_counts_delta")
+        for h in _generation_history(history)
+    )
+
+
 def _seed_frontier(
     spark: SparkSession, seeds: list[str], extra_seed_df: DataFrame | None = None
 ) -> DataFrame:
@@ -260,18 +270,26 @@ def run_round(
     # per-host admission quota (opt-in trap containment): remaining budget =
     # cap minus the host's seen-set size at round start; the salted
     # two-phase pop admits exactly the first `remaining` candidates per host
-    # in url order and drops the rest permanently. The seen groupBy(host) is
-    # a small aggregate over the bucketed table; its result (one row per
-    # host) broadcasts.
+    # in url order and drops the rest permanently. The per-host counts come
+    # from an INCREMENTALLY maintained host_counts rollup (each round merges
+    # this round's small new_seen delta — no rescan of the growing seen
+    # table; rebuilt from seen only when the rollup is missing or lagging,
+    # i.e. quota toggled on mid-crawl).
     pre_quota = None
+    host_counts = None
     if cfg.max_urls_per_host is not None:
         pre_quota = fresh_cand.cache()
-        if seen is not None:
+        rollup = store.read("host_counts")
+        if rollup is not None and not _host_counts_lag(store.manifest()["history"]):
+            host_counts = rollup.select("host", F.col("n").alias("_hc"))
+        elif seen is not None:
             host_counts = seen.groupBy(host_of(F.col("url")).alias("host")).agg(
                 F.count(F.lit(1)).alias("_hc")
             )
         else:
             host_counts = spark.createDataFrame([], "host string, _hc long")
+        # cached: consumed by the gate now and by the rollup merge at commit
+        host_counts = host_counts.cache()
         gated = (
             pre_quota.join(F.broadcast(host_counts), "host", "left")
             .withColumn(
@@ -446,6 +464,19 @@ def run_round(
     # phase-1 commit: the seen/parsed/frontier (+bloom delta) writes start
     # on background driver threads NOW; the stats aggregate below runs
     # concurrently with them. The manifest swap waits for everything.
+    round_replaces = {"frontier": new_frontier.select("url", "depth")}
+    if pre_quota is not None:
+        # merge this round's small new_seen delta into the host rollup —
+        # the quota gate's counts never rescan the full seen table
+        delta = new_seen.groupBy(host_of(F.col("url")).alias("host")).agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        round_replaces["host_counts"] = (
+            host_counts.select("host", F.col("_hc").alias("n"))
+            .unionByName(delta)
+            .groupBy("host")
+            .agg(F.sum("n").alias("n"))
+        )
     handle = store.begin_commit(
         round_no,
         appends={
@@ -461,7 +492,7 @@ def run_round(
                 "lang", "warc_ts", "fetched", "round",
             ),
         },
-        replaces={"frontier": new_frontier.select("url", "depth")},
+        replaces=round_replaces,
         partition_by={"seen": ["bucket"]},
     )
 
@@ -493,7 +524,10 @@ def run_round(
     metrics = {
         "round": round_no,
         "urls_in": urls_in,
-        "deduped": urls_in - fresh,
+        # with the quota gate on, candidates dropped there are NOT dedups —
+        # count dedup against the pre-quota candidate set
+        "deduped": urls_in
+        - (stats["n_pre_quota"] if pre_quota is not None else fresh),
         "robots_denied": n_denied,
         "politeness_deferred": (fresh - n_denied) - n_sched,
         "scheduled": n_sched,
@@ -510,6 +544,8 @@ def run_round(
         metrics["quota_dropped"] = stats["n_pre_quota"] - fresh
     if cfg.use_bloom:
         metrics["bloom_delta"] = True  # _bloom_lags reads this from history
+    if pre_quota is not None:
+        metrics["host_counts_delta"] = True  # _host_counts_lag continuity
 
     # per-partition lineage (north_rule) + 1-row metrics: observed above —
     # written driver-side, no Spark job per tiny table
@@ -540,6 +576,7 @@ def run_round(
         df.unpersist()
     if pre_quota is not None:
         pre_quota.unpersist()
+        host_counts.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by
         # the context cleaner once the caller drops the reference
@@ -638,8 +675,10 @@ def run_crawl(
             replaces={"frontier": frontier0, "seen": empty_seen},
             extra={"phase": "recrawl"},
         )
-        # stale bitmaps describe the previous generation's seen set
+        # stale bitmaps / host rollups describe the previous generation's
+        # seen set, which a recrawl resets
         store.drop_table("bloom")
+        store.drop_table("host_counts")
 
     # max_pages / max_rounds / metrics are per-generation (each reference
     # run has its own TotalMaxRequests budget and round count)
