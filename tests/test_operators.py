@@ -361,3 +361,25 @@ def test_serve_over_crawled_index(spark, tmp_path):
         low = texts[r["doc_id"]].lower()
         if any(t in low for t in terms):
             assert r["snip"] and any(t in r["snip"].lower() for t in terms)
+
+
+def test_host_rank_matches_page_machinery(spark):
+    """host_rank == pagerank run on the manually collapsed host graph (same
+    oracle the page-level tests trust), and intra-host links are inert."""
+    from cis455crawler_spark.operators.pagerank import host_rank, pagerank_py_oracle
+
+    edges = [
+        ("http://a.test/p1", "http://b.test/x"),
+        ("http://a.test/p2", "http://b.test/y"),   # same host pair: one edge
+        ("http://a.test/p1", "http://a.test/p3"),  # self-loop: dropped
+        ("http://b.test/x", "http://c.test/z"),
+        ("http://c.test/z", "http://a.test/p1"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    got = {r["host"]: r["rank"] for r in host_rank(df, iterations=5).collect()}
+
+    host_edges = {("a.test", "b.test"), ("b.test", "c.test"), ("c.test", "a.test")}
+    want = pagerank_py_oracle(sorted(host_edges), iterations=5)
+    assert set(got) == set(want)
+    for h in want:
+        assert abs(got[h] - want[h]) < 1e-9, h
