@@ -87,6 +87,87 @@ def pagerank_py_oracle(
     return ranks
 
 
+def _l1_scatter(
+    nodes: DataFrame,
+    edges: DataFrame,
+    scores: DataFrame,
+    from_col: str,
+    to_col: str,
+    score_col: str,
+    out_col: str,
+) -> DataFrame:
+    """One HITS half-step: out(n) = sum of scores over edges arriving at n
+    via (from_col -> to_col), L1-normalized over all nodes. Two keyed
+    shuffles (join on from_col rides the edge partitioning, groupBy to_col)
+    plus a broadcast 1-row total — the same aggregate-fusion pattern the
+    crawl stats job uses."""
+    contrib = (
+        edges.join(scores, edges[from_col] == scores["node"])
+        .groupBy(to_col)
+        .agg(F.sum(score_col).alias("_s"))
+    )
+    raw = (
+        nodes.join(contrib, nodes["node"] == contrib[to_col], "left")
+        .select(nodes["node"].alias("node"), F.coalesce("_s", F.lit(0.0)).alias("_raw"))
+    )
+    total = raw.agg(F.sum("_raw").alias("_t"))
+    return raw.crossJoin(F.broadcast(total)).select(
+        "node",
+        F.when(F.col("_t") > 0, F.col("_raw") / F.col("_t"))
+        .otherwise(F.lit(0.0))
+        .alias(out_col),
+    )
+
+
+def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 2) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the crawled link graph —
+    beyond the reference (its Ranker is PageRank-only, Ranker.java:37-73) but
+    the natural companion signal: authorities = pages good to SERVE, hubs =
+    pages good to CRAWL FROM (a hub-weighted frontier finds new authorities
+    faster, the classic focused-crawl heuristic).
+
+    Per iteration on the distinct edge set: auth(v) = L1-normalized sum of
+    hub(u) over u->v, then hub(u) = L1-normalized sum of the NEW auth(v)
+    over u->v (the standard update order). L1 (not L2) normalization keeps
+    the fixpoint SQL-expressible for the DuckDB oracle; the ranking order it
+    induces is identical. Output: (node, hub, auth) for every node on either
+    side of an edge."""
+    edges = edges.select("src", "dst").distinct().cache()
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .cache()
+    )
+    hub = nodes.select("node", F.lit(1.0).alias("hub"))
+    auth = nodes.select("node", F.lit(0.0).alias("auth"))
+    for i in range(iterations):
+        auth = _l1_scatter(nodes, edges, hub, "src", "dst", "hub", "auth")
+        hub = _l1_scatter(nodes, edges, auth, "dst", "src", "auth", "hub")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint()  # cut the cross-iteration lineage
+            hub = hub.localCheckpoint()
+    return hub.join(auth, "node")
+
+
+def hits_py_oracle(
+    edge_list: list[tuple[str, str]], iterations: int = 3
+) -> dict[str, tuple[float, float]]:
+    """Driver-side reference implementation for tests: {node: (hub, auth)}."""
+    edges = sorted(set(edge_list))
+    nodes = sorted({n for e in edges for n in e})
+    hub = {n: 1.0 for n in nodes}
+    auth = {n: 0.0 for n in nodes}
+    for _ in range(iterations):
+        auth = {n: sum(hub[s] for s, d in edges if d == n) for n in nodes}
+        ta = sum(auth.values())
+        auth = {n: (v / ta if ta > 0 else 0.0) for n, v in auth.items()}
+        hub = {n: sum(auth[d] for s, d in edges if s == n) for n in nodes}
+        th = sum(hub.values())
+        hub = {n: (v / th if th > 0 else 0.0) for n, v in hub.items()}
+    return {n: (hub[n], auth[n]) for n in nodes}
+
+
 def host_rank(edges: DataFrame, iterations: int = 5) -> DataFrame:
     """Host-level PageRank (beyond reference) — the domain-graph ranking
     Common Crawl publishes alongside its page ranks and real crawlers feed
