@@ -64,6 +64,10 @@ BENCH_QUERIES = [
     "asof_last_click",
     "fetch_routing_crawl",
     "pagerank_5iter",
+    "hits_hubs_auth",
+    "anchor_text_postings",
+    "boilerplate_strip",
+    "cdx_capture_index",
 ]
 
 
