@@ -1314,6 +1314,7 @@ def _hits_sql(raw_edges_sql: str, iterations: int = 3) -> str:
     """Unrolled-CTE HITS (L1-normalized, matching operators/pagerank.py:hits):
     auth_i(v) = sum of hub_{i-1}(u) over u->v, normalized by the global sum;
     hub_i(u) = sum of auth_i(v) over u->v, normalized likewise."""
+    assert iterations >= 1, "hits oracle needs iterations >= 1"
     sql = f"""WITH raw AS ({raw_edges_sql}),
         e AS (SELECT DISTINCT src, dst FROM raw),
         nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),

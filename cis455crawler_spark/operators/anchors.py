@@ -37,31 +37,36 @@ from ..functions.html import _ANYTAG, _HREF, _WS, _htmllib
 from ..functions.text import remove_stopwords, tokenize
 from ..functions.urls import resolve_href
 
-# opening-tag attrs captured separately from the inner markup; non-greedy
-# inner match ends at the first </a> (nested <a> is invalid HTML — browsers
-# and the reference's JTidy DOM both auto-close, so first-close is faithful)
-_A_PAIR = re.compile(rb"<a\b([^>]*)>(.*?)</a\s*>", re.IGNORECASE | re.DOTALL)
+# every <a ...> opening tag starts an anchor; its text runs to the NEXT
+# anchor boundary — a </a> OR another <a (auto-close: nested/unclosed <a> is
+# invalid HTML, and browsers and the reference's JTidy DOM both start a new
+# anchor at the second <a, so an unclosed anchor must not swallow its
+# successors' text or drop their hrefs)
+_A_OPEN = re.compile(rb"<a\b([^>]*)>", re.IGNORECASE)
+_A_BOUND = re.compile(rb"</a\s*>|<a\b", re.IGNORECASE)
 
 
 def extract_anchor_pairs_py(html_bytes: bytes | None) -> list[dict]:
-    """[(href, anchor_text)] for every <a href=...>...</a> in document order.
+    """[(href, anchor_text)] for every <a href=...> in document order.
 
     href parsing reuses the crawl kernel's attribute regex
     (functions/html.py `_HREF` — the same quoting variants the reference's
-    DOM walk accepts); anchor text is the inner markup with tags stripped,
-    entities unescaped, and whitespace collapsed — the same normalization
-    extract_text_py applies to page text, so anchor tokens and body tokens
-    agree on tokenization downstream. Anchors without an href are skipped
-    (they cannot vote for a target)."""
+    DOM walk accepts); anchor text is the markup between the opening tag and
+    the next anchor boundary, tags stripped, entities unescaped, whitespace
+    collapsed — the same normalization extract_text_py applies to page text,
+    so anchor tokens and body tokens agree on tokenization downstream.
+    Anchors without an href are skipped (they cannot vote for a target)."""
     if html_bytes is None:
         return []
     out: list[dict] = []
-    for m in _A_PAIR.finditer(html_bytes):
+    for m in _A_OPEN.finditer(html_bytes):
         hm = _HREF.search(m.group(1))
         if hm is None:
             continue
         href = next(g for g in hm.groups() if g is not None).decode("iso-8859-1")
-        inner = _ANYTAG.sub(b" ", m.group(2))
+        b = _A_BOUND.search(html_bytes, m.end())
+        inner = html_bytes[m.end() : b.start() if b else len(html_bytes)]
+        inner = _ANYTAG.sub(b" ", inner)
         anchor = _WS.sub(" ", _htmllib.unescape(inner.decode("iso-8859-1"))).strip()
         out.append({"href": href, "anchor": anchor})
     return out

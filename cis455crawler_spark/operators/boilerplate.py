@@ -11,13 +11,13 @@ them). Detection and stripping are pure built-in DataFrame ops:
 
     docs -> explode lines (distinct per doc)        [one shuffle: host,line]
          -> count per (host, line) vs docs-per-host -> boilerplate set
-    docs -> posexplode lines -> anti-join the set   [keyed equi anti-join]
-         -> re-assemble in order (sort_array on pos)
+    docs -> posexplode lines -> left-join the set (mark) -> ONE groupBy(doc)
+         computing kept lines + totals + ordered re-assembly together
 
 100-TB notes: the frequency aggregation keys on (host, line) — fine-grained,
 partial+final, no skew pivot (a mega-host spreads over its distinct lines).
 The boilerplate set is tiny relative to the corpus (lines crossing the
-min_frac bar), so AQE turns the anti-join into a broadcast; at extreme corpus
+min_frac bar), so AQE turns the mark join into a broadcast; at extreme corpus
 sizes group on xxhash64(line) instead and keep one exemplar line per hash
 (64-bit collisions are immaterial for a >=50%-frequency test). Documents
 re-assemble via collect_list(struct(pos,line)) — bounded by a single
@@ -48,7 +48,9 @@ def boilerplate_lines(
         docs.select(
             host.alias("host"),
             F.col(doc_col).alias("doc_id"),
-            F.explode(F.split(F.col(text_col), "\n")).alias("line"),
+            F.explode(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+            ).alias("line"),
         )
         .where(F.trim(F.col("line")) != "")
         .distinct()
@@ -79,9 +81,14 @@ def strip_boilerplate(
 ) -> DataFrame:
     """(doc_id, host, clean_text, n_lines, n_stripped) — every input document
     with its host's boilerplate lines removed, remaining lines re-joined in
-    original order. Documents whose every line is boilerplate come back with
-    clean_text = '' (kept, not dropped — dropping is a downstream quality
-    filter's decision)."""
+    original order. Documents whose every line is boilerplate (and NULL-text
+    documents) come back with clean_text = '' (kept, not dropped — dropping
+    is a downstream quality filter's decision).
+
+    Two passes over the text column total: boilerplate_lines' frequency
+    explode, then ONE mark-and-aggregate pass (left join the boilerplate
+    set, one groupBy computing kept lines, totals, and the ordered
+    re-assembly together — no separate anti-join + totals scans)."""
     bp = boilerplate_lines(
         docs,
         host_col=host_col,
@@ -89,40 +96,43 @@ def strip_boilerplate(
         text_col=text_col,
         min_frac=min_frac,
         min_docs=min_docs,
-    ).select("host", "line")
+    ).select("host", "line", F.lit(1).alias("_bp"))
 
     exploded = docs.select(
         F.col(host_col).alias("host"),
         F.col(doc_col).alias("doc_id"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "line"),
     ).where(F.trim(F.col("line")) != "")
 
-    kept = exploded.join(bp, ["host", "line"], "left_anti")
-    rebuilt = kept.groupBy("doc_id", "host").agg(
+    marked = exploded.join(bp, ["host", "line"], "left").withColumn(
+        "_keep", F.when(F.col("_bp").isNull(), 1).otherwise(0)
+    )
+    rebuilt = marked.groupBy("doc_id", "host").agg(
         F.array_join(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                F.filter(
+                    F.array_sort(F.collect_list(F.struct("pos", "_keep", "line"))),
+                    lambda s: s["_keep"] == 1,
+                ),
                 lambda s: s["line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count("*").alias("n_lines"),
+        F.sum("_keep").alias("n_lines"),
+        F.count("*").alias("n_total"),
     )
 
     base = docs.select(
-        F.col(doc_col).alias("doc_id"),
-        F.col(host_col).alias("host"),
-        F.size(
-            F.filter(F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != "")
-        ).alias("n_total"),
+        F.col(doc_col).alias("doc_id"), F.col(host_col).alias("host")
     )
-    return (
-        base.join(rebuilt, ["doc_id", "host"], "left")
-        .select(
-            "doc_id",
-            "host",
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
-            (F.col("n_total") - F.coalesce("n_lines", F.lit(0))).alias("n_stripped"),
-        )
+    return base.join(rebuilt, ["doc_id", "host"], "left").select(
+        "doc_id",
+        "host",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines", F.lit(0)).alias("n_lines"),
+        (
+            F.coalesce("n_total", F.lit(0)) - F.coalesce("n_lines", F.lit(0))
+        ).alias("n_stripped"),
     )

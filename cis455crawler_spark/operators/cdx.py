@@ -56,26 +56,33 @@ def cdx_index(
     html_col: str = "html",
     ts_col: str | None = None,
     digest: str = "sha1",
+    sort: bool = True,
 ) -> DataFrame:
-    """(surt_key, url[, warc_ts], digest, n_bytes) sorted by surt_key — the
-    CDX projection of a page store. digest='sha1' matches the reference's
-    SHA-1 content keys (XPathCrawler.java:296-331); 'md5' is offered because
-    the DuckDB oracle lacks sha1."""
+    """(surt_key, url[, warc_ts], digest, n_bytes) — the CDX projection of a
+    page store, globally sorted by surt_key when sort=True. digest='sha1'
+    matches the reference's SHA-1 content keys (XPathCrawler.java:296-331);
+    'md5' is offered because the DuckDB oracle lacks sha1 (both hash the raw
+    html bytes directly — no string round-trip). Pass sort=False when the
+    consumer imposes its own order — in particular write_cdx, whose range
+    partitioning would otherwise pay a second full shuffle-sort on top of
+    this one."""
     dig = {"sha1": F.sha1, "md5": F.md5}[digest]
     cols = [
         surt_key(F.col(url_col)).alias("surt_key"),
         F.col(url_col).alias("url"),
         *([F.col(ts_col).alias("warc_ts")] if ts_col else []),
-        dig(F.col(html_col).cast("string")).alias("digest"),
+        dig(F.col(html_col)).alias("digest"),
         F.length(F.col(html_col)).alias("n_bytes"),
     ]
-    return pages.select(*cols).orderBy("surt_key", "url")
+    out = pages.select(*cols)
+    return out.orderBy("surt_key", "url") if sort else out
 
 
 def write_cdx(df: DataFrame, path: str, num_shards: int = 32) -> None:
     """Range-partitioned, within-file-sorted parquet layout: a reader doing a
     surt prefix scan touches only the shards whose [min,max] surt range
-    intersects the prefix (parquet row-group stats prune the rest)."""
+    intersects the prefix (parquet row-group stats prune the rest). Feed it
+    cdx_index(..., sort=False) — this write imposes the order itself."""
     (
         df.repartitionByRange(num_shards, "surt_key")
         .sortWithinPartitions("surt_key", "url")

@@ -131,7 +131,10 @@ def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 2) -> Da
     over u->v (the standard update order). L1 (not L2) normalization keeps
     the fixpoint SQL-expressible for the DuckDB oracle; the ranking order it
     induces is identical. Output: (node, hub, auth) for every node on either
-    side of an edge."""
+    side of an edge (empty for an empty edge set; the zero-total guard in
+    _l1_scatter is defensive — with >=1 edge every round's total is >0)."""
+    if iterations < 1:
+        raise ValueError("hits() needs iterations >= 1")
     edges = edges.select("src", "dst").distinct().cache()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -140,7 +143,6 @@ def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 2) -> Da
         .cache()
     )
     hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    auth = nodes.select("node", F.lit(0.0).alias("auth"))
     for i in range(iterations):
         auth = _l1_scatter(nodes, edges, hub, "src", "dst", "hub", "auth")
         hub = _l1_scatter(nodes, edges, auth, "dst", "src", "auth", "hub")

@@ -44,6 +44,20 @@ def test_extract_anchor_pairs_kernel():
     assert extract_anchor_pairs_py(b"no links here") == []
 
 
+def test_extract_anchor_pairs_unclosed_auto_close():
+    # a missing </a> must not swallow the next anchor (browser/JTidy
+    # auto-close semantics): both hrefs vote, each with its own text
+    html = b'<a href="x.html">foo<a href="y.html">bar</a> tail'
+    assert extract_anchor_pairs_py(html) == [
+        {"href": "x.html", "anchor": "foo"},
+        {"href": "y.html", "anchor": "bar"},
+    ]
+    # unclosed final anchor runs to EOF
+    assert extract_anchor_pairs_py(b'<a href="z.html">till <i>end</i>') == [
+        {"href": "z.html", "anchor": "till end"}
+    ]
+
+
 def test_anchor_pairs_resolution_and_junk(spark):
     pages = spark.createDataFrame(
         [("http://h0.example.com/a.html", bytearray(HTML))], "url string, html binary"
@@ -121,7 +135,7 @@ def test_hits_matches_py_oracle(spark):
     assert got["a2"][1] > got["y"][1]
 
 
-def test_hits_dup_edges_and_empty(spark):
+def test_hits_dup_edges_empty_graph_and_bad_iterations(spark):
     # duplicate edges collapse (distinct) — same result as the deduped graph
     edges = spark.createDataFrame(
         [("a", "b"), ("a", "b"), ("b", "c")], "src string, dst string"
@@ -130,6 +144,11 @@ def test_hits_dup_edges_and_empty(spark):
     want = hits_py_oracle([("a", "b"), ("b", "c")], iterations=2)
     for n in want:
         assert got[n] == pytest.approx(want[n])
+    # empty edge set -> empty result (no NaNs from the zero-total guard)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert hits(empty, iterations=1).count() == 0
+    with pytest.raises(ValueError):
+        hits(edges, iterations=0)
 
 
 # ------------------------------------------------------------ boilerplate --
@@ -176,13 +195,17 @@ def test_strip_boilerplate_preserves_order_and_all_docs(spark):
     assert len(got) == 6  # no doc dropped
 
 
-def test_strip_boilerplate_all_lines_stripped(spark):
+def test_strip_boilerplate_all_lines_stripped_and_null_text(spark):
     docs = spark.createDataFrame(
-        [("h", 1, "same"), ("h", 2, "same")], "host string, doc_id int, text string"
+        [("h", 1, "same"), ("h", 2, "same"), ("h", 3, None)],
+        "host string, doc_id int, text string",
     )
     got = {r.doc_id: r for r in strip_boilerplate(docs).collect()}
     assert got[1].clean_text == "" and got[1].n_stripped == 1
     assert got[2].clean_text == ""
+    # NULL text -> kept with empty text and ZERO (not NULL) counters
+    assert got[3].clean_text == "" and got[3].n_lines == 0
+    assert got[3].n_stripped == 0
 
 
 # -------------------------------------------------------------------- CDX --
@@ -237,7 +260,8 @@ def test_write_cdx_range_layout(spark, tmp_path):
         "url string, html binary",
     )
     out = str(tmp_path / "cdx")
-    write_cdx(cdx_index(pages), out, num_shards=4)
+    # sort=False: write_cdx imposes the range order itself (one shuffle-sort)
+    write_cdx(cdx_index(pages, sort=False), out, num_shards=4)
     back = spark.read.parquet(out)
     assert back.count() == 200
     # range partitioning: per-file surt ranges must not interleave
