@@ -231,6 +231,81 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
     return with_text.withColumn("lang", lang_id(F.col("text")))
 
 
+def write_warc(
+    pages: DataFrame,
+    out_dir: str,
+    compress: bool = True,
+    default_status: int = 200,
+    default_content_type: str = "text/html",
+) -> DataFrame:
+    """Distributed WARC export — the write side of read_warc: every partition
+    of `pages` (url, warc_ts, html[, http_status, content_type]) streams its
+    rows as framed response records into ONE .warc(.gz) shard under
+    `out_dir`, gzipped per record member exactly like Common Crawl (so the
+    member-at-a-time reader round-trips it). Returns the manifest
+    (file, n_records, n_bytes) — one row per shard; the returned DataFrame
+    is lazy, so trigger it (collect/write) to perform the export.
+
+    Records are framed by the same builder the parser is tested against
+    (build_warc_bytes), so export -> read_warc -> warc_to_pages reproduces
+    url/warc_ts/html byte-for-byte. Shard size = partition size: control it
+    with repartition() upstream (the CC convention is ~1 GB shards). Paths
+    are task-local filesystem writes (the sandbox analogue of a shared
+    FS/object-store sink; each task writes only its own shard, nothing
+    passes through the driver)."""
+    import os
+    import uuid
+
+    from pyspark import TaskContext
+
+    has_status = "http_status" in pages.columns
+    has_ctype = "content_type" in pages.columns
+    cols = ["url", "warc_ts", "html"]
+    if has_status:
+        cols.append("http_status")
+    if has_ctype:
+        cols.append("content_type")
+    ext = ".warc.gz" if compress else ".warc"
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        os.makedirs(out_dir, exist_ok=True)
+        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex}{ext}")
+        n_records = 0
+        n_bytes = 0
+        with open(path, "wb") as fh:
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    status = int(row.http_status) if has_status else default_status
+                    ctype = row.content_type if has_ctype else default_content_type
+                    member = build_warc_bytes(
+                        [
+                            (
+                                row.url,
+                                row.warc_ts.to_pydatetime(),
+                                status,
+                                ctype,
+                                bytes(row.html),
+                            )
+                        ],
+                        compress=compress,
+                    )
+                    fh.write(member)
+                    n_records += 1
+                    n_bytes += len(member)
+        if n_records == 0:
+            os.remove(path)  # no empty shards
+            yield pd.DataFrame({"file": [], "n_records": [], "n_bytes": []})
+        else:
+            yield pd.DataFrame(
+                {"file": [path], "n_records": [n_records], "n_bytes": [n_bytes]}
+            )
+
+    return pages.select(*cols).mapInPandas(
+        gen, schema="file string, n_records long, n_bytes long"
+    )
+
+
 # -- synthetic WARC builder (tests + corpus export) --------------------------
 
 

@@ -199,3 +199,59 @@ def test_warc_parser_hardening():
     for compress in (False, True):
         out = parse_warc_bytes(build_warc_bytes(rec, compress=compress))
         assert out[0]["warc_ts"] == ts
+
+
+@pytest.mark.parametrize("compress", [False, True])
+def test_write_warc_export_round_trip(spark, tmp_path, compress):
+    """Distributed export (write_warc) -> read_warc reproduces url/ts/
+    status/content-type/html byte-for-byte, across multiple shards."""
+    from cis455crawler_spark.sources.warc import write_warc
+
+    rows = [
+        (
+            f"http://e.test/p{i}.html",
+            datetime(2013, 3, 1, 12, 0, i),
+            200 if i % 3 else 301,
+            "text/html" if i % 2 else "text/html; charset=utf-8",
+            bytearray(f"<html><title>{i}</title>body {i}</html>".encode()),
+        )
+        for i in range(20)
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "url string, warc_ts timestamp, http_status int, "
+        "content_type string, html binary",
+    ).repartition(3)
+    out = str(tmp_path / ("warc_gz" if compress else "warc"))
+    manifest = write_warc(pages, out, compress=compress).collect()
+    assert sum(m.n_records for m in manifest) == 20
+    assert len(manifest) <= 3 and all(m.n_bytes > 0 for m in manifest)
+
+    ext = "*.warc.gz" if compress else "*.warc"
+    back = read_warc(spark, f"{out}/{ext}").collect()
+    want = {
+        r[0]: (r[1], r[2], r[3], bytes(r[4])) for r in rows
+    }
+    got = {
+        r.url: (r.warc_ts, r.http_status, r.content_type, bytes(r.html))
+        for r in back
+    }
+    assert got == want
+
+
+def test_write_warc_empty_partitions_no_empty_shards(spark, tmp_path):
+    from cis455crawler_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [("http://e.test/x", datetime(2013, 3, 1), bytearray(b"<html>x</html>"))],
+        "url string, warc_ts timestamp, html binary",
+    ).repartition(8)
+    out = str(tmp_path / "warc1")
+    manifest = write_warc(pages, out).collect()
+    import glob
+
+    files = glob.glob(f"{out}/*")
+    assert len(files) == len(manifest) == 1  # 7 empty partitions wrote nothing
+    back = warc_to_pages(read_warc(spark, f"{out}/*.warc.gz")).collect()
+    assert len(back) == 1 and back[0].url == "http://e.test/x"
+    assert back[0].text == "x"  # defaults: status 200, text/html
