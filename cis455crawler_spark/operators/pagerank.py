@@ -88,7 +88,6 @@ def pagerank_py_oracle(
 
 
 def _l1_scatter(
-    nodes: DataFrame,
     edges: DataFrame,
     scores: DataFrame,
     from_col: str,
@@ -96,30 +95,28 @@ def _l1_scatter(
     score_col: str,
     out_col: str,
 ) -> DataFrame:
-    """One HITS half-step: out(n) = sum of scores over edges arriving at n
-    via (from_col -> to_col), L1-normalized over all nodes. Two keyed
-    shuffles (join on from_col rides the edge partitioning, groupBy to_col)
-    plus a broadcast 1-row total — the same aggregate-fusion pattern the
-    crawl stats job uses."""
+    """One HITS half-step, SPARSE: out(n) = sum of scores over edges arriving
+    at n via (from_col -> to_col), L1-normalized. Nodes receiving nothing are
+    simply ABSENT (score 0) — they contribute nothing to later steps either,
+    so the dense zero rows are materialized once at the end of hits(), not
+    re-joined every half-step. One keyed join (score side is node-sized —
+    AQE broadcasts it), one groupBy shuffle, one broadcast 1-row total (the
+    crawl stats job's aggregate-fusion pattern)."""
     contrib = (
         edges.join(scores, edges[from_col] == scores["node"])
         .groupBy(to_col)
-        .agg(F.sum(score_col).alias("_s"))
+        .agg(F.sum(score_col).alias("_raw"))
     )
-    raw = (
-        nodes.join(contrib, nodes["node"] == contrib[to_col], "left")
-        .select(nodes["node"].alias("node"), F.coalesce("_s", F.lit(0.0)).alias("_raw"))
-    )
-    total = raw.agg(F.sum("_raw").alias("_t"))
-    return raw.crossJoin(F.broadcast(total)).select(
-        "node",
+    total = contrib.agg(F.sum("_raw").alias("_t"))
+    return contrib.crossJoin(F.broadcast(total)).select(
+        F.col(to_col).alias("node"),
         F.when(F.col("_t") > 0, F.col("_raw") / F.col("_t"))
         .otherwise(F.lit(0.0))
         .alias(out_col),
     )
 
 
-def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 2) -> DataFrame:
+def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 1) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over the crawled link graph —
     beyond the reference (its Ranker is PageRank-only, Ranker.java:37-73) but
     the natural companion signal: authorities = pages good to SERVE, hubs =
@@ -132,24 +129,41 @@ def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 2) -> Da
     the fixpoint SQL-expressible for the DuckDB oracle; the ranking order it
     induces is identical. Output: (node, hub, auth) for every node on either
     side of an edge (empty for an empty edge set; the zero-total guard in
-    _l1_scatter is defensive — with >=1 edge every round's total is >0)."""
+    _l1_scatter is defensive — with >=1 edge every round's total is >0).
+
+    Scale shape: scores live sparsely on the nodes that HAVE them (zero rows
+    join in once, at the end); each half-step is join + partial/final agg +
+    broadcast total; checkpoint_every (default every iteration) truncates the
+    lineage so iteration plans stay flat — raise it if node-count
+    materialization per round dominates (pagerank uses 4)."""
     if iterations < 1:
         raise ValueError("hits() needs iterations >= 1")
     edges = edges.select("src", "dst").distinct().cache()
+    # initial hub = 1.0 on nodes WITH out-edges (sink hubs never contribute:
+    # they have no edges to scatter over — same fixpoint as the dense init)
+    hub = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "hub", F.lit(1.0)
+    )
+    for i in range(iterations):
+        auth = _l1_scatter(edges, hub, "src", "dst", "hub", "auth")
+        hub = _l1_scatter(edges, auth, "dst", "src", "auth", "hub")
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            auth = auth.localCheckpoint()  # cut the cross-iteration lineage
+            hub = hub.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .cache()
     )
-    hub = nodes.select("node", F.lit(1.0).alias("hub"))
-    for i in range(iterations):
-        auth = _l1_scatter(nodes, edges, hub, "src", "dst", "hub", "auth")
-        hub = _l1_scatter(nodes, edges, auth, "dst", "src", "auth", "hub")
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            auth = auth.localCheckpoint()  # cut the cross-iteration lineage
-            hub = hub.localCheckpoint()
-    return hub.join(auth, "node")
+    return (
+        nodes.join(hub, "node", "left")
+        .join(auth, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hub", F.lit(0.0)).alias("hub"),
+            F.coalesce("auth", F.lit(0.0)).alias("auth"),
+        )
+    )
 
 
 def hits_py_oracle(
