@@ -237,6 +237,7 @@ def write_warc(
     compress: bool = True,
     default_status: int = 200,
     default_content_type: str = "text/html",
+    default_ts: datetime = datetime(1970, 1, 1),
 ) -> DataFrame:
     """Distributed WARC export — the write side of read_warc: every partition
     of `pages` (url, warc_ts, html[, http_status, content_type]) streams its
@@ -248,13 +249,22 @@ def write_warc(
 
     Records are framed by the same builder the parser is tested against
     (build_warc_bytes), so export -> read_warc -> warc_to_pages reproduces
-    url/warc_ts/html byte-for-byte. Shard size = partition size: control it
-    with repartition() upstream (the CC convention is ~1 GB shards). Paths
-    are task-local filesystem writes (the sandbox analogue of a shared
-    FS/object-store sink; each task writes only its own shard, nothing
-    passes through the driver)."""
+    url/warc_ts/html byte-for-byte. NULLs read_warc legitimately produces
+    round-trip too: NULL warc_ts exports as default_ts (epoch), NULL
+    http_status/content_type as the defaults, NULL html as an empty body.
+    Shard size = partition size: control it with repartition() upstream (the
+    CC convention is ~1 GB shards).
+
+    Idempotent writes: shard names are DETERMINISTIC per partition and each
+    task writes an attempt-scoped temp file promoted with an atomic
+    os.replace — a retried/speculated attempt or a re-evaluated manifest
+    DataFrame overwrites the same shard instead of accumulating uuid-named
+    duplicates (the per-file analogue of SnapshotStore's two-phase commit).
+    Point out_dir at a FRESH directory per export: like any file sink,
+    stale shards from a previous differently-partitioned export are not
+    swept. Paths are task-local filesystem writes (the sandbox analogue of
+    a shared FS/object-store sink; nothing passes through the driver)."""
     import os
-    import uuid
 
     from pyspark import TaskContext
 
@@ -268,35 +278,48 @@ def write_warc(
     ext = ".warc.gz" if compress else ".warc"
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
         os.makedirs(out_dir, exist_ok=True)
-        path = os.path.join(out_dir, f"part-{pid:05d}-{uuid.uuid4().hex}{ext}")
+        path = os.path.join(out_dir, f"part-{pid:05d}{ext}")
+        tmp = f"{path}.attempt-{ctx.taskAttemptId()}.inprogress"
         n_records = 0
         n_bytes = 0
-        with open(path, "wb") as fh:
-            for pdf in batches:
-                for row in pdf.itertuples(index=False):
-                    status = int(row.http_status) if has_status else default_status
-                    ctype = row.content_type if has_ctype else default_content_type
-                    member = build_warc_bytes(
-                        [
-                            (
-                                row.url,
-                                row.warc_ts.to_pydatetime(),
-                                status,
-                                ctype,
-                                bytes(row.html),
-                            )
-                        ],
-                        compress=compress,
-                    )
-                    fh.write(member)
-                    n_records += 1
-                    n_bytes += len(member)
+        try:
+            with open(tmp, "wb") as fh:
+                for pdf in batches:
+                    recs = []
+                    for row in pdf.itertuples(index=False):
+                        ts = (
+                            default_ts
+                            if pd.isna(row.warc_ts)
+                            else row.warc_ts.to_pydatetime()
+                        )
+                        status = (
+                            int(row.http_status)
+                            if has_status and not pd.isna(row.http_status)
+                            else default_status
+                        )
+                        ctype = (
+                            row.content_type
+                            if has_ctype and isinstance(row.content_type, str)
+                            else default_content_type
+                        )
+                        body = b"" if row.html is None else bytes(row.html)
+                        recs.append((row.url, ts, status, ctype, body))
+                    blob = build_warc_bytes(recs, compress=compress)
+                    fh.write(blob)
+                    n_records += len(recs)
+                    n_bytes += len(blob)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.remove(tmp)  # never leave a partial shard behind
+            raise
         if n_records == 0:
-            os.remove(path)  # no empty shards
+            os.remove(tmp)  # no empty shards
             yield pd.DataFrame({"file": [], "n_records": [], "n_bytes": []})
         else:
+            os.replace(tmp, path)  # atomic promote (last attempt wins)
             yield pd.DataFrame(
                 {"file": [path], "n_records": [n_records], "n_bytes": [n_bytes]}
             )

@@ -255,3 +255,34 @@ def test_write_warc_empty_partitions_no_empty_shards(spark, tmp_path):
     back = warc_to_pages(read_warc(spark, f"{out}/*.warc.gz")).collect()
     assert len(back) == 1 and back[0].url == "http://e.test/x"
     assert back[0].text == "x"  # defaults: status 200, text/html
+
+
+def test_write_warc_null_tolerance_and_idempotent_shards(spark, tmp_path):
+    """NULL ts/status/content_type/html export with defaults; re-evaluating
+    the manifest does not accumulate duplicate shards (deterministic names,
+    atomic promote)."""
+    from cis455crawler_spark.sources.warc import write_warc
+
+    pages = spark.createDataFrame(
+        [
+            ("http://n.test/full", datetime(2013, 3, 1), 200, "text/html",
+             bytearray(b"<html>ok</html>")),
+            ("http://n.test/nulls", None, None, None, None),
+        ],
+        "url string, warc_ts timestamp, http_status int, "
+        "content_type string, html binary",
+    ).coalesce(1)
+    out = str(tmp_path / "warc_nulls")
+    m = write_warc(pages, out)
+    m.collect()
+    m.collect()  # second evaluation overwrites, not duplicates
+    import glob
+
+    files = glob.glob(f"{out}/*")
+    assert len(files) == 1 and not files[0].endswith(".inprogress")
+    back = {r.url: r for r in read_warc(spark, f"{out}/*.warc.gz").collect()}
+    assert len(back) == 2
+    nulls = back["http://n.test/nulls"]
+    assert nulls.warc_ts == datetime(1970, 1, 1)  # default_ts
+    assert nulls.http_status == 200 and nulls.content_type == "text/html"
+    assert bytes(nulls.html) == b""
