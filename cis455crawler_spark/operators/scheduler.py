@@ -44,25 +44,38 @@ def pop_host_batches(
     budget_col: str = "budget",
     order_col: str = "url",
     salt_buckets: int = 8,
+    priority_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Split df into (scheduled, deferred) under per-host budgets.
 
     df must carry `host`, `order_col`, and `budget_col` (int, NULL=unlimited).
+    With `priority_col`, the per-host pop order becomes (priority DESC,
+    order_col ASC) — a host-keyed priority queue (the indegree/OPIC-style
+    frontier ordering) instead of the default url-ascending BFS
+    determinization. The salted two-phase pop stays lossless for any
+    deterministic total order: both phases rank by the SAME order, so a row
+    outside its salt bucket's top-budget cannot be in the host's global
+    top-budget. The salt always hashes order_col (the unique row key), never
+    the priority value — hot priority ties spread across buckets.
+
     Returns DataFrames with the scheduler's internal columns dropped.
     """
     internal = ["_salt", "_rn1", "_rn2"]
+    order = (
+        [F.desc(priority_col), F.asc(order_col)] if priority_col else [order_col]
+    )
     unlimited = df.filter(F.col(budget_col).isNull())
     limited = df.filter(F.col(budget_col).isNotNull())
 
     salted = limited.withColumn(
         "_salt", F.pmod(F.xxhash64(order_col), F.lit(salt_buckets))
     )
-    w1 = Window.partitionBy("host", "_salt").orderBy(order_col)
+    w1 = Window.partitionBy("host", "_salt").orderBy(*order)
     phase1 = salted.withColumn("_rn1", F.row_number().over(w1))
     survivors = phase1.filter(F.col("_rn1") <= F.col(budget_col))
     cut1 = phase1.filter(F.col("_rn1") > F.col(budget_col))
 
-    w2 = Window.partitionBy("host").orderBy(order_col)
+    w2 = Window.partitionBy("host").orderBy(*order)
     phase2 = survivors.withColumn("_rn2", F.row_number().over(w2))
     scheduled_lim = phase2.filter(F.col("_rn2") <= F.col(budget_col))
     cut2 = phase2.filter(F.col("_rn2") > F.col(budget_col))

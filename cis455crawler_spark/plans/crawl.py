@@ -107,8 +107,18 @@ class CrawlConfig:
     # reference behavior (unbounded — the parity gate requires it). Resets
     # with the seen set on a recrawl generation.
     max_urls_per_host: int | None = None
+    # opt-in frontier ordering (beyond reference): "bfs" (default — the
+    # reference-parity url-ascending determinization) or "indegree" — a
+    # host-keyed priority queue popping the most-linked-to candidates first
+    # (OPIC-lite: every discovered link deposits one unit of cash on its
+    # target; deferred candidates keep accumulating across rounds), the
+    # classic importance-first crawl ordering. Changes WHICH urls beat the
+    # politeness budget each round, so the BFS-parity gate requires "bfs".
+    priority: str = "bfs"
 
     def __post_init__(self) -> None:
+        if self.priority not in ("bfs", "indegree"):
+            raise ValueError(f"unknown priority mode {self.priority!r}")
         if self.expected_total_urls:
             from ..operators.dedup import bloom_bits_for
 
@@ -239,9 +249,18 @@ def run_round(
                   "size_reject", "parse")
     ]
 
-    # candidate set: frontier distinct on url (min depth), minus seen
+    # candidate set: frontier distinct on url (min depth), minus seen.
+    # indegree mode additionally accumulates each url's link-mention cash
+    # (sum survives the distinct; deferred rows carry their balance forward)
+    use_pri = cfg.priority == "indegree"
+    if use_pri and "inlinks" not in frontier.columns:
+        # round-0 seeds / a frontier table written before the toggle
+        frontier = frontier.withColumn("inlinks", F.lit(1).cast("long"))
+    agg_exprs = [F.min("depth").alias("depth")] + (
+        [F.sum("inlinks").alias("inlinks")] if use_pri else []
+    )
     raw = _with_url_cols(
-        frontier.groupBy("url").agg(F.min("depth").alias("depth")), cfg.num_buckets
+        frontier.groupBy("url").agg(*agg_exprs), cfg.num_buckets
     ).cache()
     # Bloom sidecar is INCREMENTAL: each round appends a bitmap delta built
     # from that round's (small) new_seen batch; the deltas are collected and
@@ -329,11 +348,16 @@ def run_round(
     # politeness pop (salted two-phase window); per-bucket lineage counts
     # observed inline (num_buckets sum-when exprs — scalar observations are
     # the price of folding the groupBy(bucket).collect job away)
-    keep = ["url", "url_hash", "host", "bucket", "depth", "budget"]
-    scheduled, deferred = pop_host_batches(
-        ok.select(*keep), budget_col="budget", salt_buckets=cfg.salt_buckets
+    keep = ["url", "url_hash", "host", "bucket", "depth", "budget"] + (
+        ["inlinks"] if use_pri else []
     )
-    scheduled = scheduled.drop("budget").cache()
+    scheduled, deferred = pop_host_batches(
+        ok.select(*keep),
+        budget_col="budget",
+        salt_buckets=cfg.salt_buckets,
+        priority_col="inlinks" if use_pri else None,
+    )
+    scheduled = scheduled.drop("budget", "inlinks").cache()
 
     # "fetch": join the scheduled batch against the pages corpus, then route
     # on derived HTTP metadata (status / Content-Type / Content-Length) in
@@ -418,10 +442,15 @@ def run_round(
     new_seen = batch_seen.unionByName(redirect_targets).cache()
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
+    link_aggs = [F.min("depth").alias("depth")] + (
+        # one unit of cash per link MENTION (a page linking twice votes twice
+        # — the reference's extractor keeps duplicate hrefs, O-X4 doc order)
+        [F.count(F.lit(1)).alias("inlinks")] if use_pri else []
+    )
     links = (
         parsed.select(F.explode("out_links").alias("url"), (F.col("depth") + 1).alias("depth"))
         .groupBy("url")
-        .agg(F.min("depth").alias("depth"))
+        .agg(*link_aggs)
     )
     links = _with_url_cols(links, cfg.num_buckets)
     links = anti_join_seen(links, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets)
@@ -429,9 +458,10 @@ def run_round(
 
     # localCheckpoint (not cache): materializes AND truncates lineage, so the
     # logical plan stays flat across rounds instead of growing exponentially
+    frontier_cols = ["url", "depth"] + (["inlinks"] if use_pri else [])
     new_frontier = (
-        links.select("url", "depth")
-        .unionByName(deferred.select("url", "depth"))
+        links.select(*frontier_cols)
+        .unionByName(deferred.select(*frontier_cols))
         .localCheckpoint(eager=False)
     )
     # the one big action: materializes every cache along the pipeline
@@ -464,7 +494,7 @@ def run_round(
     # phase-1 commit: the seen/parsed/frontier (+bloom delta) writes start
     # on background driver threads NOW; the stats aggregate below runs
     # concurrently with them. The manifest swap waits for everything.
-    round_replaces = {"frontier": new_frontier.select("url", "depth")}
+    round_replaces = {"frontier": new_frontier.select(*frontier_cols)}
     if pre_quota is not None:
         # merge this round's small new_seen delta into the host rollup —
         # the quota gate's counts never rescan the full seen table
