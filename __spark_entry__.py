@@ -1267,6 +1267,40 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **{k: v for k, v in q.items() if k not in _DEMOTED},
         **{k: q[k] for k in _DEMOTED},
     }
+
+    # ---- round-3 continuation: registered AFTER the reorder so they land
+    # ---- beyond the 50-entry gate window (the gate set stays the proven
+    # ---- green 50); check_entry --strict verifies them locally, COVERAGE.md
+    # ---- marks them out-of-gate.
+    def bm25_postings_score(spark, sf):
+        """Okapi BM25 over the corpus token stream (beyond the reference's
+        bug-compatible tf-idf, Indexer.java:212-232) — the standard serve
+        scorer next to it; one groupBy + two windows + broadcast scalars."""
+        from cis455crawler_spark.operators.indexer import bm25_postings
+
+        docs = _load(spark, sf, "documents")
+        p = bm25_postings(docs)
+        return p.select(
+            "doc_id", "word", "tf", "dl", "df", F.round("score", 6).alias("score")
+        ).orderBy("doc_id", "word")
+
+    q["bm25_postings_score"] = bm25_postings_score
+
+    def phrase_search_adjacent(spark, sf):
+        """Positional postings + exact-phrase adjacency ('fast spark') via
+        shifted array_intersect — the phrase capability the reference's
+        parallel-array index (FileManagement.java:429-446) cannot express."""
+        from cis455crawler_spark.operators.search import (
+            phrase_search,
+            positional_postings,
+        )
+
+        docs = _load(spark, sf, "documents")
+        pp = positional_postings(docs)
+        return phrase_search(pp, "fast spark").orderBy("doc_id")
+
+    q["phrase_search_adjacent"] = phrase_search_adjacent
+
     return q
 
 
@@ -1760,6 +1794,38 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN rule IS NULL THEN TRUE
                         ELSE NOT contains(url, rule) END AS allowed
             FROM ruled ORDER BY doc_id
+        """,
+        "bm25_postings_score": f"""
+            {tokens},
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tokens GROUP BY doc_id, word),
+            m AS (SELECT doc_id, word, tf,
+                         -- DuckDB window SUM(BIGINT) -> HUGEINT -> float64 in
+                         -- pandas; Spark dl is int64 — cast for the hash gate
+                         CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT) AS dl,
+                         COUNT(*) OVER (PARTITION BY word) AS df
+                  FROM tf),
+            c AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                         SUM(tf) * 1.0 / COUNT(DISTINCT doc_id) AS avgdl
+                  FROM m)
+            SELECT doc_id, word, tf, dl, df,
+                   ROUND(LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                         * tf * (1.2 + 1.0)
+                         / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)), 6) AS score
+            FROM m, c ORDER BY doc_id, word
+        """,
+        "phrase_search_adjacent": f"""
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                 x -> x <> '' AND x NOT IN ({_SW_LIST})) AS t
+              FROM documents),
+            pos AS (SELECT doc_id, unnest(t) AS word, generate_subscripts(t, 1) AS pos
+                    FROM toks)
+            SELECT p0.doc_id, COUNT(*) AS n_matches
+            FROM pos p0
+            JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
+            WHERE p0.word = 'fast' AND p1.word = 'spark'
+            GROUP BY p0.doc_id ORDER BY p0.doc_id
         """,
         "tokenize_stopwords": f"""
             {tokens}

@@ -101,6 +101,51 @@ def postings(
     return out.select("doc_id", "word", "tf", "max_tf", "df", "is_title", "is_meta", "rank")
 
 
+def bm25_postings(
+    docs: DataFrame,
+    doc_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """(doc_id, word, tf, dl, df, score) — Okapi BM25 over the same token
+    stream as postings(). Beyond the reference (its Indexer.java:212-232 rank
+    is the bug-compatible tf-idf above); BM25 is the standard serve-path
+    scorer a crawl->index user would expect next to it.
+
+        idf(w)    = ln(1 + (N - df + 0.5) / (df + 0.5))
+        score(w,d)= idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Shuffle shape matches postings(): one groupBy(doc,word) for tf, then a
+    doc_id window for dl and a word window for df — no extra joins. The two
+    corpus scalars (N docs, avg doc length) ride in on a broadcast 1-row
+    crossJoin (the crawl plan's stats-fusion pattern), keeping this a single
+    DAG with no driver-side collect."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    w_doc = Window.partitionBy("doc_id")
+    w_word = Window.partitionBy("word")
+    out = (
+        tf.withColumn("dl", F.sum("tf").over(w_doc))
+        .withColumn("df", F.count("*").over(w_word))
+    )
+    # corpus scalars: 1 row, broadcast crossJoin keeps the plan collect-free
+    corpus = out.groupBy().agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        (F.sum("tf") / F.countDistinct("doc_id")).alias("avgdl"),
+    )
+    out = out.crossJoin(F.broadcast(corpus))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl"))
+    score = idf * F.col("tf") * (k1 + 1.0) / denom
+    return out.select("doc_id", "word", "tf", "dl", "df", score.alias("score"))
+
+
 def inverted_index(postings_df: DataFrame) -> DataFrame:
     """(word, postings ARRAY<STRUCT<rank,doc_id>>) rank-descending — the
     WordIndexEntity parallel-array shape (FileManagement.java:429-446)."""

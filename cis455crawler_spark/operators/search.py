@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import STOPWORDS
+from ..functions.text import STOPWORDS, tokenize
 
 TOP_K = 100  # Ext.java:176
 INTERSECTION_BONUS = 100  # Ext.java:153-170
@@ -49,6 +49,73 @@ def search(
     if pages is not None:
         out = out.join(pages, "doc_id", "inner")
     return out
+
+
+def positional_postings(
+    docs: DataFrame, doc_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(doc_id, word, positions ARRAY<INT> ascending, 1-based) — the
+    position-aware index the reference never builds (its WordIndexEntity,
+    FileManagement.java:429-446, keeps only rank parallel arrays, so its
+    serve path cannot answer phrase queries). Positions index the
+    stopword-FILTERED token stream: both this and the DuckDB oracle count
+    after removal, so the adjacency test is engine-independent.
+
+    One explode + one groupBy(doc,word) shuffle; positions stay as a sorted
+    array per (doc,word) — the classic positional-postings layout, list
+    length bounded by per-doc term frequency, never by corpus size."""
+    toks = docs.select(
+        F.col(doc_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                tokenize(F.col(text_col)),
+                lambda t: ~t.isin(STOPWORDS),
+            )
+        ).alias("pos0", "word"),
+    )
+    return toks.groupBy("doc_id", "word").agg(
+        F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
+    )
+
+
+def phrase_search(
+    pos_postings: DataFrame, phrase: str, doc_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_matches) for an exact phrase over positional_postings().
+
+    Adjacency as array algebra, no per-row Python: the candidate start-set
+    begins as term 0's positions and is narrowed per term by
+    array_intersect(shift(acc, +1), positions_i). Each step is one equi-join
+    on doc_id against a single-word slice of the index — the slice is tiny
+    relative to the index (one word's postings), so AQE broadcasts it; k-term
+    phrases cost k-1 such joins, independent of corpus size."""
+    terms = [t for t in phrase.lower().split() if t and t not in STOPWORDS]
+    if not terms:
+        return pos_postings.sparkSession.createDataFrame(
+            [], f"{doc_col} long, n_matches int"
+        )
+    acc = (
+        pos_postings.filter(F.col("word") == terms[0])
+        .select(F.col(doc_col), F.col("positions").alias("starts"))
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = pos_postings.filter(F.col("word") == t).select(
+            F.col(doc_col), F.col("positions").alias(f"_p{i}")
+        )
+        # acc's starts are already shifted to term i-1's positions, so term i
+        # sits exactly one past them — shift by +1 each step, not by +i
+        acc = (
+            acc.join(nxt, doc_col, "inner")
+            .select(
+                F.col(doc_col),
+                F.array_intersect(
+                    F.transform(F.col("starts"), lambda x: x + 1),
+                    F.col(f"_p{i}"),
+                ).alias("starts"),
+            )
+            .filter(F.size("starts") > 0)
+        )
+    return acc.select(F.col(doc_col), F.size("starts").alias("n_matches"))
 
 
 def snippet(text_col, query: str, before: int = 20, after: int = 50):
