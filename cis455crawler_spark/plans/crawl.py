@@ -115,6 +115,18 @@ class CrawlConfig:
     # classic importance-first crawl ordering. Changes WHICH urls beat the
     # politeness budget each round, so the BFS-parity gate requires "bfs".
     priority: str = "bfs"
+    # opt-in content-seen test (beyond reference — Mercator's duplicate-body
+    # suppression; the reference dedups URLs only, so mirror sites parse
+    # once per URL): fetched bodies routed to "parse" first check their
+    # md5(html) digest against a content_seen table; a known digest (or a
+    # lexicographically-smaller URL claiming it this round) flips the action
+    # to "content_dup" — the URL still enters the seen set, but the body is
+    # neither parsed nor linked nor written to the parsed table (metric
+    # `content_dup`). Per-generation like the seen set (reset on recrawl);
+    # enabling mid-generation only dedups bodies fetched from then on (the
+    # parsed table keeps no html to heal digests from). Default off — the
+    # parity gate's oracle dedups URLs exactly like the reference.
+    content_dedup: bool = False
 
     def __post_init__(self) -> None:
         if self.priority not in ("bfs", "indegree"):
@@ -243,10 +255,13 @@ def run_round(
             for b in range(cfg.num_buckets)
         ],
     ]
+    action_names = ["miss", "redirect", "not_modified", "mime_reject",
+                    "size_reject", "parse"] + (
+        ["content_dup"] if cfg.content_dedup else []
+    )
     parse_exprs = [
         F.sum(F.when(F.col("action") == a, 1).otherwise(0)).alias(a)
-        for a in ("miss", "redirect", "not_modified", "mime_reject",
-                  "size_reject", "parse")
+        for a in action_names
     ]
 
     # candidate set: frontier distinct on url (min depth), minus seen.
@@ -390,6 +405,53 @@ def run_round(
             max_content_bytes=cfg.max_content_bytes,
         ),
     )
+
+    # content-seen test (opt-in, Mercator-style): parse-routed bodies whose
+    # digest is already claimed — by an earlier round (content_seen table)
+    # or by a lexicographically-smaller URL in THIS batch (window, rn>1) —
+    # become 'content_dup': still seen, never parsed/linked/persisted.
+    if cfg.content_dedup:
+        from pyspark.sql import Window
+
+        routed = routed.withColumn(
+            "digest", F.when(F.col("action") == "parse", F.md5(F.col("html")))
+        )
+        cs = store.read("content_seen")
+        if cs is not None:
+            # plain shuffle join on digest; at seen-table scale this gets the
+            # same treatment as the url-seen anti-join (bucket layout below
+            # co-partitions the table; a bloom sidecar would bolt on the same
+            # way). The table is digest-unique by construction (only rn=1
+            # previously-unknown digests are appended), so the left join
+            # cannot fan rows out — no distinct needed.
+            routed = routed.join(
+                cs.select("digest").withColumn("_dup_known", F.lit(True)),
+                "digest",
+                "left",
+            )
+        else:
+            routed = routed.withColumn("_dup_known", F.lit(None).cast("boolean"))
+        # non-parse rows get a unique window key (their url) so the NULL-digest
+        # rows never pile into one skewed window partition
+        w_dig = Window.partitionBy(
+            F.coalesce(F.col("digest"), F.col("url"))
+        ).orderBy("url")
+        routed = (
+            routed.withColumn("_rn", F.row_number().over(w_dig))
+            .withColumn(
+                "action",
+                F.when(
+                    F.col("digest").isNotNull()
+                    & (
+                        F.coalesce(F.col("_dup_known"), F.lit(False))
+                        | (F.col("_rn") > 1)
+                    ),
+                    F.lit("content_dup"),
+                ).otherwise(F.col("action")),
+            )
+            .drop("_rn", "_dup_known")
+        )
+
     is_parse = F.col("action") == "parse"
     parsed = (
         routed.withColumn("_p", parse_page_udf(F.when(is_parse, F.col("html"))))
@@ -507,6 +569,19 @@ def run_round(
             .groupBy("host")
             .agg(F.sum("n").alias("n"))
         )
+    if cfg.content_dedup:
+        # the digests that actually parsed this round — each unique in-batch
+        # (rn=1) and previously unknown, so the table stays a digest-keyed
+        # set; bucket layout mirrors the seen table (one file per bucket/round)
+        appends_extra["content_seen"] = (
+            parsed.filter(is_parse)
+            .select(
+                "digest",
+                "url",
+                url_hash_bucket("digest", cfg.num_buckets).alias("bucket"),
+            )
+            .repartition(cfg.num_buckets, "bucket")
+        )
     handle = store.begin_commit(
         round_no,
         appends={
@@ -523,7 +598,10 @@ def run_round(
             ),
         },
         replaces=round_replaces,
-        partition_by={"seen": ["bucket"]},
+        partition_by={
+            "seen": ["bucket"],
+            **({"content_seen": ["bucket"]} if cfg.content_dedup else {}),
+        },
     )
 
     # all counters in ONE job over the now-materialized caches (1-row
@@ -547,8 +625,7 @@ def run_round(
     n_denied = stats["n_denied"]
     fresh = stats["n_ok"] + n_denied
     n_sched = stats["n_sched"]
-    acts = {a: stats[a] for a in ("miss", "redirect", "not_modified",
-                                  "mime_reject", "size_reject", "parse")}
+    acts = {a: stats[a] for a in action_names}
     fetch_hits = sum(n for a, n in acts.items() if a != "miss")
 
     metrics = {
@@ -572,6 +649,8 @@ def run_round(
     }
     if pre_quota is not None:
         metrics["quota_dropped"] = stats["n_pre_quota"] - fresh
+    if cfg.content_dedup:
+        metrics["content_dup"] = acts.get("content_dup", 0)
     if cfg.use_bloom:
         metrics["bloom_delta"] = True  # _bloom_lags reads this from history
     if pre_quota is not None:
@@ -705,10 +784,11 @@ def run_crawl(
             replaces={"frontier": frontier0, "seen": empty_seen},
             extra={"phase": "recrawl"},
         )
-        # stale bitmaps / host rollups describe the previous generation's
-        # seen set, which a recrawl resets
+        # stale bitmaps / host rollups / body digests describe the previous
+        # generation's seen set, which a recrawl resets
         store.drop_table("bloom")
         store.drop_table("host_counts")
+        store.drop_table("content_seen")
 
     # max_pages / max_rounds / metrics are per-generation (each reference
     # run has its own TotalMaxRequests budget and round count)

@@ -179,6 +179,7 @@ def oracle_crawl(
     pages_ts: dict | None = None,  # url -> warc_ts of the current corpus
     allowed_fn=None,  # (url, raw_robots_body|None) -> bool; None = quirk o_allowed
     max_urls_per_host: int | None = None,  # per-host admission quota
+    content_dedup: bool = False,  # Mercator content-seen test (engine opt-in)
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
     raw_robots_by_host: dict[str, str] = {}
@@ -192,6 +193,7 @@ def oracle_crawl(
     frontier: dict[str, int] = {u: 0 for u in seeds}
     total_sched = 0
     seen_hosts: dict[str, int] = {}  # per-host seen-set size (quota gate)
+    content_seen: set[str] = set()  # body digests (content_dedup mode)
 
     def _mark_seen(u: str) -> None:
         h = o_sha1(u)
@@ -276,7 +278,20 @@ def oracle_crawl(
                 size_rej += 1
             else:
                 actions[u] = "parse"
-                parsed_n += 1
+
+        # content-seen pass (engine's window orders by url ascending, so the
+        # smallest URL claims a digest within the round; known digests from
+        # earlier rounds dup immediately)
+        content_dup_n = 0
+        if content_dedup:
+            for u in sorted(u for u, a in actions.items() if a == "parse"):
+                dig = hashlib.md5(pages[u]).hexdigest()
+                if dig in content_seen:
+                    actions[u] = "content_dup"
+                    content_dup_n += 1
+                else:
+                    content_seen.add(dig)
+        parsed_n = sum(1 for a in actions.values() if a == "parse")
 
         new_links: dict[str, int] = {}
         for u in scheduled:
@@ -314,6 +329,7 @@ def oracle_crawl(
                 "not_modified": notmod,
                 "mime_rejected": mime_rej,
                 "size_rejected": size_rej,
+                **({"content_dup": content_dup_n} if content_dedup else {}),
             }
         )
     return res
