@@ -10,6 +10,8 @@ query term (Ext.java:138-170); cutoff top-100 (Ext.java:176).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -64,14 +66,13 @@ def positional_postings(
     One explode + one groupBy(doc,word) shuffle; positions stay as a sorted
     array per (doc,word) — the classic positional-postings layout, list
     length bounded by per-doc term frequency, never by corpus size."""
+    from ..functions.text import remove_stopwords
+
     toks = docs.select(
         F.col(doc_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(
-                tokenize(F.col(text_col)),
-                lambda t: ~t.isin(STOPWORDS),
-            )
-        ).alias("pos0", "word"),
+        F.posexplode(remove_stopwords(tokenize(F.col(text_col)))).alias(
+            "pos0", "word"
+        ),
     )
     return toks.groupBy("doc_id", "word").agg(
         F.sort_array(F.collect_list(F.col("pos0") + 1)).alias("positions")
@@ -89,10 +90,21 @@ def phrase_search(
     on doc_id against a single-word slice of the index — the slice is tiny
     relative to the index (one word's postings), so AQE broadcasts it; k-term
     phrases cost k-1 such joins, independent of corpus size."""
-    terms = [t for t in phrase.lower().split() if t and t not in STOPWORDS]
+    # the phrase goes through the SAME analyzer as the index (tokenize()'s
+    # [^a-z0-9]+ split + stopword drop) — a whitespace-only split would turn
+    # 'fast, spark' into the never-indexed token 'fast,' and match nothing
+    terms = [
+        t
+        for t in re.split(r"[^a-z0-9]+", phrase.lower())
+        if t and t not in STOPWORDS
+    ]
     if not terms:
-        return pos_postings.sparkSession.createDataFrame(
-            [], f"{doc_col} long, n_matches int"
+        # typed empty result with the INPUT's doc_id type (int vs long must
+        # survive so callers can union across phrases)
+        return (
+            pos_postings.select(doc_col)
+            .limit(0)
+            .withColumn("n_matches", F.lit(0).cast("int"))
         )
     acc = (
         pos_postings.filter(F.col("word") == terms[0])

@@ -90,7 +90,9 @@ def test_content_dedup_matches_oracle(spark, dup_corpus, tmp_path):
     got_seen = {r.url_hash for r in store.read("seen").select("url_hash").collect()}
     assert got_seen == want.seen
 
-    # per-round metrics incl. the content_dup counter
+    # per-round metrics incl. the content_dup counter (same round count —
+    # zip must not silently truncate a divergent run)
+    assert len(metrics) == len(want.metrics)
     for got, exp in zip(metrics, want.metrics):
         for key in ("urls_in", "scheduled", "parsed_pages", "content_dup"):
             assert got[key] == exp[key], (got["round"], key)

@@ -52,7 +52,7 @@ def _py_bm25(rows, k1=1.2, b=0.75):
 
 
 def _py_phrase(rows, phrase):
-    terms = [t for t in phrase.lower().split() if t and t not in STOPWORDS]
+    terms = _toks(phrase)  # same analyzer as the index
     out = {}
     for d, t in rows:
         tk = _toks(t)
@@ -106,5 +106,13 @@ def test_phrase_search_stopwords_and_empty(spark):
     a = {r.doc_id: r.n_matches for r in phrase_search(pp, "fast the spark").collect()}
     b = {r.doc_id: r.n_matches for r in phrase_search(pp, "fast spark").collect()}
     assert a == b
-    # an all-stopword phrase yields the typed empty result, not an error
-    assert phrase_search(pp, "the a is").count() == 0
+    # punctuation goes through the index analyzer: 'fast, spark!' == 'fast spark'
+    c = {r.doc_id: r.n_matches for r in phrase_search(pp, "Fast, Spark!").collect()}
+    assert c == b
+    # an all-stopword phrase yields the typed empty result, not an error —
+    # with the INPUT's doc_id type, so unions across phrases stay legal
+    empty = phrase_search(pp, "the a is")
+    assert empty.count() == 0
+    some = phrase_search(pp, "fast spark")
+    assert empty.schema["doc_id"].dataType == some.schema["doc_id"].dataType
+    assert some.unionByName(empty).count() == some.count()
