@@ -120,7 +120,10 @@ def bm25_postings(
     doc_id window for dl and a word window for df — no extra joins. The two
     corpus scalars (N docs, avg doc length) ride in on a broadcast 1-row
     crossJoin (the crawl plan's stats-fusion pattern), keeping this a single
-    DAG with no driver-side collect."""
+    DAG with no driver-side collect. NOTE the scalar aggregate re-derives the
+    tf lineage (PLANS.md shows the second scan): when the tokenize pass is
+    the bottleneck at corpus scale, persist docs (or the tf stage) upstream —
+    an in-operator cache would leak past the caller's lifecycle."""
     toks = docs.select(
         F.col(doc_col).alias("doc_id"),
         F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
