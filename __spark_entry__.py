@@ -1301,6 +1301,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["phrase_search_adjacent"] = phrase_search_adjacent
 
+    def chunk_documents_windows(spark, sf):
+        """Context-window chunking for training data: fixed-size token
+        windows with overlap, no shuffle (scan -> project -> generate)."""
+        from cis455crawler_spark.operators.chunking import chunk_documents
+
+        docs = _load(spark, sf, "documents")
+        return chunk_documents(docs, size=32, stride=24).orderBy(
+            "doc_id", "chunk_id"
+        )
+
+    q["chunk_documents_windows"] = chunk_documents_windows
+
+    def pack_token_spans_gpt(spark, sf):
+        """GPT-style sequence packing: docs concatenated in doc_id order and
+        cut every 256 tokens; two-phase prefix-sum (parallel per-bucket
+        window cumsums + tiny broadcast bucket-base rollup)."""
+        from cis455crawler_spark.operators.chunking import pack_token_spans
+
+        docs = _load(spark, sf, "documents")
+        return pack_token_spans(docs, seq_len=256).orderBy("doc_id", "seq_id")
+
+    q["pack_token_spans_gpt"] = pack_token_spans_gpt
+
     return q
 
 
@@ -1826,6 +1849,53 @@ def oracle_sql() -> dict[str, str]:
             JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.pos = p0.pos + 1
             WHERE p0.word = 'fast' AND p1.word = 'spark'
             GROUP BY p0.doc_id ORDER BY p0.doc_id
+        """,
+        "chunk_documents_windows": """
+            WITH toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM documents),
+            sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            ids AS (
+              SELECT doc_id, t, n,
+                     unnest(range(1 + greatest(0,
+                         CAST(ceil((n - 32) / 24.0) AS BIGINT)))) AS chunk_id
+              FROM sized)
+            SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+                   CAST(least(32, n - chunk_id * 24) AS INTEGER) AS n_tokens,
+                   array_to_string(list_slice(t, chunk_id * 24 + 1,
+                                              least(chunk_id * 24 + 32, n)),
+                                   ' ') AS chunk
+            FROM ids ORDER BY doc_id, chunk_id
+        """,
+        "pack_token_spans_gpt": """
+            WITH toks AS (
+              SELECT doc_id,
+                     len(list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                           '[^a-z0-9]+'),
+                                     x -> x <> '')) AS n
+              FROM documents),
+            placed AS (
+              SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+                     CAST(coalesce(SUM(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start
+              FROM toks WHERE n > 0),
+            spans AS (
+              SELECT doc_id, n_tokens, start,
+                     unnest(range(start // 256, (start + n_tokens - 1) // 256 + 1))
+                       AS seq_id
+              FROM placed)
+            SELECT doc_id, n_tokens, start, seq_id,
+                   CAST(greatest(start, seq_id * 256) - seq_id * 256 AS INTEGER)
+                     AS seq_offset,
+                   CAST(greatest(start, seq_id * 256) - start + 1 AS INTEGER)
+                     AS tok_begin,
+                   CAST(least(start + n_tokens, (seq_id + 1) * 256)
+                        - greatest(start, seq_id * 256) AS INTEGER) AS span_len
+            FROM spans ORDER BY doc_id, seq_id
         """,
         "tokenize_stopwords": f"""
             {tokens}
