@@ -127,6 +127,16 @@ class CrawlConfig:
     # parsed table keeps no html to heal digests from). Default off — the
     # parity gate's oracle dedups URLs exactly like the reference.
     content_dedup: bool = False
+    # opt-in (beyond reference): treat a 301/302 Location target as a
+    # DISCOVERED LINK (depth+1, deduped, quota'd, politeness-popped next
+    # round) instead of the reference's mark-seen-never-enqueue quirk —
+    # following redirects is the TODO the reference left unimplemented
+    # (XPathCrawlerThread.java:169). Default off for the parity gate.
+    follow_redirects: bool = False
+    # opt-in BFS depth cap (beyond reference — it has none): links that would
+    # enter the frontier at depth > max_depth are dropped at discovery (never
+    # seen, never scheduled). None = unbounded (parity).
+    max_depth: int | None = None
 
     def __post_init__(self) -> None:
         if self.priority not in ("bfs", "indegree"):
@@ -484,24 +494,31 @@ def run_round(
         .cache()
     )
 
-    # 301/302 Location targets enter the seen set WITHOUT being enqueued
-    # (XPathCrawlerThread.java:155-168); anti-joined so the table stays a set
-    redirect_targets = _with_url_cols(
-        parsed.filter(F.col("action") == "redirect")
-        .select(location_of("url").alias("url"))
-        .distinct(),
-        cfg.num_buckets,
-    ).select("url_hash", "url", "bucket")
     batch_seen = scheduled.select("url_hash", "url", "bucket").unionByName(
         denied.select("url_hash", "url", "bucket")
     )
-    redirect_targets = anti_join_seen(
-        redirect_targets, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
-    ).join(batch_seen.select("url_hash"), "url_hash", "left_anti")
-    # cached: evaluated by the pipeline job (links anti-join), the seen
-    # write, and the bloom delta — uncached each re-runs the redirect
-    # anti-join against the seen table
-    new_seen = batch_seen.unionByName(redirect_targets).cache()
+    if cfg.follow_redirects:
+        # follow mode: the Location target is just another discovered link —
+        # it joins the link stream below (depth+1) and is NOT pre-marked
+        # seen, so the normal dedup/robots/politeness gates apply next round
+        new_seen = batch_seen.cache()
+    else:
+        # 301/302 Location targets enter the seen set WITHOUT being enqueued
+        # (XPathCrawlerThread.java:155-168); anti-joined so the table stays
+        # a set
+        redirect_targets = _with_url_cols(
+            parsed.filter(F.col("action") == "redirect")
+            .select(location_of("url").alias("url"))
+            .distinct(),
+            cfg.num_buckets,
+        ).select("url_hash", "url", "bucket")
+        redirect_targets = anti_join_seen(
+            redirect_targets, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets
+        ).join(batch_seen.select("url_hash"), "url_hash", "left_anti")
+        # cached: evaluated by the pipeline job (links anti-join), the seen
+        # write, and the bloom delta — uncached each re-runs the redirect
+        # anti-join against the seen table
+        new_seen = batch_seen.unionByName(redirect_targets).cache()
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
     link_aggs = [F.min("depth").alias("depth")] + (
@@ -509,11 +526,19 @@ def run_round(
         # — the reference's extractor keeps duplicate hrefs, O-X4 doc order)
         [F.count(F.lit(1)).alias("inlinks")] if use_pri else []
     )
-    links = (
-        parsed.select(F.explode("out_links").alias("url"), (F.col("depth") + 1).alias("depth"))
-        .groupBy("url")
-        .agg(*link_aggs)
+    link_stream = parsed.select(
+        F.explode("out_links").alias("url"), (F.col("depth") + 1).alias("depth")
     )
+    if cfg.follow_redirects:
+        link_stream = link_stream.unionByName(
+            parsed.filter(F.col("action") == "redirect").select(
+                location_of("url").alias("url"),
+                (F.col("depth") + 1).alias("depth"),
+            )
+        )
+    if cfg.max_depth is not None:
+        link_stream = link_stream.filter(F.col("depth") <= cfg.max_depth)
+    links = link_stream.groupBy("url").agg(*link_aggs)
     links = _with_url_cols(links, cfg.num_buckets)
     links = anti_join_seen(links, seen, bloom_bc=bloom_bc, num_buckets=cfg.num_buckets)
     links = links.join(new_seen.select("url_hash"), "url_hash", "left_anti")

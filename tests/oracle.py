@@ -180,6 +180,8 @@ def oracle_crawl(
     allowed_fn=None,  # (url, raw_robots_body|None) -> bool; None = quirk o_allowed
     max_urls_per_host: int | None = None,  # per-host admission quota
     content_dedup: bool = False,  # Mercator content-seen test (engine opt-in)
+    follow_redirects: bool = False,  # Location as discovered link (engine opt-in)
+    max_depth: int | None = None,  # BFS depth cap (engine opt-in)
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
     raw_robots_by_host: dict[str, str] = {}
@@ -261,7 +263,8 @@ def oracle_crawl(
             if st in (301, 302):
                 actions[u] = "redirect"
                 redirects += 1
-                _mark_seen(o_location(u))
+                if not follow_redirects:
+                    _mark_seen(o_location(u))
             elif (
                 stored is not None
                 and u in stored
@@ -307,9 +310,13 @@ def oracle_crawl(
                     res.edges.append((u, dst))
             elif act == "not_modified":
                 links = stored[u][1]
+            elif act == "redirect" and follow_redirects:
+                links = [o_location(u)]  # Location = one more discovered link
             else:
                 continue
             for dst in links:
+                if max_depth is not None and cand[u] + 1 > max_depth:
+                    continue
                 if o_sha1(dst) not in res.seen and dst not in new_links:
                     new_links[dst] = cand[u] + 1
 
