@@ -44,6 +44,10 @@ def chunk_documents(
     shorter than `size`); empty/NULL texts yield no chunks."""
     if stride <= 0 or size <= 0:
         raise ValueError("size and stride must be positive")
+    if stride > size:
+        # gapped windows would leave tokens uncovered AND the chunk-count
+        # formula would emit empty tail chunks — reject rather than guess
+        raise ValueError("stride must be <= size (windows must cover the stream)")
     base = docs.select(
         F.col(doc_col).alias("doc_id"), tokenize(F.col(text_col)).alias("_toks")
     )
@@ -116,6 +120,12 @@ def pack_token_spans(
         bucket_col.alias("bucket"),
         F.size(tokenize(F.col(text_col))).alias("n"),
     ).filter(F.col("n") > 0)
+    # two consumers (per-bucket cumsum + the bucket rollup) must not each
+    # re-run the corpus tokenize pass: lazy localCheckpoint materializes the
+    # tiny (doc_id,bucket,n) frame once and truncates lineage; its blocks are
+    # freed by the context cleaner when the result is dropped (no explicit
+    # unpersist for callers to forget — the ADVICE-r2 in-operator-cache leak)
+    base = base.localCheckpoint(eager=False)
     w_local = (
         Window.partitionBy("bucket")
         .orderBy("doc_id")

@@ -315,14 +315,20 @@ def oracle_crawl(
             else:
                 continue
             for dst in links:
-                if max_depth is not None and cand[u] + 1 > max_depth:
+                d = cand[u] + 1
+                # engine filters per-MENTION before the min-depth groupBy, and
+                # keeps the MIN depth across parents (crawl.py link_stream +
+                # agg(F.min)) — first-parent-wins would diverge on diamonds
+                if max_depth is not None and d > max_depth:
                     continue
-                if o_sha1(dst) not in res.seen and dst not in new_links:
-                    new_links[dst] = cand[u] + 1
+                if o_sha1(dst) not in res.seen:
+                    new_links[dst] = min(new_links.get(dst, d), d)
 
         frontier = dict(new_links)
         for u in deferred:
-            frontier.setdefault(u, cand[u])
+            # next round's frontier groupBy min-merges deferred rows with
+            # fresh link mentions of the same url
+            frontier[u] = min(frontier.get(u, cand[u]), cand[u])
         res.metrics.append(
             {
                 "round": round_no,

@@ -68,6 +68,16 @@ def test_chunk_documents_matches_oracle(spark):
         assert got == _py_chunks(DOCS, size, stride), (size, stride)
 
 
+def test_chunk_documents_rejects_gapped_windows(spark):
+    import pytest as _pytest
+
+    df = spark.createDataFrame(DOCS, "doc_id int, text string")
+    with _pytest.raises(ValueError, match="stride"):
+        chunk_documents(df, size=2, stride=5)
+    with _pytest.raises(ValueError):
+        chunk_documents(df, size=0, stride=1)
+
+
 def test_chunk_documents_empty_doc_yields_nothing(spark):
     df = spark.createDataFrame(DOCS, "doc_id int, text string")
     got = chunk_documents(df, size=4, stride=2)

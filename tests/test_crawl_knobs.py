@@ -77,6 +77,7 @@ def test_follow_redirects_matches_oracle(spark, knob_corpus, tmp_path):
     # the redirect target AND the page behind it were actually crawled
     assert f"http://{HOST}/p0.html" in parsed_urls
     assert f"http://{HOST}/a007.html" in parsed_urls
+    assert len(metrics) == len(want.metrics)  # zip must not truncate a tail
     for got, exp in zip(metrics, want.metrics):
         assert got["scheduled"] == exp["scheduled"], got["round"]
         assert got["redirects"] == exp["redirects"], got["round"]
