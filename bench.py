@@ -68,6 +68,11 @@ BENCH_QUERIES = [
     "anchor_text_postings",
     "boilerplate_strip",
     "cdx_capture_index",
+    # round-3 continuation ops
+    "bm25_postings_score",
+    "phrase_search_adjacent",
+    "chunk_documents_windows",
+    "pack_token_spans_gpt",
 ]
 
 
