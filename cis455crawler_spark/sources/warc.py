@@ -175,12 +175,20 @@ def parse_warc_bytes(data: bytes) -> list[dict]:
     return list(iter_warc_records(data))
 
 
-def read_warc(spark: SparkSession, path: str) -> DataFrame:
-    """WARC files at `path` (glob ok; .warc or .warc.gz) -> DataFrame
-    (url STRING, warc_ts TIMESTAMP, http_status INT, content_type STRING,
-    html BINARY). One task per file (binaryFile source); bodies never pass
-    through the driver."""
-    files = spark.read.format("binaryFile").load(path).select("content")
+_RECORD_SCHEMA = (
+    "url string, warc_ts timestamp, http_status int, "
+    "content_type string, html binary"
+)
+# binaryFile's fixed schema — streaming sources cannot infer it
+_BINARYFILE_SCHEMA = (
+    "path string, modificationTime timestamp, length long, content binary"
+)
+
+
+def parse_warc_files(files: DataFrame) -> DataFrame:
+    """binaryFile rows (`content` BINARY = one whole .warc/.warc.gz) ->
+    framed records. Shared by the batch reader and the streaming ingest;
+    bodies never pass through the driver."""
     batch_rows = 256  # bounded Arrow batches: the stream never materializes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -206,13 +214,14 @@ def read_warc(spark: SparkSession, path: str) -> DataFrame:
                 if pending:
                     yield flush(pending)
 
-    return files.mapInPandas(
-        gen,
-        schema=(
-            "url string, warc_ts timestamp, http_status int, "
-            "content_type string, html binary"
-        ),
-    )
+    return files.select("content").mapInPandas(gen, schema=_RECORD_SCHEMA)
+
+
+def read_warc(spark: SparkSession, path: str) -> DataFrame:
+    """WARC files at `path` (glob ok; .warc or .warc.gz) -> DataFrame
+    (url STRING, warc_ts TIMESTAMP, http_status INT, content_type STRING,
+    html BINARY). One task per file (binaryFile source)."""
+    return parse_warc_files(spark.read.format("binaryFile").load(path))
 
 
 def warc_to_pages(warc_df: DataFrame) -> DataFrame:
@@ -229,6 +238,75 @@ def warc_to_pages(warc_df: DataFrame) -> DataFrame:
         .withColumn("text", extract_text_udf("html"))
     )
     return with_text.withColumn("lang", lang_id(F.col("text")))
+
+
+def stream_warc_ingest(
+    spark: SparkSession,
+    warc_dir: str,
+    state_root: str,
+    max_files_per_trigger: int = 1,
+) -> int:
+    """Continuous Common-Crawl-style ingestion: .warc/.warc.gz files landing
+    in `warc_dir` drain as a Structured Streaming file stream
+    (Trigger.AvailableNow; one parse task per file within each batch). Each
+    micro-batch (a) projects its 200-status records to the input_hint pages
+    schema with the engine's own text kernel and APPENDS them to the store's
+    `pages` table (an arrival ledger — re-captures of a url append new
+    rows), and (b) per-doc-replacement-MERGEs the incremental index state
+    (streaming/indexing.merge_doc_stats), so the index after any batch
+    equals a batch rebuild over each url's LATEST capture — O(batch), not
+    O(corpus), per micro-batch.
+
+    Crash story matches the crawl: atomic manifest swap per batch + the
+    stream checkpoint under `state_root` — a killed ingest resumes without
+    re-ingesting committed files. Returns micro-batches processed this call
+    (a later call drains only files that arrived since)."""
+    from ..streaming.indexing import STATS_TABLE, doc_term_stats, merge_doc_stats
+    from .tables import SnapshotStore
+
+    store = SnapshotStore(spark, state_root)
+    n_batches = [0]
+
+    def _ingest(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        pages = warc_to_pages(batch)
+        # one indexed version per url per batch: a single archive can carry
+        # several captures of the same url — take the latest warc_ts
+        # (md5(html) breaks exact-ts ties deterministically). Across batches
+        # the per-doc MERGE is last-writer-wins in file-arrival order.
+        w_url = Window.partitionBy("url").orderBy(
+            F.desc("warc_ts"), F.md5("html")
+        )
+        latest = (
+            pages.withColumn("_rn", F.row_number().over(w_url))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        delta = doc_term_stats(latest, doc_col="url")
+        merged = merge_doc_stats(store.read(STATS_TABLE), delta)
+        store.commit_round(
+            store.current_round() + 1,
+            appends={"pages": pages},
+            replaces={STATS_TABLE: merged},
+        )
+        n_batches[0] += 1
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema(_BINARYFILE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(warc_dir)
+    )
+    stream = (
+        parse_warc_files(files)
+        .writeStream.foreachBatch(_ingest)
+        .option("checkpointLocation", f"{state_root}/_warc_stream_checkpoint")
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return n_batches[0]
 
 
 def write_warc(
