@@ -252,29 +252,44 @@ def stream_warc_ingest(
     micro-batch (a) projects its 200-status records to the input_hint pages
     schema with the engine's own text kernel and APPENDS them to the store's
     `pages` table (an arrival ledger — re-captures of a url append new
-    rows), and (b) per-doc-replacement-MERGEs the incremental index state
-    (streaming/indexing.merge_doc_stats), so the index after any batch
-    equals a batch rebuild over each url's LATEST capture — O(batch), not
-    O(corpus), per micro-batch.
+    rows), and (b) MERGEs the incremental index state per document, guarded
+    by capture timestamp: a doc's terms are replaced only by a capture with
+    warc_ts >= the indexed one, so a BACKFILLED older archive (the normal
+    Common Crawl segment-backfill case) can never regress the index. After
+    any batch the index equals a batch rebuild over each url's latest
+    INGESTED capture — O(batch), not O(corpus), per micro-batch.
 
     Crash story matches the crawl: atomic manifest swap per batch + the
-    stream checkpoint under `state_root` — a killed ingest resumes without
-    re-ingesting committed files. Returns micro-batches processed this call
-    (a later call drains only files that arrived since)."""
-    from ..streaming.indexing import STATS_TABLE, doc_term_stats, merge_doc_stats
+    stream checkpoint under `state_root`. foreachBatch is at-least-once, so
+    each commit records its batch_id in the manifest history and a replayed
+    batch (killed between manifest swap and checkpoint commit) is SKIPPED —
+    the pages append stays exactly-once. Returns micro-batches COMMITTED
+    this call (a later call drains only files that arrived since)."""
+    from ..streaming.indexing import STATS_TABLE, doc_term_stats, drain_stream
     from .tables import SnapshotStore
 
     store = SnapshotStore(spark, state_root)
-    n_batches = [0]
+    committed = [0]
+    last_batch = max(
+        (
+            h["warc_batch_id"]
+            for h in store.manifest()["history"]
+            if "warc_batch_id" in h
+        ),
+        default=-1,
+    )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        pages = warc_to_pages(batch)
+        if batch_id <= last_batch:
+            return  # at-least-once replay: this batch's manifest swap landed
+        # the append job and the stats replace both consume this lineage —
+        # uncached, each would re-gunzip + re-parse + re-extract the archives
+        pages = warc_to_pages(batch).cache()
         # one indexed version per url per batch: a single archive can carry
         # several captures of the same url — take the latest warc_ts
-        # (md5(html) breaks exact-ts ties deterministically). Across batches
-        # the per-doc MERGE is last-writer-wins in file-arrival order.
+        # (md5(html) breaks exact-ts ties deterministically)
         w_url = Window.partitionBy("url").orderBy(
             F.desc("warc_ts"), F.md5("html")
         )
@@ -282,15 +297,46 @@ def stream_warc_ingest(
             pages.withColumn("_rn", F.row_number().over(w_url))
             .filter(F.col("_rn") == 1)
             .drop("_rn")
+            .cache()
         )
-        delta = doc_term_stats(latest, doc_col="url")
-        merged = merge_doc_stats(store.read(STATS_TABLE), delta)
+        cand = latest.select(
+            F.col("url").alias("doc_id"), F.col("warc_ts").alias("_new_ts")
+        )
+        delta = doc_term_stats(latest, doc_col="url").join(
+            cand.select("doc_id", F.col("_new_ts").alias("warc_ts")), "doc_id"
+        )
+        state = store.read(STATS_TABLE)
+        if state is None:
+            merged = delta
+        else:
+            # winners: batch docs whose capture is at least as fresh as the
+            # indexed one (or unindexed). Losers (older backfills) leave the
+            # state untouched; winners are replaced WHOLESALE — including a
+            # winner that tokenizes to zero words (present in `cand`, absent
+            # from delta), whose stale terms must drop
+            old_ts = state.groupBy("doc_id").agg(F.max("warc_ts").alias("_old_ts"))
+            winners = (
+                cand.join(old_ts, "doc_id", "left")
+                .filter(
+                    F.col("_old_ts").isNull()
+                    | (F.col("_new_ts") >= F.col("_old_ts"))
+                )
+                .select("doc_id")
+            )
+            merged = state.join(
+                F.broadcast(winners), "doc_id", "left_anti"
+            ).unionByName(
+                delta.join(F.broadcast(winners), "doc_id", "left_semi")
+            )
         store.commit_round(
             store.current_round() + 1,
             appends={"pages": pages},
             replaces={STATS_TABLE: merged},
+            extra={"warc_batch_id": batch_id},
         )
-        n_batches[0] += 1
+        pages.unpersist()
+        latest.unpersist()
+        committed[0] += 1
 
     files = (
         spark.readStream.format("binaryFile")
@@ -298,15 +344,10 @@ def stream_warc_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(warc_dir)
     )
-    stream = (
-        parse_warc_files(files)
-        .writeStream.foreachBatch(_ingest)
-        .option("checkpointLocation", f"{state_root}/_warc_stream_checkpoint")
-        .trigger(availableNow=True)
-        .start()
+    drain_stream(
+        parse_warc_files(files), _ingest, f"{state_root}/_warc_stream_checkpoint"
     )
-    stream.awaitTermination()
-    return n_batches[0]
+    return committed[0]
 
 
 def write_warc(

@@ -80,16 +80,26 @@ def doc_term_stats(
     )
 
 
-def merge_doc_stats(state: DataFrame | None, delta: DataFrame) -> DataFrame:
-    """Per-document replacement MERGE: every doc_id present in `delta`
-    (new page or recrawl) has its old rows dropped wholesale, then the
-    fresh rows appended — a page's token set changes as a unit, so row-
-    level upserts would leave stale terms behind. One broadcast-able
-    anti-join on the (small) batch doc-id set; the state table never
-    shuffles on anything but its own doc_id."""
+def merge_doc_stats(
+    state: DataFrame | None,
+    delta: DataFrame,
+    changed_docs: DataFrame | None = None,
+) -> DataFrame:
+    """Per-document replacement MERGE: every changed doc has its old rows
+    dropped wholesale, then the fresh rows appended — a page's token set
+    changes as a unit, so row-level upserts would leave stale terms behind.
+    One broadcast-able anti-join on the (small) batch doc-id set; the state
+    table never shuffles on anything but its own doc_id.
+
+    `changed_docs` (1-col doc_id frame) defaults to delta's doc ids — pass
+    the BATCH's doc ids explicitly when a recrawled doc may tokenize to
+    ZERO words: such a doc has no delta rows, and without it the anti-join
+    would leave its stale terms in the state."""
     if state is None:
         return delta
-    changed = delta.select("doc_id").distinct()
+    changed = (
+        changed_docs if changed_docs is not None else delta.select("doc_id")
+    ).distinct()
     return state.join(F.broadcast(changed), "doc_id", "left_anti").unionByName(delta)
 
 
@@ -121,6 +131,28 @@ def rank_from_stats(stats: DataFrame, bug_compatible: bool = True) -> DataFrame:
     )
 
 
+def drain_stream(records: DataFrame, ingest_fn, checkpoint_dir: str) -> int:
+    """Shared AvailableNow drain: foreachBatch(ingest_fn) until the source
+    is exhausted, checkpointed so a later call resumes past drained input.
+    Returns micro-batches DELIVERED (foreachBatch is at-least-once — an
+    ingest_fn whose effects append must dedupe replays itself, e.g. by
+    recording batch_id; see sources/warc.stream_warc_ingest)."""
+    n = [0]
+
+    def _body(batch: DataFrame, batch_id: int) -> None:
+        ingest_fn(batch, batch_id)
+        n[0] += 1
+
+    stream = (
+        records.writeStream.foreachBatch(_body)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    stream.awaitTermination()
+    return n[0]
+
+
 def run_incremental_index(
     spark,
     input_dir: str,
@@ -138,29 +170,26 @@ def run_incremental_index(
     from ..sources.tables import SnapshotStore
 
     store = SnapshotStore(spark, state_root)
-    n_batches = [0]
 
     def _merge_batch(batch: DataFrame, batch_id: int) -> None:
         delta = doc_term_stats(
             batch, title_col=title_col, meta_col=meta_col
         )
         state = store.read(STATS_TABLE)
-        merged = merge_doc_stats(state, delta)
-        # the replace writes into a fresh uuid dir while reading the old
-        # one, then swaps the manifest — never an in-place overwrite
+        # changed_docs = the BATCH's ids: a doc recrawled to zero tokens has
+        # no delta rows but must still drop its stale terms. The replace is
+        # idempotent under foreachBatch replay (same merge, fresh uuid dir,
+        # manifest swap last).
+        merged = merge_doc_stats(
+            state, delta, changed_docs=batch.select("doc_id")
+        )
         store.commit_round(
             store.current_round() + 1, replaces={STATS_TABLE: merged}
         )
-        n_batches[0] += 1
 
-    stream = (
+    records = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)  # one landed file = one batch
         .parquet(input_dir)
-        .writeStream.foreachBatch(_merge_batch)
-        .option("checkpointLocation", f"{state_root}/_stream_checkpoint")
-        .trigger(availableNow=True)
-        .start()
     )
-    stream.awaitTermination()
-    return n_batches[0]
+    return drain_stream(records, _merge_batch, f"{state_root}/_stream_checkpoint")

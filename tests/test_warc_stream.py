@@ -1,13 +1,15 @@
 """Streaming WARC ingestion (sources/warc.stream_warc_ingest): archives
 landing in a directory drain as a file stream; each micro-batch appends its
-200s to the pages ledger and per-doc-MERGEs the incremental index state.
+200s to the pages ledger and timestamp-guard-MERGEs the incremental index.
 
 Invariants pinned:
   * the pages ledger holds every 200 capture from every drained file
   * the index state after any drain equals a BATCH rebuild over each url's
     latest capture (rank_from_stats == operators.indexer.postings), incl. a
     recrawled url whose body changed between drains
-  * a second drain processes only newly-landed files (checkpoint resume)
+  * a later drain processes only newly-landed files (checkpoint resume)
+  * a BACKFILLED older capture never regresses the index (ts guard)
+  * a recrawl that tokenizes to zero words drops the doc's stale terms
 """
 
 from __future__ import annotations
@@ -38,6 +40,14 @@ WAVE2 = [
     # recrawl of /a with changed body: per-doc replacement MERGE
     _rec("http://w.test/a", T3, b"<html><body>alpha alpha rho</body></html>"),
 ]
+WAVE3 = [
+    # BACKFILL: an older capture of /a arriving after the T3 one — the ts
+    # guard must leave the T3 index rows untouched
+    _rec("http://w.test/a", T2, b"<html><body>stale backfill body</body></html>"),
+    # recrawl of /b to stopword-only text: all its terms must DROP
+    _rec("http://w.test/b", T3, b"<html><body>the a of</body></html>"),
+    _rec("http://w.test/d", T1, b"<html><body>kappa kappa mu</body></html>"),
+]
 
 
 def _expected_latest(spark):
@@ -46,6 +56,16 @@ def _expected_latest(spark):
         ("http://w.test/a", "alpha alpha rho"),
         ("http://w.test/b", "beta beta delta"),
         ("http://w.test/c", "epsilon zeta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id string, text string")
+
+
+def _expected_after_wave3(spark):
+    """/a keeps T3 (backfill ignored), /b is all-stopwords (no rows), /d new."""
+    rows = [
+        ("http://w.test/a", "alpha alpha rho"),
+        ("http://w.test/c", "epsilon zeta"),
+        ("http://w.test/d", "kappa kappa mu"),
     ]
     return spark.createDataFrame(rows, "doc_id string, text string")
 
@@ -96,3 +116,23 @@ def test_stream_warc_ingest_matches_batch_rebuild(spark, tmp_path):
     assert got == want
     # the stale wave-2 capture of /c ('old gamma words') left no rows behind
     assert not any(w == "old" for _, w, *_ in got)
+
+    # wave 3: an older backfill of /a, a stopword-only recrawl of /b, a new /d
+    (land / "w3.warc.gz").write_bytes(build_warc_bytes(WAVE3, compress=True))
+    n3 = stream_warc_ingest(spark, str(land), state)
+    assert n3 == 1
+
+    store = SnapshotStore(spark, state)
+    assert store.read("pages").count() == 8  # ledger keeps the backfill rows
+    got3 = {
+        (r.doc_id, r.word, r.tf, r.max_tf, r.df, round(r.rank, 9))
+        for r in rank_from_stats(store.read(STATS_TABLE)).collect()
+    }
+    want3 = {
+        (r.doc_id, r.word, r.tf, r.max_tf, r.df, round(r.rank, 9))
+        for r in postings(_expected_after_wave3(spark)).collect()
+    }
+    assert got3 == want3
+    # the ts guard held: no 'stale'/'backfill' terms; /b fully dropped
+    assert not any(w in ("stale", "backfill") for _, w, *_ in got3)
+    assert not any(d == "http://w.test/b" for d, *_ in got3)
