@@ -1324,6 +1324,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pack_token_spans_gpt"] = pack_token_spans_gpt
 
+    def training_pipeline_e2e(spark, sf):
+        """The curated-corpus -> data-loader glue as ONE DAG: exact dedup
+        (md5 fingerprint, keep lowest doc_id) + token-band gate, survivors
+        chunked into 16-token windows (stride 12), chunks packed GPT-style
+        into 64-token sequences. chunk_key = doc_id*1000 + chunk_id keeps
+        the packing order deterministic and monotone for the two-phase
+        prefix-sum's default bucketing."""
+        from pyspark.sql import Window
+
+        from cis455crawler_spark.functions.text import fingerprint_md5, token_count
+        from cis455crawler_spark.operators.chunking import (
+            chunk_documents,
+            pack_token_spans,
+        )
+
+        docs = _load(spark, sf, "documents")
+        sig = docs.select(
+            "doc_id",
+            "text",
+            fingerprint_md5("text").alias("fp"),
+            token_count("text").alias("n_tok"),
+        )
+        rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        survivors = (
+            sig.withColumn("_rn", rn)
+            .filter((F.col("_rn") == 1) & F.col("n_tok").between(10, 100000))
+            .select("doc_id", "text")
+        )
+        chunks = chunk_documents(survivors, size=16, stride=12)
+        units = chunks.select(
+            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
+            "doc_id",
+            "chunk_id",
+            "chunk",
+        )
+        # pack_token_spans normalizes its doc column name to doc_id — here
+        # that's the chunk_key; restore the name before joining chunk identity
+        spans = pack_token_spans(
+            units, seq_len=64, doc_col="chunk_key", text_col="chunk"
+        ).withColumnRenamed("doc_id", "chunk_key")
+        return (
+            spans.join(
+                units.select("chunk_key", "doc_id", "chunk_id"), "chunk_key"
+            )
+            .select(
+                "seq_id", "chunk_key", "doc_id", "chunk_id", "n_tokens",
+                "start", "seq_offset", "tok_begin", "span_len",
+            )
+            .orderBy("chunk_key", "seq_id")
+        )
+
+    q["training_pipeline_e2e"] = training_pipeline_e2e
+
     return q
 
 
@@ -1896,6 +1949,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(start + n_tokens, (seq_id + 1) * 256)
                         - greatest(start, seq_id * 256) AS INTEGER) AS span_len
             FROM spans ORDER BY doc_id, seq_id
+        """,
+        "training_pipeline_e2e": r"""
+            WITH base AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+            surv AS (
+              SELECT doc_id, text FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base)
+              WHERE rn = 1 AND n_tok BETWEEN 10 AND 100000),
+            toks AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(coalesce(text, '')),
+                                                       '[^a-z0-9]+'),
+                                 x -> x <> '') AS t
+              FROM surv),
+            sized AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0),
+            chunks AS (
+              SELECT doc_id, n,
+                     unnest(range(1 + greatest(0,
+                         CAST(ceil((n - 16) / 12.0) AS BIGINT)))) AS cid
+              FROM sized),
+            units AS (
+              SELECT doc_id * 1000 + cid AS chunk_key, doc_id,
+                     CAST(cid AS INTEGER) AS chunk_id,
+                     CAST(least(16, n - cid * 12) AS INTEGER) AS n_tokens
+              FROM chunks),
+            placed AS (
+              SELECT chunk_key, doc_id, chunk_id, n_tokens,
+                     CAST(coalesce(SUM(n_tokens) OVER (ORDER BY chunk_key
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS BIGINT) AS start
+              FROM units),
+            spans AS (
+              SELECT *, unnest(range(start // 64,
+                                     (start + n_tokens - 1) // 64 + 1)) AS seq_id
+              FROM placed)
+            SELECT seq_id, chunk_key, doc_id, chunk_id, n_tokens, start,
+                   CAST(greatest(start, seq_id * 64) - seq_id * 64 AS INTEGER)
+                     AS seq_offset,
+                   CAST(greatest(start, seq_id * 64) - start + 1 AS INTEGER)
+                     AS tok_begin,
+                   CAST(least(start + n_tokens, (seq_id + 1) * 64)
+                        - greatest(start, seq_id * 64) AS INTEGER) AS span_len
+            FROM spans ORDER BY chunk_key, seq_id
         """,
         "tokenize_stopwords": f"""
             {tokens}

@@ -73,6 +73,7 @@ BENCH_QUERIES = [
     "phrase_search_adjacent",
     "chunk_documents_windows",
     "pack_token_spans_gpt",
+    "training_pipeline_e2e",
 ]
 
 
