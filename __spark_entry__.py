@@ -1377,6 +1377,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["training_pipeline_e2e"] = training_pipeline_e2e
 
+    def ann_quantized_topk(spark, sf):
+        """Int8-quantized ANN: tinyint candidate pass (exact integer dot —
+        cross-engine deterministic) + exact float re-rank; 4x less scan/
+        shuffle volume than float32 for the candidate stage."""
+        from cis455crawler_spark.operators.similarity import cosine_topk_quantized
+
+        emb = _load(spark, sf, "embeddings")
+        dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        v = emb.select("vec_id", dvec.alias("embedding"))
+        queries = v.filter(F.col("vec_id").isin(1, 2, 3)).select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+        )
+        out = cosine_topk_quantized(v, queries, k=5, rerank=3)
+        return out.select(
+            "q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn"
+        ).orderBy("q_id", "rn")
+
+    q["ann_quantized_topk"] = ann_quantized_topk
+
     return q
 
 
@@ -2105,6 +2124,45 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
                          ORDER BY cosine DESC, vec_id) AS rn FROM scored)
             WHERE rn <= 5
+        """,
+        "ann_quantized_topk": """
+            WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            qz AS (
+              SELECT vec_id, v,
+                     sqrt(list_dot_product(v, v)) AS norm,
+                     list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+              FROM v),
+            qv AS (
+              SELECT vec_id, norm, scale,
+                     CASE WHEN scale > 0
+                          THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                          ELSE list_transform(v, x -> 0) END AS qvec
+              FROM qz),
+            qq AS (SELECT vec_id AS q_id, norm AS q_norm, scale AS q_scale,
+                          qvec AS q_qvec
+                   FROM qv WHERE vec_id IN (1,2,3)),
+            approx AS (
+              SELECT qq.q_id, qv.vec_id,
+                     list_dot_product(qv.qvec, qq.q_qvec) * qv.scale * qq.q_scale
+                       / (qv.norm * qq.q_norm) AS approx
+              FROM qv CROSS JOIN qq),
+            cand AS (
+              SELECT q_id, vec_id FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                           ORDER BY approx DESC, vec_id) AS crn FROM approx)
+              WHERE crn <= 15),
+            exact AS (
+              SELECT c.q_id, c.vec_id,
+                     list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v)))
+                       AS cosine
+              FROM cand c
+              JOIN v a ON a.vec_id = c.vec_id
+              JOIN v b ON b.vec_id = c.q_id)
+            SELECT q_id, vec_id, ROUND(cosine, 4) AS cosine, rn FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                         ORDER BY cosine DESC, vec_id) AS rn FROM exact)
+            WHERE rn <= 5 ORDER BY q_id, rn
         """,
         "text_quality": rf"""
             WITH base AS (

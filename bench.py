@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "chunk_documents_windows",
     "pack_token_spans_gpt",
     "training_pipeline_e2e",
+    "ann_quantized_topk",
 ]
 
 

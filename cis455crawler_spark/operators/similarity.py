@@ -226,3 +226,97 @@ def cosine_topk_ivf(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+def quantize_embeddings(
+    vectors: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(vec_id, scale, norm, qvec ARRAY<TINYINT>) — per-vector symmetric int8
+    quantization: scale = max|x| / 127, q_i = floor(x_i/scale + 0.5)
+    (explicit half-up so Spark and any SQL oracle round identically; the
+    all-zero vector keeps scale 0 and quantizes to zeros). 4x the bytes of
+    float32 off the scan and shuffle for ANN candidate generation; `norm` is
+    the EXACT float norm, kept so approximate cosines use the true
+    denominator and the error stays in the dot product alone."""
+    v = F.col(vec_col)
+    scale = F.aggregate(
+        F.transform(v, lambda x: F.abs(x)), F.lit(0.0), lambda s, x: F.greatest(s, x)
+    ) / F.lit(127.0)
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(v, lambda x: F.floor(x / F.col("scale") + 0.5).cast("tinyint")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return (
+        vectors.select(
+            F.col(id_col).alias("vec_id"), v.alias(vec_col), _norm(v).alias("norm")
+        )
+        .withColumn("scale", scale)
+        .withColumn("qvec", q)
+        .select("vec_id", "scale", "norm", "qvec")
+    )
+
+
+def cosine_topk_quantized(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rerank: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    q_id_col: str = "q_id",
+    q_vec_col: str = "q_vec",
+) -> DataFrame:
+    """(q_id, vec_id, cosine, rn) — top-k per query via an int8 candidate
+    pass + exact float re-rank: approximate cosine = (q_a.q_b)*s_a*s_b /
+    (norm_a*norm_b) selects rerank*k candidates per query reading only the
+    tinyint vectors; the exact dot runs on that small survivor set alone.
+    The error bound of symmetric int8 keeps the true top-k inside a 3x
+    candidate pool on real embedding distributions; `rerank` widens it.
+    Deterministic end-to-end, so an oracle can replicate it exactly."""
+    qz = quantize_embeddings(vectors, id_col=id_col, vec_col=vec_col)
+    qq = quantize_embeddings(queries, id_col=q_id_col, vec_col=q_vec_col).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("scale").alias("q_scale"),
+        F.col("norm").alias("q_norm"),
+        F.col("qvec").alias("q_qvec"),
+    )
+    # int math: tinyint*tinyint fits int; the running sum rides a long
+    qdot = F.aggregate(
+        F.zip_with(
+            F.col("qvec"), F.col("q_qvec"), lambda x, y: (x.cast("int") * y)
+        ),
+        F.lit(0).cast("long"),
+        lambda s, x: s + x,
+    )
+    approx = (
+        qz.crossJoin(F.broadcast(qq))
+        .withColumn(
+            "approx",
+            qdot.cast("double") * F.col("scale") * F.col("q_scale")
+            / (F.col("norm") * F.col("q_norm")),
+        )
+        .select("q_id", "vec_id", "approx")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("approx"), "vec_id")
+    cand = (
+        approx.withColumn("crn", F.row_number().over(w))
+        .filter(F.col("crn") <= rerank * k)
+        .select("q_id", "vec_id")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
+    ).withColumn("nv", _norm(F.col("v")))
+    q = queries.select(
+        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv")
+    ).withColumn("nq", _norm(F.col("qv")))
+    exact = (
+        cand.join(v, "vec_id")
+        .join(F.broadcast(q), "q_id")
+        .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
+    )
+    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        exact.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select("q_id", "vec_id", "cosine", "rn")
+    )
