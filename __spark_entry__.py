@@ -1328,9 +1328,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The curated-corpus -> data-loader glue as ONE DAG: exact dedup
         (md5 fingerprint, keep lowest doc_id) + token-band gate, survivors
         chunked into 16-token windows (stride 12), chunks packed GPT-style
-        into 64-token sequences. chunk_key = doc_id*1000 + chunk_id keeps
-        the packing order deterministic and monotone for the two-phase
-        prefix-sum's default bucketing."""
+        into 64-token sequences. chunk_key = doc_id*100000 + chunk_id is
+        collision-free across the whole admitted token band (100k tokens ->
+        <8.4k chunks at stride 12) and monotone in (doc, chunk), so packing
+        order is deterministic; doc_id/chunk_id decode back arithmetically —
+        no join, the dedup+chunk subtree runs exactly once."""
         from pyspark.sql import Window
 
         from cis455crawler_spark.functions.text import fingerprint_md5, token_count
@@ -1354,26 +1356,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         chunks = chunk_documents(survivors, size=16, stride=12)
         units = chunks.select(
-            (F.col("doc_id") * 1000 + F.col("chunk_id")).alias("chunk_key"),
-            "doc_id",
-            "chunk_id",
+            (F.col("doc_id") * 100000 + F.col("chunk_id")).alias("chunk_key"),
             "chunk",
         )
         # pack_token_spans normalizes its doc column name to doc_id — here
-        # that's the chunk_key; restore the name before joining chunk identity
+        # that's the chunk_key; doc/chunk identity decodes arithmetically
         spans = pack_token_spans(
             units, seq_len=64, doc_col="chunk_key", text_col="chunk"
         ).withColumnRenamed("doc_id", "chunk_key")
-        return (
-            spans.join(
-                units.select("chunk_key", "doc_id", "chunk_id"), "chunk_key"
-            )
-            .select(
-                "seq_id", "chunk_key", "doc_id", "chunk_id", "n_tokens",
-                "start", "seq_offset", "tok_begin", "span_len",
-            )
-            .orderBy("chunk_key", "seq_id")
-        )
+        return spans.select(
+            "seq_id",
+            "chunk_key",
+            F.expr("chunk_key DIV 100000").alias("doc_id"),
+            (F.col("chunk_key") % 100000).cast("int").alias("chunk_id"),
+            "n_tokens",
+            "start",
+            "seq_offset",
+            "tok_begin",
+            "span_len",
+        ).orderBy("chunk_key", "seq_id")
 
     q["training_pipeline_e2e"] = training_pipeline_e2e
 
@@ -1994,7 +1995,7 @@ def oracle_sql() -> dict[str, str]:
                          CAST(ceil((n - 16) / 12.0) AS BIGINT)))) AS cid
               FROM sized),
             units AS (
-              SELECT doc_id * 1000 + cid AS chunk_key, doc_id,
+              SELECT doc_id * 100000 + cid AS chunk_key, doc_id,
                      CAST(cid AS INTEGER) AS chunk_id,
                      CAST(least(16, n - cid * 12) AS INTEGER) AS n_tokens
               FROM chunks),

@@ -265,16 +265,29 @@ def cosine_topk_quantized(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    quantized: DataFrame | None = None,
 ) -> DataFrame:
     """(q_id, vec_id, cosine, rn) — top-k per query via an int8 candidate
     pass + exact float re-rank: approximate cosine = (q_a.q_b)*s_a*s_b /
-    (norm_a*norm_b) selects rerank*k candidates per query reading only the
-    tinyint vectors; the exact dot runs on that small survivor set alone.
-    The error bound of symmetric int8 keeps the true top-k inside a 3x
-    candidate pool on real embedding distributions; `rerank` widens it.
-    Deterministic end-to-end, so an oracle can replicate it exactly."""
-    qz = quantize_embeddings(vectors, id_col=id_col, vec_col=vec_col)
-    qq = quantize_embeddings(queries, id_col=q_id_col, vec_col=q_vec_col).select(
+    (norm_a*norm_b) selects rerank*k candidates per query; the exact dot
+    runs on that small survivor set alone. The 4x scan/shuffle saving of
+    the tinyint stage materializes when the caller PERSISTS
+    quantize_embeddings(vectors) once and passes it as `quantized` — left
+    None, the candidate pass quantizes inline and still scans the float
+    table (correctness identical, no I/O saved). Zero-norm vectors and
+    queries are dropped (cosine undefined; Spark 4 ANSI would otherwise
+    raise DIVIDE_BY_ZERO). The error bound of symmetric int8 keeps the true
+    top-k inside a 3x candidate pool on real embedding distributions;
+    `rerank` widens it. Deterministic end-to-end, so an oracle can
+    replicate it exactly."""
+    qz = (
+        quantized
+        if quantized is not None
+        else quantize_embeddings(vectors, id_col=id_col, vec_col=vec_col)
+    ).filter(F.col("norm") > 0)
+    qq = quantize_embeddings(queries, id_col=q_id_col, vec_col=q_vec_col).filter(
+        F.col("norm") > 0
+    ).select(
         F.col("vec_id").alias("q_id"),
         F.col("scale").alias("q_scale"),
         F.col("norm").alias("q_norm"),
@@ -303,12 +316,16 @@ def cosine_topk_quantized(
         .filter(F.col("crn") <= rerank * k)
         .select("q_id", "vec_id")
     )
-    v = vectors.select(
-        F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v")
-    ).withColumn("nv", _norm(F.col("v")))
-    q = queries.select(
-        F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv")
-    ).withColumn("nq", _norm(F.col("qv")))
+    v = (
+        vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+        .withColumn("nv", _norm(F.col("v")))
+        .filter(F.col("nv") > 0)
+    )
+    q = (
+        queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+        .withColumn("nq", _norm(F.col("qv")))
+        .filter(F.col("nq") > 0)
+    )
     exact = (
         cand.join(v, "vec_id")
         .join(F.broadcast(q), "q_id")

@@ -45,10 +45,10 @@ def test_quantized_topk_recall(spark, emb):
     queries = emb.filter(F.col("vec_id").isin(1, 2, 3)).select(
         F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
     )
-    exact = cosine_topk_bruteforce(emb, queries, k=10)
-    quant = cosine_topk_quantized(emb, queries, k=10, rerank=3)
-    e = {(r.q_id, r.rn): r.vec_id for r in exact.collect()}
-    g = {(r.q_id, r.rn): r.vec_id for r in quant.collect()}
+    exact_rows = cosine_topk_bruteforce(emb, queries, k=10).collect()
+    quant_rows = cosine_topk_quantized(emb, queries, k=10, rerank=3).collect()
+    e = {(r.q_id, r.rn): r.vec_id for r in exact_rows}
+    g = {(r.q_id, r.rn): r.vec_id for r in quant_rows}
     # top-1 must be exact; recall@10 >= 0.9 over the 3 queries
     for q in (1, 2, 3):
         assert g[(q, 1)] == e[(q, 1)]
@@ -60,8 +60,8 @@ def test_quantized_topk_recall(spark, emb):
     assert recall >= 0.9, recall
     # the survivor set's cosines are EXACT — every reported score matches
     # the brute-force score for the same (q, vec)
-    e_scores = {(r.q_id, r.vec_id): round(r.cosine, 9) for r in exact.collect()}
-    for r in quant.collect():
+    e_scores = {(r.q_id, r.vec_id): round(r.cosine, 9) for r in exact_rows}
+    for r in quant_rows:
         if (r.q_id, r.vec_id) in e_scores:
             assert round(r.cosine, 9) == e_scores[(r.q_id, r.vec_id)]
 
