@@ -137,6 +137,14 @@ class CrawlConfig:
     # enter the frontier at depth > max_depth are dropped at discovery (never
     # seen, never scheduled). None = unbounded (parity).
     max_depth: int | None = None
+    # opt-in parsed-table compaction cadence (rounds): the parsed ledger
+    # appends one dir per round; every K rounds rewrite it to one dir
+    # (Iceberg rewrite_data_files semantics — a FULL rewrite of the table,
+    # so pick K against table size: cheap in-sandbox, at 100-TB scale this
+    # is the maintenance job you schedule off the hot path, not per-round).
+    # None (default) = never compact parsed; parsed_latest() is correct
+    # either way, this only bounds file counts.
+    compact_parsed_every: int | None = None
 
     def __post_init__(self) -> None:
         if self.priority not in ("bfs", "indegree"):
@@ -845,6 +853,8 @@ def run_crawl(
         total_scheduled += m["scheduled"]
         if m["frontier_next"] == 0:
             break
+        if cfg.compact_parsed_every and round_no % cfg.compact_parsed_every == 0:
+            store.compact("parsed")
         if cfg.compact_every and round_no % cfg.compact_every == 0:
             store.compact("seen", partition_cols=["bucket"])
             if cfg.expire_keep_snapshots:

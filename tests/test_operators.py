@@ -180,6 +180,38 @@ def test_snapshot_compact_and_lineage(spark, tmp_path):
     assert len(os.listdir(os.path.join(state, "seen"))) == 1
 
 
+def test_parsed_compaction_in_crawl_loop(spark, tmp_path):
+    """CrawlConfig(compact_parsed_every=2) folds the parsed ledger's
+    per-round dirs during the crawl without changing parsed_latest()."""
+    from cis455crawler_spark.plans.crawl import CrawlConfig, parsed_latest, run_crawl
+    from cis455crawler_spark.sources.corpus import CorpusSpec, pages_spark_df, seed_urls
+
+    spec = CorpusSpec(hosts=8, pages_per_host=15)
+    pages = pages_spark_df(spark, spec)
+
+    base_cfg = CrawlConfig(max_rounds=4, round_duration_s=3600, compact_every=0)
+    plain, _ = run_crawl(
+        spark, pages, seed_urls(spec, 8), str(tmp_path / "plain"), base_cfg
+    )
+    cfg = CrawlConfig(
+        max_rounds=4, round_duration_s=3600, compact_every=0,
+        compact_parsed_every=2,
+    )
+    compacted, metrics = run_crawl(
+        spark, pages, seed_urls(spec, 8), str(tmp_path / "cmp"), cfg
+    )
+    # fewer parsed dirs than rounds (each compaction folds the prefix)
+    assert len(compacted.manifest()["tables"]["parsed"]) < len(metrics)
+    want = sorted(
+        (r.url, r.round) for r in parsed_latest(plain).select("url", "round").collect()
+    )
+    got = sorted(
+        (r.url, r.round)
+        for r in parsed_latest(compacted).select("url", "round").collect()
+    )
+    assert got == want
+
+
 def test_title_meta_ranking_end_to_end(spark, tmp_path):
     """Build the inverted index from CRAWLED parsed output with the title
     flag wired (Indexer.java:222-224: rank = 0.5*tf'*idf + 0.3*isTitle +
