@@ -1328,14 +1328,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         """The curated-corpus -> data-loader glue as ONE DAG: exact dedup
         (md5 fingerprint, keep lowest doc_id) + token-band gate, survivors
         chunked into 16-token windows (stride 12), chunks packed GPT-style
-        into 64-token sequences. chunk_key = doc_id*100000 + chunk_id is
-        collision-free across the whole admitted token band (100k tokens ->
-        <8.4k chunks at stride 12) and monotone in (doc, chunk), so packing
-        order is deterministic; doc_id/chunk_id decode back arithmetically —
-        no join, the dedup+chunk subtree runs exactly once."""
+        into 64-token sequences. The band gate counts the SAME alnum tokens
+        chunking consumes (a whitespace count could admit docs whose alnum
+        stream is several times longer), so chunk_id < 8334 is guaranteed
+        and chunk_key = doc_id*100000 + chunk_id is collision-free and
+        monotone in (doc, chunk); doc_id/chunk_id decode back arithmetically
+        — no join, the dedup+chunk subtree runs exactly once."""
         from pyspark.sql import Window
 
-        from cis455crawler_spark.functions.text import fingerprint_md5, token_count
+        from cis455crawler_spark.functions.text import fingerprint_md5, tokenize
         from cis455crawler_spark.operators.chunking import (
             chunk_documents,
             pack_token_spans,
@@ -1346,7 +1347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "doc_id",
             "text",
             fingerprint_md5("text").alias("fp"),
-            token_count("text").alias("n_tok"),
+            F.size(tokenize(F.col("text"))).alias("n_tok"),
         )
         rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
         survivors = (
@@ -1972,23 +1973,19 @@ def oracle_sql() -> dict[str, str]:
         """,
         "training_pipeline_e2e": r"""
             WITH base AS (
-              SELECT doc_id, text,
-                     CASE WHEN len(trim(text)) = 0 THEN 0
-                          ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
-                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
-              FROM documents),
-            surv AS (
-              SELECT doc_id, text FROM (
-                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
-                FROM base)
-              WHERE rn = 1 AND n_tok BETWEEN 10 AND 100000),
-            toks AS (
               SELECT doc_id,
                      list_filter(regexp_split_to_array(lower(coalesce(text, '')),
                                                        '[^a-z0-9]+'),
-                                 x -> x <> '') AS t
-              FROM surv),
-            sized AS (SELECT doc_id, len(t) AS n FROM toks WHERE len(t) > 0),
+                                 x -> x <> '') AS t,
+                     md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+              FROM documents),
+            surv AS (
+              -- band gate counts the SAME alnum tokens chunking consumes
+              SELECT doc_id, t FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+                FROM base)
+              WHERE rn = 1 AND len(t) BETWEEN 10 AND 100000),
+            sized AS (SELECT doc_id, len(t) AS n FROM surv WHERE len(t) > 0),
             chunks AS (
               SELECT doc_id, n,
                      unnest(range(1 + greatest(0,
@@ -2134,11 +2131,13 @@ def oracle_sql() -> dict[str, str]:
                      list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
               FROM v),
             qv AS (
+              -- zero-norm vectors carry no cosine: dropped on BOTH sides
+              -- (engine filters norm > 0 under Spark 4 ANSI division)
               SELECT vec_id, norm, scale,
                      CASE WHEN scale > 0
                           THEN list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
                           ELSE list_transform(v, x -> 0) END AS qvec
-              FROM qz),
+              FROM qz WHERE norm > 0),
             qq AS (SELECT vec_id AS q_id, norm AS q_norm, scale AS q_scale,
                           qvec AS q_qvec
                    FROM qv WHERE vec_id IN (1,2,3)),

@@ -853,7 +853,15 @@ def run_crawl(
         total_scheduled += m["scheduled"]
         if m["frontier_next"] == 0:
             break
-        if cfg.compact_parsed_every and round_no % cfg.compact_parsed_every == 0:
+        # parsed compaction is deferred during a recrawl generation: `stored`
+        # (the DISK_ONLY prior-gen snapshot) recomputes lost blocks from the
+        # ORIGINAL parquet paths, which compact() deletes — an executor loss
+        # after a mid-generation compact would FileNotFound on recompute
+        if (
+            cfg.compact_parsed_every
+            and stored is None
+            and round_no % cfg.compact_parsed_every == 0
+        ):
             store.compact("parsed")
         if cfg.compact_every and round_no % cfg.compact_every == 0:
             store.compact("seen", partition_cols=["bucket"])

@@ -185,36 +185,43 @@ _BINARYFILE_SCHEMA = (
 )
 
 
-def parse_warc_files(files: DataFrame) -> DataFrame:
+def parse_warc_files(files: DataFrame, with_path: bool = False) -> DataFrame:
     """binaryFile rows (`content` BINARY = one whole .warc/.warc.gz) ->
     framed records. Shared by the batch reader and the streaming ingest;
-    bodies never pass through the driver."""
+    bodies never pass through the driver. with_path=True adds a `src_path`
+    column — per-record archive provenance (the streaming ingest dedups on
+    the raw binaryFile `path` column instead, so unread archives are never
+    parsed)."""
     batch_rows = 256  # bounded Arrow batches: the stream never materializes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def flush(recs: list[dict]) -> pd.DataFrame:
-            return pd.DataFrame(
-                {
-                    "url": [r["url"] for r in recs],
-                    "warc_ts": [r["warc_ts"] for r in recs],
-                    "http_status": [r["http_status"] for r in recs],
-                    "content_type": [r["content_type"] for r in recs],
-                    "html": [r["body"] for r in recs],
-                }
-            )
+        def flush(recs: list[dict], path: str | None) -> pd.DataFrame:
+            cols = {
+                "url": [r["url"] for r in recs],
+                "warc_ts": [r["warc_ts"] for r in recs],
+                "http_status": [r["http_status"] for r in recs],
+                "content_type": [r["content_type"] for r in recs],
+                "html": [r["body"] for r in recs],
+            }
+            if with_path:
+                cols["src_path"] = [path] * len(recs)
+            return pd.DataFrame(cols)
 
         for pdf in batches:
-            for blob in pdf["content"]:
+            paths = pdf["path"] if with_path else [None] * len(pdf)
+            for blob, path in zip(pdf["content"], paths):
                 pending: list[dict] = []
                 for rec in iter_warc_records(bytes(blob)):
                     pending.append(rec)
                     if len(pending) >= batch_rows:
-                        yield flush(pending)
+                        yield flush(pending, path)
                         pending = []
                 if pending:
-                    yield flush(pending)
+                    yield flush(pending, path)
 
-    return files.select("content").mapInPandas(gen, schema=_RECORD_SCHEMA)
+    keep = ["path", "content"] if with_path else ["content"]
+    schema = _RECORD_SCHEMA + (", src_path string" if with_path else "")
+    return files.select(*keep).mapInPandas(gen, schema=schema)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -253,40 +260,51 @@ def stream_warc_ingest(
     schema with the engine's own text kernel and APPENDS them to the store's
     `pages` table (an arrival ledger — re-captures of a url append new
     rows), and (b) MERGEs the incremental index state per document, guarded
-    by capture timestamp: a doc's terms are replaced only by a capture with
-    warc_ts >= the indexed one, so a BACKFILLED older archive (the normal
-    Common Crawl segment-backfill case) can never regress the index. After
-    any batch the index equals a batch rebuild over each url's latest
-    INGESTED capture — O(batch), not O(corpus), per micro-batch.
+    by a per-doc warc_ts watermark table (`doc_ts`): a doc's terms are
+    replaced only by a capture with warc_ts >= the watermark, so a
+    BACKFILLED older archive (the normal Common Crawl segment-backfill case)
+    can never regress the index — including past a capture that tokenized to
+    zero words, whose watermark survives in doc_ts even though it has no
+    term rows. After any batch the index equals a batch rebuild over each
+    url's freshest ingested capture — O(batch) merge work per micro-batch.
 
-    Crash story matches the crawl: atomic manifest swap per batch + the
-    stream checkpoint under `state_root`. foreachBatch is at-least-once, so
-    each commit records its batch_id in the manifest history and a replayed
-    batch (killed between manifest swap and checkpoint commit) is SKIPPED —
-    the pages append stays exactly-once. Returns micro-batches COMMITTED
-    this call (a later call drains only files that arrived since)."""
-    from ..streaming.indexing import STATS_TABLE, doc_term_stats, drain_stream
+    Exactly-once is FILE-granular: every commit records its archives'
+    paths in a `warc_files` ledger, and already-recorded paths are skipped —
+    robust both to foreachBatch's at-least-once replay AND to a deleted /
+    non-traveling stream checkpoint (batch ids restarting at 0 cannot cause
+    silent skips or double-appends; the path ledger, not the batch id, is
+    authoritative). Returns micro-batches COMMITTED this call."""
+    from ..streaming.indexing import (
+        STATS_TABLE,
+        doc_term_stats,
+        drain_stream,
+        merge_doc_stats,
+    )
     from .tables import SnapshotStore
 
     store = SnapshotStore(spark, state_root)
     committed = [0]
-    last_batch = max(
-        (
-            h["warc_batch_id"]
-            for h in store.manifest()["history"]
-            if "warc_batch_id" in h
-        ),
-        default=-1,
-    )
 
     def _ingest(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window
 
-        if batch_id <= last_batch:
-            return  # at-least-once replay: this batch's manifest swap landed
+        # `batch` is the RAW binaryFile rows — the path check runs on the
+        # path column alone, so already-ingested archives are never parsed
+        # (and the listing job never gunzips anything). File-granular
+        # exactly-once: drop archives some earlier commit already ingested
+        # (replay, or re-drain after checkpoint loss).
+        batch_paths = {r.path for r in batch.select("path").distinct().collect()}
+        ledger = store.read("warc_files")
+        if ledger is not None:
+            seen_paths = {r.path for r in ledger.collect()}
+            batch_paths -= seen_paths
+        if not batch_paths:
+            return
+        fresh = batch.filter(F.col("path").isin(*batch_paths))
+
         # the append job and the stats replace both consume this lineage —
         # uncached, each would re-gunzip + re-parse + re-extract the archives
-        pages = warc_to_pages(batch).cache()
+        pages = warc_to_pages(parse_warc_files(fresh)).cache()
         # one indexed version per url per batch: a single archive can carry
         # several captures of the same url — take the latest warc_ts
         # (md5(html) breaks exact-ts ties deterministically)
@@ -302,37 +320,49 @@ def stream_warc_ingest(
         cand = latest.select(
             F.col("url").alias("doc_id"), F.col("warc_ts").alias("_new_ts")
         )
-        delta = doc_term_stats(latest, doc_col="url").join(
-            cand.select("doc_id", F.col("_new_ts").alias("warc_ts")), "doc_id"
-        )
-        state = store.read(STATS_TABLE)
-        if state is None:
-            merged = delta
+        doc_ts = store.read("doc_ts")
+        if doc_ts is None:
+            winners = cand
         else:
-            # winners: batch docs whose capture is at least as fresh as the
-            # indexed one (or unindexed). Losers (older backfills) leave the
-            # state untouched; winners are replaced WHOLESALE — including a
-            # winner that tokenizes to zero words (present in `cand`, absent
-            # from delta), whose stale terms must drop
-            old_ts = state.groupBy("doc_id").agg(F.max("warc_ts").alias("_old_ts"))
+            # watermark lookup prunes to the batch's docs BEFORE aggregating:
+            # no corpus-wide shuffle per micro-batch
+            old_ts = (
+                doc_ts.join(F.broadcast(cand.select("doc_id")), "doc_id", "left_semi")
+                .groupBy("doc_id")
+                .agg(F.max("warc_ts").alias("_old_ts"))
+            )
             winners = (
                 cand.join(old_ts, "doc_id", "left")
                 .filter(
                     F.col("_old_ts").isNull()
                     | (F.col("_new_ts") >= F.col("_old_ts"))
                 )
-                .select("doc_id")
+                .select("doc_id", "_new_ts")
             )
-            merged = state.join(
-                F.broadcast(winners), "doc_id", "left_anti"
-            ).unionByName(
-                delta.join(F.broadcast(winners), "doc_id", "left_semi")
-            )
+        winner_ids = winners.select("doc_id")
+        delta = doc_term_stats(latest, doc_col="url").join(
+            F.broadcast(winner_ids), "doc_id", "left_semi"
+        )
+        merged = merge_doc_stats(
+            store.read(STATS_TABLE), delta, changed_docs=winner_ids
+        )
+        new_watermarks = winners.select(
+            "doc_id", F.col("_new_ts").alias("warc_ts")
+        )
+        new_doc_ts = (
+            new_watermarks
+            if doc_ts is None
+            else doc_ts.join(
+                F.broadcast(winner_ids), "doc_id", "left_anti"
+            ).unionByName(new_watermarks)
+        )
+        paths_df = spark.createDataFrame(
+            [(p,) for p in sorted(batch_paths)], "path string"
+        )
         store.commit_round(
             store.current_round() + 1,
-            appends={"pages": pages},
-            replaces={STATS_TABLE: merged},
-            extra={"warc_batch_id": batch_id},
+            appends={"pages": pages, "warc_files": paths_df},
+            replaces={STATS_TABLE: merged, "doc_ts": new_doc_ts},
         )
         pages.unpersist()
         latest.unpersist()
@@ -344,9 +374,7 @@ def stream_warc_ingest(
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(warc_dir)
     )
-    drain_stream(
-        parse_warc_files(files), _ingest, f"{state_root}/_warc_stream_checkpoint"
-    )
+    drain_stream(files, _ingest, f"{state_root}/_warc_stream_checkpoint")
     return committed[0]
 
 

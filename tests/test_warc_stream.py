@@ -136,3 +136,19 @@ def test_stream_warc_ingest_matches_batch_rebuild(spark, tmp_path):
     # the ts guard held: no 'stale'/'backfill' terms; /b fully dropped
     assert not any(w in ("stale", "backfill") for _, w, *_ in got3)
     assert not any(d == "http://w.test/b" for d, *_ in got3)
+
+    # exactly-once is FILE-granular: deleting the stream checkpoint (batch
+    # ids restart at 0) and re-draining must commit NOTHING — the warc_files
+    # path ledger, not the batch id, is authoritative
+    import shutil
+
+    shutil.rmtree(tmp_path / "state" / "_warc_stream_checkpoint")
+    n4 = stream_warc_ingest(spark, str(land), state)
+    assert n4 == 0
+    store = SnapshotStore(spark, state)
+    assert store.read("pages").count() == 8  # no double-append
+    got4 = {
+        (r.doc_id, r.word, r.tf, r.max_tf, r.df, round(r.rank, 9))
+        for r in rank_from_stats(store.read(STATS_TABLE)).collect()
+    }
+    assert got4 == want3
