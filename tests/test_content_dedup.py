@@ -126,6 +126,26 @@ def test_content_dedup_matches_oracle(spark, dup_corpus, tmp_path):
         assert o_sha1(f"http://{HOST}/{d}/sub.html") not in want.seen
 
 
+def test_content_dedup_composes_with_follow_redirects(spark, dup_corpus, tmp_path):
+    """Knobs compose: with follow_redirects on, redirect targets become
+    fetchable and their bodies enter the content-seen test like any other
+    parse — seen set still matches the twice-knob-aware oracle."""
+    pages, page_map, seed, _, _ = dup_corpus
+    cfg = CrawlConfig(max_rounds=10, content_dedup=True, follow_redirects=True)
+    store, metrics = run_crawl(spark, pages, [seed], str(tmp_path / "cf"), cfg)
+    want = oracle_crawl(
+        page_map, [seed], max_rounds=10, content_dedup=True, follow_redirects=True
+    )
+    got_seen = {r.url_hash for r in store.read("seen").select("url_hash").collect()}
+    assert got_seen == want.seen
+    assert {r.url for r in parsed_latest(store).select("url").collect()} == set(
+        want.docs
+    )
+    assert len(metrics) == len(want.metrics)
+    for got, exp in zip(metrics, want.metrics):
+        assert got["content_dup"] == exp["content_dup"], got["round"]
+
+
 def test_content_dedup_off_is_parity(spark, dup_corpus, tmp_path):
     """Default config on the same dup-heavy corpus still matches the plain
     oracle exactly — the flag changes nothing unless opted in."""
