@@ -1398,6 +1398,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ann_quantized_topk"] = ann_quantized_topk
 
+    def trustrank_seeds(spark, sf):
+        """TrustRank (Gyöngyi et al., VLDB'04) over the same synthetic link
+        graph as pagerank_5iter with a 10-node trust seed set: teleport
+        lands only on trusted nodes, so spam-like components unreachable
+        from the seeds score exactly 0."""
+        from cis455crawler_spark.operators.pagerank import trustrank
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string")).alias("dst"),
+        )
+        trusted = spark.createDataFrame(
+            [(f"n{i}",) for i in range(10)], "node string"
+        )
+        tr = trustrank(edges, trusted, iterations=5)
+        return tr.select("node", F.round("rank", 6).alias("rank")).orderBy("node")
+
+    q["trustrank_seeds"] = trustrank_seeds
+
     return q
 
 
@@ -1420,6 +1440,34 @@ def _pagerank_ctes(raw_edges_sql: str, iterations: int = 5) -> str:
         r{i} AS (
           SELECT od.src AS node,
                  CAST(COALESCE(0.15 + 0.85 * inc.s, 0.15) AS DOUBLE) AS rank
+          FROM od LEFT JOIN (
+            SELECT e.dst AS dst, SUM(r.rank / od2.outdeg) AS s
+            FROM e JOIN r{i - 1} r ON e.src = r.node
+                   JOIN od od2 ON e.src = od2.src
+            GROUP BY e.dst) inc ON od.src = inc.dst)"""
+    return sql
+
+
+def _trustrank_ctes(raw_edges_sql: str, trusted_sql: str, iterations: int = 5) -> str:
+    """Unrolled CTE chain for TrustRank (operators/pagerank.trustrank):
+    rank0 = 1.0 on trusted srcs else 0; rank = (0.15 if trusted else 0)
+    + 0.85*sum(rank_src/outdeg_src) — on the sink-free distinct edge set.
+    `trusted_sql` must yield one column `node`."""
+    sql = f"""raw AS ({raw_edges_sql}),
+        e AS (SELECT * FROM raw WHERE dst IN (SELECT src FROM raw)),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        tr AS ({trusted_sql}),
+        r0 AS (SELECT src AS node,
+                      CAST(CASE WHEN src IN (SELECT node FROM tr)
+                                THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank
+               FROM od)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        r{i} AS (
+          SELECT od.src AS node,
+                 CAST(CASE WHEN od.src IN (SELECT node FROM tr)
+                           THEN 0.15 ELSE 0.0 END
+                      + 0.85 * COALESCE(inc.s, 0.0) AS DOUBLE) AS rank
           FROM od LEFT JOIN (
             SELECT e.dst AS dst, SUM(r.rank / od2.outdeg) AS s
             FROM e JOIN r{i - 1} r ON e.src = r.node
@@ -1513,6 +1561,17 @@ def oracle_sql() -> dict[str, str]:
     tokens = f"WITH tokens AS ({_TOKENS_SQL})"
     sql = {
         "pagerank_5iter": _pagerank_5iter_sql(5),
+        "trustrank_seeds": (
+            "WITH "
+            + _trustrank_ctes(
+                """SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
+                                   'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst
+                   FROM orders""",
+                "SELECT 'n' || CAST(range AS VARCHAR) AS node FROM range(10)",
+                5,
+            )
+            + "\nSELECT node, ROUND(rank, 6) AS rank FROM r5 ORDER BY node"
+        ),
         "search_serve_e2e": _search_serve_e2e_sql(5),
         "hits_hubs_auth": _hits_sql(
             """SELECT 'n' || CAST(o_custkey % 50 AS VARCHAR) AS src,

@@ -75,6 +75,7 @@ BENCH_QUERIES = [
     "pack_token_spans_gpt",
     "training_pipeline_e2e",
     "ann_quantized_topk",
+    "trustrank_seeds",
 ]
 
 
