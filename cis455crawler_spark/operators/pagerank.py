@@ -40,25 +40,44 @@ def pagerank(
     pages with outlinks after RemoveSinks prefixes rank to adjacency rows)."""
     if drop_sinks:
         edges = remove_sink_edges(edges)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(BASE).alias("base"), F.lit(1.0).alias("rank0"))
+    )
+    return _power_iterate(edges, nodes, iterations, checkpoint_every)
+
+
+def _power_iterate(
+    edges: DataFrame,
+    nodes: DataFrame,
+    iterations: int,
+    checkpoint_every: int,
+) -> DataFrame:
+    """Shared rank recurrence for pagerank()/trustrank(): `nodes` carries
+    (node, base, rank0); rank_{i} = base + DAMPING * Σ(rank_{i-1}/outdeg)
+    over inbound edges; nodes with no inbound keep their base. The one
+    place the sink-free/distinct/outdeg/contribs/checkpoint machinery
+    lives — the two operators differ only in their teleport vector."""
     edges = edges.select("src", "dst").distinct().cache()
-
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
-    ranks = outdeg.select(F.col("src").alias("node"), F.lit(1.0).alias("rank"))
-
+    nodes = nodes.cache()
+    ranks = nodes.select("node", F.col("rank0").alias("rank"))
     for i in range(iterations):
         contribs = (
             edges.join(ranks, edges.src == ranks.node)
             .join(outdeg, "src")
-            .select(F.col("dst").alias("node"), (F.col("rank") / F.col("outdeg")).alias("c"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("outdeg")).alias("c"),
+            )
         )
-        incoming = contribs.groupBy("node").agg(
-            (F.lit(BASE) + F.lit(DAMPING) * F.sum("c")).alias("rank")
-        )
-        # nodes with no inbound contributions keep the teleport base
-        ranks = (
-            outdeg.select(F.col("src").alias("node"))
-            .join(incoming, "node", "left")
-            .select("node", F.coalesce("rank", F.lit(BASE)).alias("rank"))
+        incoming = contribs.groupBy("node").agg(F.sum("c").alias("_in"))
+        ranks = nodes.join(incoming, "node", "left").select(
+            "node",
+            (
+                F.col("base") + F.lit(DAMPING) * F.coalesce("_in", F.lit(0.0))
+            ).alias("rank"),
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()  # cut lineage across iterations
@@ -83,36 +102,24 @@ def trustrank(
     Ranked nodes = all srcs, like pagerank()."""
     if drop_sinks:
         edges = remove_sink_edges(edges)
-    edges = edges.select("src", "dst").distinct().cache()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
-    nodes = outdeg.select(F.col("src").alias("node")).join(
-        F.broadcast(trusted.select(F.col(trusted.columns[0]).alias("node"))
-                    .distinct()
-                    .withColumn("_t", F.lit(True))),
-        "node",
-        "left",
-    ).select("node", F.coalesce("_t", F.lit(False)).alias("_t")).cache()
-    base = F.when(F.col("_t"), F.lit(BASE)).otherwise(F.lit(0.0))
-    ranks = nodes.select(
-        "node", F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank")
-    )
-    for i in range(iterations):
-        contribs = (
-            edges.join(ranks, edges.src == ranks.node)
-            .join(outdeg, "src")
-            .select(
-                F.col("dst").alias("node"),
-                (F.col("rank") / F.col("outdeg")).alias("c"),
-            )
-        )
-        incoming = contribs.groupBy("node").agg(F.sum("c").alias("_in"))
-        ranks = nodes.join(incoming, "node", "left").select(
+    srcs = edges.select(F.col("src").alias("node")).distinct()
+    nodes = (
+        srcs.join(
+            F.broadcast(
+                trusted.select(F.col(trusted.columns[0]).alias("node"))
+                .distinct()
+                .withColumn("_t", F.lit(True))
+            ),
             "node",
-            (base + F.lit(DAMPING) * F.coalesce("_in", F.lit(0.0))).alias("rank"),
+            "left",
         )
-        if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            ranks = ranks.localCheckpoint()
-    return ranks
+        .select(
+            "node",
+            F.when(F.col("_t"), F.lit(BASE)).otherwise(F.lit(0.0)).alias("base"),
+            F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank0"),
+        )
+    )
+    return _power_iterate(edges, nodes, iterations, checkpoint_every)
 
 
 def trustrank_py_oracle(

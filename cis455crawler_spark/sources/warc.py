@@ -185,43 +185,38 @@ _BINARYFILE_SCHEMA = (
 )
 
 
-def parse_warc_files(files: DataFrame, with_path: bool = False) -> DataFrame:
+def parse_warc_files(files: DataFrame) -> DataFrame:
     """binaryFile rows (`content` BINARY = one whole .warc/.warc.gz) ->
-    framed records. Shared by the batch reader and the streaming ingest;
-    bodies never pass through the driver. with_path=True adds a `src_path`
-    column — per-record archive provenance (the streaming ingest dedups on
-    the raw binaryFile `path` column instead, so unread archives are never
-    parsed)."""
+    framed records. Shared by the batch reader and the streaming ingest
+    (which dedups on the raw binaryFile `path` column BEFORE parsing, so
+    already-ingested archives are never gunzipped); bodies never pass
+    through the driver."""
     batch_rows = 256  # bounded Arrow batches: the stream never materializes
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        def flush(recs: list[dict], path: str | None) -> pd.DataFrame:
-            cols = {
-                "url": [r["url"] for r in recs],
-                "warc_ts": [r["warc_ts"] for r in recs],
-                "http_status": [r["http_status"] for r in recs],
-                "content_type": [r["content_type"] for r in recs],
-                "html": [r["body"] for r in recs],
-            }
-            if with_path:
-                cols["src_path"] = [path] * len(recs)
-            return pd.DataFrame(cols)
+        def flush(recs: list[dict]) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "url": [r["url"] for r in recs],
+                    "warc_ts": [r["warc_ts"] for r in recs],
+                    "http_status": [r["http_status"] for r in recs],
+                    "content_type": [r["content_type"] for r in recs],
+                    "html": [r["body"] for r in recs],
+                }
+            )
 
         for pdf in batches:
-            paths = pdf["path"] if with_path else [None] * len(pdf)
-            for blob, path in zip(pdf["content"], paths):
+            for blob in pdf["content"]:
                 pending: list[dict] = []
                 for rec in iter_warc_records(bytes(blob)):
                     pending.append(rec)
                     if len(pending) >= batch_rows:
-                        yield flush(pending, path)
+                        yield flush(pending)
                         pending = []
                 if pending:
-                    yield flush(pending, path)
+                    yield flush(pending)
 
-    keep = ["path", "content"] if with_path else ["content"]
-    schema = _RECORD_SCHEMA + (", src_path string" if with_path else "")
-    return files.select(*keep).mapInPandas(gen, schema=schema)
+    return files.select("content").mapInPandas(gen, schema=_RECORD_SCHEMA)
 
 
 def read_warc(spark: SparkSession, path: str) -> DataFrame:
@@ -292,12 +287,17 @@ def stream_warc_ingest(
         # path column alone, so already-ingested archives are never parsed
         # (and the listing job never gunzips anything). File-granular
         # exactly-once: drop archives some earlier commit already ingested
-        # (replay, or re-drain after checkpoint loss).
+        # (replay, or re-drain after checkpoint loss). The dedup is a
+        # distributed semi-join of the TINY batch-path set against the
+        # ledger — the ever-growing ledger is never collected to the driver.
         batch_paths = {r.path for r in batch.select("path").distinct().collect()}
         ledger = store.read("warc_files")
-        if ledger is not None:
-            seen_paths = {r.path for r in ledger.collect()}
-            batch_paths -= seen_paths
+        if ledger is not None and batch_paths:
+            paths_probe = spark.createDataFrame(
+                [(p,) for p in sorted(batch_paths)], "path string"
+            )
+            dup = paths_probe.join(ledger, "path", "left_semi").collect()
+            batch_paths -= {r.path for r in dup}
         if not batch_paths:
             return
         fresh = batch.filter(F.col("path").isin(*batch_paths))
@@ -321,6 +321,14 @@ def stream_warc_ingest(
             F.col("url").alias("doc_id"), F.col("warc_ts").alias("_new_ts")
         )
         doc_ts = store.read("doc_ts")
+        state = store.read(STATS_TABLE)
+        if state is not None and "warc_ts" in state.columns:
+            # heal a pre-doc_ts state layout (watermarks used to ride inside
+            # the stats rows): split them out once, then drop the column so
+            # the schema matches run_incremental_index's
+            if doc_ts is None:
+                doc_ts = state.groupBy("doc_id").agg(F.max("warc_ts").alias("warc_ts"))
+            state = state.drop("warc_ts")
         if doc_ts is None:
             winners = cand
         else:
@@ -343,9 +351,7 @@ def stream_warc_ingest(
         delta = doc_term_stats(latest, doc_col="url").join(
             F.broadcast(winner_ids), "doc_id", "left_semi"
         )
-        merged = merge_doc_stats(
-            store.read(STATS_TABLE), delta, changed_docs=winner_ids
-        )
+        merged = merge_doc_stats(state, delta, changed_docs=winner_ids)
         new_watermarks = winners.select(
             "doc_id", F.col("_new_ts").alias("warc_ts")
         )
@@ -356,14 +362,21 @@ def stream_warc_ingest(
                 F.broadcast(winner_ids), "doc_id", "left_anti"
             ).unionByName(new_watermarks)
         )
-        paths_df = spark.createDataFrame(
-            [(p,) for p in sorted(batch_paths)], "path string"
-        )
         store.commit_round(
             store.current_round() + 1,
-            appends={"pages": pages, "warc_files": paths_df},
+            appends={"pages": pages},
             replaces={STATS_TABLE: merged, "doc_ts": new_doc_ts},
+            # the few-row path ledger writes driver-side (pyarrow, no Spark
+            # job per tiny table — the metrics/lineage path)
+            small_appends={
+                "warc_files": pd.DataFrame({"path": sorted(batch_paths)})
+            },
         )
+        # the ledger accumulates one small dir per batch: fold it every 64
+        # commits so the per-batch semi-join scans a handful of files, not
+        # O(batches) of them
+        if store.current_round() % 64 == 0:
+            store.compact("warc_files")
         pages.unpersist()
         latest.unpersist()
         committed[0] += 1

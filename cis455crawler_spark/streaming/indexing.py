@@ -135,8 +135,10 @@ def drain_stream(records: DataFrame, ingest_fn, checkpoint_dir: str) -> int:
     """Shared AvailableNow drain: foreachBatch(ingest_fn) until the source
     is exhausted, checkpointed so a later call resumes past drained input.
     Returns micro-batches DELIVERED (foreachBatch is at-least-once — an
-    ingest_fn whose effects append must dedupe replays itself, e.g. by
-    recording batch_id; see sources/warc.stream_warc_ingest)."""
+    ingest_fn whose effects append must dedupe replays itself, e.g. via a
+    committed input ledger like sources/warc.stream_warc_ingest's
+    warc_files path table; a pure replace-merge like run_incremental_index
+    is naturally idempotent)."""
     n = [0]
 
     def _body(batch: DataFrame, batch_id: int) -> None:

@@ -66,6 +66,22 @@ def test_quantized_topk_recall(spark, emb):
             assert round(r.cosine, 9) == e_scores[(r.q_id, r.vec_id)]
 
 
+def test_prequantized_input_identical(spark, emb):
+    """The persisted-quantized fast path (the 4x-scan-saving contract):
+    passing quantize_embeddings(vectors) explicitly yields EXACTLY the
+    inline path's output."""
+    queries = emb.filter(F.col("vec_id").isin(1, 2)).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    qz = quantize_embeddings(emb).cache()
+    inline = cosine_topk_quantized(emb, queries, k=5).collect()
+    pre = cosine_topk_quantized(emb, queries, k=5, quantized=qz).collect()
+    assert sorted(((r.q_id, r.rn, r.vec_id, round(r.cosine, 9)) for r in pre)) == sorted(
+        ((r.q_id, r.rn, r.vec_id, round(r.cosine, 9)) for r in inline)
+    )
+    qz.unpersist()
+
+
 def test_quantized_zero_vector(spark):
     rows = [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])]
     df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
