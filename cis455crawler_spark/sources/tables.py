@@ -76,6 +76,9 @@ class SnapshotStore:
             if not eligible:
                 return None
             dirs = snaps[str(max(eligible))].get(table, [])
+        return self._read_dirs(dirs)
+
+    def _read_dirs(self, dirs: list[str]) -> DataFrame | None:
         paths = [os.path.join(self.root, d) for d in dirs]
         paths = [p for p in paths if os.path.exists(p)]
         # a 0-row write can leave a dir with only _SUCCESS (no part files,
@@ -96,6 +99,50 @@ class SnapshotStore:
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
+
+    def _dirs_as_of(self, table: str, round_no: int) -> list[str] | None:
+        """Table dir list at the newest retained snapshot <= round_no. None
+        when no snapshot that old is retained OR the table was scrubbed from
+        it (a later compact() deleted dirs it referenced) — either way the
+        table's state at that round is no longer reconstructible."""
+        snaps = self.manifest().get("snapshots", {})
+        eligible = [int(r) for r in snaps if int(r) <= round_no]
+        if not eligible:
+            return None
+        return snaps[str(max(eligible))].get(table)
+
+    def read_appends_between(
+        self, table: str, from_round: int, to_round: int
+    ) -> DataFrame | None:
+        """Incremental read (the Iceberg incremental-scan / changelog shape):
+        ONLY the data appended to an append-table by the snapshots in
+        (from_round, to_round] — a downstream consumer ingests each round's
+        delta reading O(delta) bytes, never rescanning the table. Returns
+        None when nothing was appended in the window.
+
+        Raises on a replaced/compacted table in the window (frontier-style
+        replacement or a compact() rewrite makes the dir-diff meaningless;
+        Iceberg's incremental read refuses across REPLACE snapshots the
+        same way) and when either endpoint's snapshot is no longer retained
+        (expire_snapshots pruned it) — incremental consumers must read
+        deltas before expiry."""
+        base = self._dirs_as_of(table, from_round)
+        target = self._dirs_as_of(table, to_round)
+        if base is None or target is None:
+            raise ValueError(
+                f"table {table!r} is not reconstructible at rounds "
+                f"{from_round}/{to_round} — snapshot expired, or compacted "
+                "dirs scrubbed it; incremental reads need both endpoints "
+                "retained"
+            )
+        missing = [d for d in base if d not in target]
+        if missing:
+            raise ValueError(
+                f"table {table!r} was replaced/compacted between rounds "
+                f"{from_round} and {to_round}; the append delta is undefined"
+            )
+        delta = [d for d in target if d not in base]
+        return self._read_dirs(delta)
 
     # -- commit -----------------------------------------------------------
     def begin_commit(
