@@ -51,18 +51,46 @@ def test_incremental_parsed_window(spark, crawled):
     assert n == metrics[1]["parsed_pages"]
 
 
-def test_incremental_refuses_replaced_table(spark, crawled):
+def test_incremental_from_before_first_append(spark, crawled):
+    """A window opening BEFORE the table's first append is the natural
+    'everything so far' call: base is provably empty (append dirs carry
+    their round), not an error."""
     store, metrics = crawled
-    with pytest.raises(ValueError, match="replaced|compacted"):
-        store.read_appends_between("frontier", metrics[0]["round"], metrics[-1]["round"])
+    r_hi = metrics[-1]["round"]
+    d = store.read_appends_between("seen", 0, r_hi)
+    full = {r.url_hash for r in store.read("seen", as_of_round=r_hi).collect()}
+    assert {r.url_hash for r in d.select("url_hash").collect()} == full
+    # a table that never existed: no appends, not an error
+    assert store.read_appends_between("no_such_table", 0, r_hi) is None
 
 
-def test_incremental_refuses_after_compaction(spark, crawled):
+def test_incremental_refuses_bad_windows(spark, crawled):
     store, metrics = crawled
-    store.compact("seen", partition_cols=["bucket"])
-    # the compaction commits a NEW snapshot whose dir set drops the old
-    # deltas: a window crossing it must refuse
+    r = metrics[0]["round"]
     with pytest.raises(ValueError, match="replaced|compacted"):
-        store.read_appends_between(
-            "seen", metrics[0]["round"], store.current_round()
+        store.read_appends_between("frontier", r, metrics[-1]["round"])
+    with pytest.raises(ValueError, match="inverted"):
+        store.read_appends_between("seen", metrics[-1]["round"], r)
+    # a consumer must not checkpoint a watermark beyond the committed round
+    with pytest.raises(ValueError, match="beyond the committed round"):
+        store.read_appends_between("seen", r, store.current_round() + 50)
+
+
+def test_incremental_refuses_after_compaction(spark, crawled, tmp_path):
+    import shutil
+
+    from cis455crawler_spark.sources.tables import SnapshotStore
+
+    # compact a COPY: the shared fixture store must stay append-pure for
+    # the other tests regardless of execution order
+    store, metrics = crawled
+    copy = str(tmp_path / "copy")
+    shutil.copytree(store.root, copy)
+    store2 = SnapshotStore(spark, copy)
+    store2.compact("seen", partition_cols=["bucket"])
+    # the compaction scrubs the old deltas from every snapshot: a window
+    # crossing it must refuse
+    with pytest.raises(ValueError, match="compact|scrubbed"):
+        store2.read_appends_between(
+            "seen", metrics[0]["round"], store2.current_round()
         )
