@@ -1418,6 +1418,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["trustrank_seeds"] = trustrank_seeds
 
+    def degree_distribution(spark, sf):
+        """Web-graph degree analytics over the synthetic link graph: in/out
+        degree per node -> degree histogram (the log-log power-law plot's
+        input). Two partial+final aggs, no joins on the big side."""
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string")).alias("dst"),
+        ).distinct()
+        outd = edges.groupBy("src").agg(F.count("*").alias("deg")).select(
+            F.lit("out").alias("side"), "deg"
+        )
+        ind = edges.groupBy("dst").agg(F.count("*").alias("deg")).select(
+            F.lit("in").alias("side"), "deg"
+        )
+        return (
+            outd.unionByName(ind)
+            .groupBy("side", "deg")
+            .agg(F.count("*").alias("n_nodes"))
+            .orderBy("side", "deg")
+        )
+
+    q["degree_distribution"] = degree_distribution
+
     return q
 
 
@@ -1561,6 +1585,20 @@ def oracle_sql() -> dict[str, str]:
     tokens = f"WITH tokens AS ({_TOKENS_SQL})"
     sql = {
         "pagerank_5iter": _pagerank_5iter_sql(5),
+        "degree_distribution": """
+            WITH e AS (
+              SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
+                              'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst
+              FROM orders),
+            d AS (
+              SELECT 'out' AS side, deg FROM (
+                SELECT src, COUNT(*) AS deg FROM e GROUP BY src)
+              UNION ALL
+              SELECT 'in' AS side, deg FROM (
+                SELECT dst, COUNT(*) AS deg FROM e GROUP BY dst))
+            SELECT side, deg, COUNT(*) AS n_nodes
+            FROM d GROUP BY side, deg ORDER BY side, deg
+        """,
         "trustrank_seeds": (
             "WITH "
             + _trustrank_ctes(
