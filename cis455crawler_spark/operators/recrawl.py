@@ -94,3 +94,28 @@ def recrawl_frontier(
         .limit(budget)
         .select("url")
     )
+
+
+def lastmod_stale(parsed_latest: DataFrame, hints: DataFrame) -> DataFrame:
+    """(url, stored_ts, lastmod) — URLs whose sitemap <lastmod> is NEWER
+    than the stored capture: the sitemap-driven refresh queue (the hint
+    Googlebot-style crawlers honor, and the complement to the
+    Cho–García-Molina estimator above — lastmod is the SITE's change claim,
+    change_rate the crawler's own observation; feed these urls ahead of the
+    estimated frontier and let the 304 path arbitrate a lying sitemap).
+
+    `hints` is expand_sitemaps output (seed_url, ..., lastmod) — NULL
+    lastmods drop; a url listed by several sitemaps takes its max lastmod.
+    One groupBy over the small sitemap set + one join on the parsed MERGE
+    view's own key: O(sitemap entries), not O(corpus)."""
+    h = (
+        hints.where(F.col("lastmod").isNotNull())
+        .groupBy(F.col("seed_url").alias("url"))
+        .agg(F.max("lastmod").alias("lastmod"))
+    )
+    return (
+        parsed_latest.select("url", F.col("warc_ts").alias("stored_ts"))
+        .join(h, "url")
+        .where(F.col("lastmod") > F.col("stored_ts"))
+        .select("url", "stored_ts", "lastmod")
+    )

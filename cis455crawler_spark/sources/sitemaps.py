@@ -28,6 +28,12 @@ from pyspark.sql import types as T
 
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.IGNORECASE)
+# per-entry blocks so <lastmod> pairs with ITS <loc> (a flat findall would
+# misalign the two lists when only some entries carry lastmod)
+_ENTRY_RE = re.compile(
+    r"<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>", re.IGNORECASE | re.DOTALL
+)
+_LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.IGNORECASE | re.DOTALL)
 # order matters: '&amp;' must decode LAST or '&amp;lt;' (a literal '&lt;' in
 # the URL) would double-decode to '<'
 _ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"), ("&amp;", "&")]
@@ -44,18 +50,36 @@ def _decode_loc(loc: str) -> str:
         [
             T.StructField("is_index", T.BooleanType()),
             T.StructField("locs", T.ArrayType(T.StringType())),
+            T.StructField("lastmods", T.ArrayType(T.StringType())),
         ]
     )
 )
 def parse_sitemap_udf(body: pd.Series) -> pd.DataFrame:
-    is_index, locs = [], []
+    """Per file: is_index flag + aligned (locs, lastmods) — lastmod is the
+    entry's <lastmod> ISO string or None. Entry-block parsing keeps the
+    pairing; files without <url>/<sitemap> wrappers fall back to the flat
+    loc scan (all lastmods None), preserving the old tolerance."""
+    is_index, locs, lastmods = [], [], []
     for b in body:
         text = (
             b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
         )
         is_index.append(bool(_INDEX_RE.search(text)))
-        locs.append([_decode_loc(m) for m in _LOC_RE.findall(text)])
-    return pd.DataFrame({"is_index": is_index, "locs": locs})
+        ls: list[str] = []
+        ms: list[str | None] = []
+        for block in _ENTRY_RE.findall(text):
+            lm = _LOC_RE.search(block)
+            if not lm:
+                continue
+            ls.append(_decode_loc(lm.group(1)))
+            mm = _LASTMOD_RE.search(block)
+            ms.append(mm.group(1) if mm else None)
+        if not ls:  # wrapper-less/malformed file: old flat behavior
+            ls = [_decode_loc(m) for m in _LOC_RE.findall(text)]
+            ms = [None] * len(ls)
+        locs.append(ls)
+        lastmods.append(ms)
+    return pd.DataFrame({"is_index": is_index, "locs": locs, "lastmods": lastmods})
 
 
 def default_sitemap_urls(robots_df: DataFrame) -> DataFrame:
@@ -89,9 +113,11 @@ def expand_sitemaps(
     by urlset files accumulate. Missing sitemap files (no pages row) are
     skipped silently — the conventional /sitemap.xml probe usually 404s.
 
-    Returns (seed_url STRING, sitemap_url STRING) distinct: each discovered
-    URL with the sitemap file that listed it (per-partition lineage for the
-    frontier, same spirit as the crawl's lineage table)."""
+    Returns (seed_url STRING, sitemap_url STRING, lastmod TIMESTAMP)
+    distinct: each discovered URL with the sitemap file that listed it
+    (per-partition lineage for the frontier, same spirit as the crawl's
+    lineage table) and the entry's <lastmod> when present (NULL otherwise) —
+    the refresh hint operators/recrawl.lastmod_stale consumes."""
     frontier = sitemap_urls.select("url").distinct()
     visited = frontier
     seeds: DataFrame | None = None
@@ -104,12 +130,21 @@ def expand_sitemaps(
             "url",
             F.col("_p.is_index").alias("is_index"),
             F.col("_p.locs").alias("locs"),
+            F.col("_p.lastmods").alias("lastmods"),
         )
         level_seeds = (
             parsed.where(~F.col("is_index"))
-            .select(F.col("url").alias("sitemap_url"), F.explode("locs").alias("seed_url"))
+            .select(
+                F.col("url").alias("sitemap_url"),
+                F.explode(F.arrays_zip("locs", "lastmods")).alias("_e"),
+            )
+            .select(
+                F.col("_e.locs").alias("seed_url"),
+                "sitemap_url",
+                F.to_timestamp(F.col("_e.lastmods")).alias("lastmod"),
+            )
             .where(F.col("seed_url") != "")  # '<loc></loc>' must not seed ''
-            .select("seed_url", "sitemap_url")
+            .select("seed_url", "sitemap_url", "lastmod")
         )
         seeds = level_seeds if seeds is None else seeds.unionByName(level_seeds)
         children = (
@@ -127,4 +162,5 @@ def expand_sitemaps(
     return seeds.distinct() if seeds is not None else sitemap_urls.select(
         F.lit(None).cast("string").alias("seed_url"),
         F.lit(None).cast("string").alias("sitemap_url"),
+        F.lit(None).cast("timestamp").alias("lastmod"),
     ).where(F.lit(False))

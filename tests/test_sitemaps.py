@@ -132,7 +132,7 @@ def test_expand_sitemaps_no_hits_is_empty(spark):
     starts = spark.createDataFrame([("http://gone/sitemap.xml",)], "url string")
     out = expand_sitemaps(pages, starts, max_depth=3)
     assert out.count() == 0
-    assert out.columns == ["seed_url", "sitemap_url"]
+    assert out.columns == ["seed_url", "sitemap_url", "lastmod"]
 
 
 def test_crawl_seed_from_sitemaps_matches_oracle(spark):
