@@ -107,7 +107,13 @@ def lastmod_stale(parsed_latest: DataFrame, hints: DataFrame) -> DataFrame:
     `hints` is expand_sitemaps output (seed_url, ..., lastmod) — NULL
     lastmods drop; a url listed by several sitemaps takes its max lastmod.
     One groupBy over the small sitemap set + one join on the parsed MERGE
-    view's own key: O(sitemap entries), not O(corpus)."""
+    view's own key: O(sitemap entries), not O(corpus).
+
+    Granularity caveat: date-only lastmods (the common form) parse to
+    midnight, so a change claimed for the CAPTURE day itself compares
+    lastmod < stored_ts and is not queued — >= would re-queue such pages on
+    every cycle forever (the hint never advances). Same-day changes are the
+    Cho–García-Molina estimator's and the 304 path's job."""
     h = (
         hints.where(F.col("lastmod").isNotNull())
         .groupBy(F.col("seed_url").alias("url"))

@@ -29,9 +29,13 @@ from pyspark.sql import types as T
 _LOC_RE = re.compile(r"<loc>\s*(.*?)\s*</loc>", re.IGNORECASE | re.DOTALL)
 _INDEX_RE = re.compile(r"<\s*sitemapindex[\s>]", re.IGNORECASE)
 # per-entry blocks so <lastmod> pairs with ITS <loc> (a flat findall would
-# misalign the two lists when only some entries carry lastmod)
+# misalign the two lists when only some entries carry lastmod). Tempered:
+# a block may not contain another <url>/<sitemap> OPEN tag, so an unclosed
+# entry can never swallow its well-formed neighbors (their lastmods would
+# mis-attribute); locs the blocks don't cover are recovered by a flat scan.
 _ENTRY_RE = re.compile(
-    r"<(?:url|sitemap)\b[^>]*>(.*?)</(?:url|sitemap)>", re.IGNORECASE | re.DOTALL
+    r"<(?:url|sitemap)\b[^>]*>((?:(?!<(?:url|sitemap)\b).)*?)</(?:url|sitemap)>",
+    re.IGNORECASE | re.DOTALL,
 )
 _LASTMOD_RE = re.compile(r"<lastmod>\s*(.*?)\s*</lastmod>", re.IGNORECASE | re.DOTALL)
 # order matters: '&amp;' must decode LAST or '&amp;lt;' (a literal '&lt;' in
@@ -57,28 +61,40 @@ def _decode_loc(loc: str) -> str:
 def parse_sitemap_udf(body: pd.Series) -> pd.DataFrame:
     """Per file: is_index flag + aligned (locs, lastmods) — lastmod is the
     entry's <lastmod> ISO string or None. Entry-block parsing keeps the
-    pairing; files without <url>/<sitemap> wrappers fall back to the flat
-    loc scan (all lastmods None), preserving the old tolerance."""
+    pairing; any <loc> the blocks don't cover (wrapper-less entries, an
+    unclosed <url> tag, a whole file without wrappers) is recovered by a
+    flat scan with lastmod None — the pre-lastmod parser's full tolerance,
+    in document order."""
     is_index, locs, lastmods = [], [], []
     for b in body:
         text = (
             b.decode("utf-8", "replace") if isinstance(b, (bytes, bytearray)) else (b or "")
         )
         is_index.append(bool(_INDEX_RE.search(text)))
-        ls: list[str] = []
-        ms: list[str | None] = []
-        for block in _ENTRY_RE.findall(text):
+        # (position, loc, lastmod) from well-formed entry blocks
+        found: list[tuple[int, str, str | None]] = []
+        spans: list[tuple[int, int]] = []
+        for bm in _ENTRY_RE.finditer(text):
+            block = bm.group(1)
             lm = _LOC_RE.search(block)
             if not lm:
                 continue
-            ls.append(_decode_loc(lm.group(1)))
             mm = _LASTMOD_RE.search(block)
-            ms.append(mm.group(1) if mm else None)
-        if not ls:  # wrapper-less/malformed file: old flat behavior
-            ls = [_decode_loc(m) for m in _LOC_RE.findall(text)]
-            ms = [None] * len(ls)
-        locs.append(ls)
-        lastmods.append(ms)
+            found.append(
+                (
+                    bm.start(1) + lm.start(),
+                    _decode_loc(lm.group(1)),
+                    mm.group(1) if mm else None,
+                )
+            )
+            spans.append(bm.span())
+        # flat scan recovers locs outside every matched block (no hint)
+        for fm in _LOC_RE.finditer(text):
+            if not any(a <= fm.start() < b_ for a, b_ in spans):
+                found.append((fm.start(), _decode_loc(fm.group(1)), None))
+        found.sort(key=lambda t: t[0])
+        locs.append([t[1] for t in found])
+        lastmods.append([t[2] for t in found])
     return pd.DataFrame({"is_index": is_index, "locs": locs, "lastmods": lastmods})
 
 
@@ -141,10 +157,13 @@ def expand_sitemaps(
             .select(
                 F.col("_e.locs").alias("seed_url"),
                 "sitemap_url",
-                F.to_timestamp(F.col("_e.lastmods")).alias("lastmod"),
+                # try_to_timestamp, NOT to_timestamp: lastmod is a
+                # site-controlled string and Spark 4 ANSI would abort the
+                # whole seeding job on one malformed value — dirty hints
+                # degrade to NULL (no hint), never to a crash
+                F.try_to_timestamp(F.col("_e.lastmods")).alias("lastmod"),
             )
             .where(F.col("seed_url") != "")  # '<loc></loc>' must not seed ''
-            .select("seed_url", "sitemap_url", "lastmod")
         )
         seeds = level_seeds if seeds is None else seeds.unionByName(level_seeds)
         children = (

@@ -48,6 +48,28 @@ def test_lastmod_carried_and_aligned(spark):
     assert out["http://h.test/unknown"] == datetime(2013, 6, 1)
 
 
+def test_lastmod_tolerates_malformation(spark):
+    """Dirty real-world sitemaps must degrade, never crash or mis-pair:
+    a junk lastmod becomes NULL (ANSI try_to_timestamp); an UNCLOSED <url>
+    loses nothing downstream of it; a bare <loc> outside any wrapper still
+    seeds (the pre-lastmod tolerance)."""
+    body = (
+        "<urlset>"
+        "<url><loc>http://h.test/junkdate</loc><lastmod>Mon, garbage</lastmod></url>"
+        "<url><loc>http://h.test/open</loc>"  # unclosed entry
+        "<url><loc>http://h.test/after</loc><lastmod>2013-04-01</lastmod></url>"
+        "<loc>http://h.test/bare</loc>"
+        "</urlset>"
+    )
+    pages = _pages(spark, {"http://h.test/sm.xml": body.encode()})
+    starts = spark.createDataFrame([("http://h.test/sm.xml",)], "url string")
+    out = {r.seed_url: r.lastmod for r in expand_sitemaps(pages, starts).collect()}
+    assert out["http://h.test/junkdate"] is None  # degraded, not crashed
+    assert out["http://h.test/after"] == datetime(2013, 4, 1)  # right owner
+    assert "http://h.test/open" in out and out["http://h.test/open"] is None
+    assert "http://h.test/bare" in out  # wrapper-less entries still seed
+
+
 def test_lastmod_stale_queue(spark):
     pages = _pages(spark, {"http://h.test/sm.xml": SM.encode()})
     starts = spark.createDataFrame([("http://h.test/sm.xml",)], "url string")
