@@ -1442,6 +1442,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_distribution"] = degree_distribution
 
+    def sitemap_lastmod_hints(spark, sf):
+        """Sitemap parse kernel end-to-end on synthesized urlset XML: one
+        <url> entry per document (every third entry carries a <lastmod>,
+        one in nine a junk date that must degrade to NULL, never crash the
+        ANSI pipeline), expanded through the real expand_sitemaps path."""
+        from cis455crawler_spark.sources.sitemaps import expand_sitemaps
+
+        docs = _load(spark, sf, "documents").select("doc_id")
+        entry = F.concat(
+            F.lit("<url><loc>http://sm.test/p"),
+            F.col("doc_id").cast("string"),
+            F.lit("</loc>"),
+            F.when(
+                F.col("doc_id") % 9 == 3, F.lit("<lastmod>garbage</lastmod>")
+            )
+            .when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit("<lastmod>2013-0"),
+                    (F.col("doc_id") % 9 + 1).cast("string"),
+                    F.lit("-01</lastmod>"),
+                ),
+            )
+            .otherwise(F.lit("")),
+            F.lit("</url>"),
+        )
+        xml = F.concat(
+            F.lit("<urlset>"), F.col("entry"), F.lit("</urlset>")
+        )
+        pages = docs.select(
+            F.concat(F.lit("http://sm.test/map"), F.col("doc_id").cast("string"), F.lit(".xml")).alias("url"),
+            entry.alias("entry"),
+        ).select("url", xml.cast("binary").alias("html"))
+        starts = pages.select("url")
+        out = expand_sitemaps(pages, starts, max_depth=1)
+        return out.select("seed_url", "sitemap_url", "lastmod").orderBy("seed_url")
+
+    q["sitemap_lastmod_hints"] = sitemap_lastmod_hints
+
     return q
 
 
@@ -1585,6 +1624,17 @@ def oracle_sql() -> dict[str, str]:
     tokens = f"WITH tokens AS ({_TOKENS_SQL})"
     sql = {
         "pagerank_5iter": _pagerank_5iter_sql(5),
+        "sitemap_lastmod_hints": """
+            SELECT 'http://sm.test/p' || CAST(doc_id AS VARCHAR) AS seed_url,
+                   'http://sm.test/map' || CAST(doc_id AS VARCHAR) || '.xml'
+                     AS sitemap_url,
+                   CASE WHEN doc_id % 9 = 3 THEN NULL  -- junk date -> NULL
+                        WHEN doc_id % 3 = 0 THEN
+                          CAST('2013-0' || CAST(doc_id % 9 + 1 AS VARCHAR)
+                               || '-01' AS TIMESTAMP)
+                        ELSE NULL END AS lastmod
+            FROM documents ORDER BY seed_url
+        """,
         "degree_distribution": """
             WITH e AS (
               SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
