@@ -23,7 +23,7 @@ spans); these extend the engine for LLM-corpus curation per SURVEY.md §6.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import shingles, tokenize
@@ -63,19 +63,26 @@ def duplicate_span_stats(
     document's `span`-token windows occur more than once in the whole
     corpus (including same-document repeats).
 
-    Shape: window count over fp (one shuffle), then groupBy id (second
-    shuffle, map-side combinable). No joins, no O(n^2) pair generation —
-    the cost is linear in total tokens either way, and a span repeated a
-    million times (boilerplate) is just a hot window partition that AQE
-    splits."""
+    Shape (skew-proof, VERDICT r3 #3): pre-aggregate to (id, fp) counts —
+    map-side partial aggregation collapses same-document boilerplate
+    repeats BEFORE the shuffle — then groupBy(fp) for corpus totals
+    (again map-side combinable: a span repeated 10^8 times arrives at the
+    reduce task as one partial row per map task, not 10^8 rows), and one
+    equi-join back on fp whose residual skew AQE's skew-join splits.
+    The earlier Window.partitionBy("fp") put every occurrence of a hot
+    fingerprint in ONE task — AQE splits skewed joins, not window
+    partitions — so a boilerplate span was a guaranteed straggler."""
     fps = span_fingerprints(df, text_col, id_col, span, digest)
-    w = Window.partitionBy("fp")
-    tagged = fps.withColumn("n_fp", F.count("*").over(w))
+    per_doc = fps.groupBy("id", "fp").agg(F.count("*").alias("n_in_doc"))
+    totals = per_doc.groupBy("fp").agg(F.sum("n_in_doc").alias("n_fp"))
+    tagged = per_doc.join(totals, "fp")
     return (
         tagged.groupBy("id")
         .agg(
-            F.count("*").alias("n_spans"),
-            F.sum(F.when(F.col("n_fp") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+            F.sum("n_in_doc").alias("n_spans"),
+            F.sum(
+                F.when(F.col("n_fp") > 1, F.col("n_in_doc")).otherwise(0)
+            ).alias("n_dup_spans"),
         )
         .select(
             F.col("id").alias(id_col),

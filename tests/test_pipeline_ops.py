@@ -704,9 +704,15 @@ def test_duplicate_spans_and_decontaminate(spark):
         expect[t[0]] = (len(sp), dup)
 
     df = spark.createDataFrame(docs, ["doc_id", "text"])
+    stats_df = duplicate_span_stats(df, span=span)
+    # skew-proof shape (VERDICT r3 #3): corpus totals come from a map-side
+    # combinable aggregate + AQE-splittable join, never Window.partitionBy(fp)
+    # (a boilerplate span repeated 10^8 times would land in ONE window task)
+    plan = stats_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Window" not in plan, plan
     got = {
         r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
-        for r in duplicate_span_stats(df, span=span).collect()
+        for r in stats_df.collect()
     }
     assert got == expect
     # docs 1 and 2 share the planted span; doc 3 self-duplicates; 4/5 clean
