@@ -460,15 +460,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         from cis455crawler_spark.operators.cuckoo import (
             anti_join_seen_cuckoo,
             build_cuckoo_sidecar,
-            merge_cuckoo_rows,
         )
 
         d = _doc_urls(spark, sf).withColumn("url_hash", F.md5("url"))
         seen = d.filter(F.col("doc_id") % 5 == 0).select("url_hash")
         sidecar = build_cuckoo_sidecar(seen, num_buckets=8, capacity_per_bucket=4096)
-        bc = spark.sparkContext.broadcast(merge_cuckoo_rows(sidecar.collect()))
         return (
-            anti_join_seen_cuckoo(d, seen, bc, num_buckets=8)
+            anti_join_seen_cuckoo(d, seen, sidecar, num_buckets=8)
             .select("doc_id", "url")
             .orderBy("doc_id")
         )

@@ -377,31 +377,12 @@ class SnapshotStore:
         old_dirs = tables.pop(table)
         self._swap_tables(tables, old_dirs)
 
-    def replace_small(self, table: str, pdf) -> None:
-        """Replace a table's dirs with one driver-written parquet (used to
-        rewrite the bloom sidecar pre-OR-merged at compaction)."""
-        import pyarrow as pa
-        import pyarrow.parquet as pq
-
-        m = self.manifest()
-        old_dirs = list(m["tables"].get(table, []))
-        rel = f"{table}/compact_{uuid.uuid4().hex[:8]}"
-        d = os.path.join(self.root, rel)
-        os.makedirs(d, exist_ok=True)
-        pq.write_table(
-            pa.Table.from_pandas(pdf, preserve_index=False),
-            os.path.join(d, "part-0.parquet"),
-        )
-        tables = dict(m["tables"])
-        tables[table] = [rel]
-        self._swap_tables(tables, old_dirs)
-
-    def compact(self, table: str, partition_cols: list[str] | None = None) -> None:
-        """Rewrite an append-table's many delta dirs into one (Iceberg
-        rewrite_data_files). Commits a new manifest; old dirs removed after."""
-        df = self.read(table)
-        if df is None:
-            return
+    def replace_with(
+        self, table: str, df: DataFrame, partition_cols: list[str] | None = None
+    ) -> None:
+        """Replace a table's dirs with one Spark-written rewrite of `df`
+        (used to swap in the distributed OR-merged bloom sidecar at
+        compaction — the bitmaps never pass through the driver)."""
         m = self.manifest()
         old_dirs = list(m["tables"].get(table, []))
         rel = f"{table}/compact_{uuid.uuid4().hex[:8]}"
@@ -412,3 +393,11 @@ class SnapshotStore:
         tables = dict(m["tables"])
         tables[table] = [rel]
         self._swap_tables(tables, old_dirs)
+
+    def compact(self, table: str, partition_cols: list[str] | None = None) -> None:
+        """Rewrite an append-table's many delta dirs into one (Iceberg
+        rewrite_data_files). Commits a new manifest; old dirs removed after."""
+        df = self.read(table)
+        if df is None:
+            return
+        self.replace_with(table, df, partition_cols)

@@ -137,14 +137,12 @@ def test_spark_anti_join_exactness(spark, capacity):
     seen = cand.filter(F.col("url_hash").substr(40, 1).isin(*"0123456789")).select(
         "url_hash"
     )
-    sidecar = build_cuckoo_sidecar(seen, num_buckets, capacity).collect()
-    merged = merge_cuckoo_rows(sidecar)
+    sidecar = build_cuckoo_sidecar(seen, num_buckets, capacity)
     if capacity == 8:
+        merged = merge_cuckoo_rows(sidecar.collect())
         assert any(e["saturated"] for e in merged.values())
-    bc = spark.sparkContext.broadcast(merged)
-    got = anti_join_seen_cuckoo(cand, seen, bc, num_buckets)
+    got = anti_join_seen_cuckoo(cand, seen, sidecar, num_buckets)
     want = cand.join(seen, "url_hash", "left_anti")
     assert sorted(r["url"] for r in got.collect()) == sorted(
         r["url"] for r in want.collect()
     )
-    bc.unpersist()
