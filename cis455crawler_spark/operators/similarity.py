@@ -188,6 +188,34 @@ def assign_centroid(df: DataFrame, centroids: np.ndarray, vec_col: str = "embedd
     return nearest(F.col(vec_col))
 
 
+def assign_centroids_topn(
+    df: DataFrame, centroids: np.ndarray, vec_col: str, nprobe: int
+):
+    """ARRAY<INT> of the `nprobe` nearest centroid ids (squared-L2 order,
+    ties to the lower index) — the distributed query-probe path (VERDICT r3
+    #4). Same broadcast-matmul shape as assign_centroid's large-k path: one
+    X @ C.T per Arrow batch against the broadcast centroid matrix; the
+    query set itself never funnels through the driver, so a corpus-sized
+    query table (all-pairs ANN dedup) probes at scan parallelism."""
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(centroids, dtype=np.float64)
+    )
+    n_probe = int(min(nprobe, len(centroids)))
+
+    @F.pandas_udf("array<int>")
+    def topn(v: pd.Series) -> pd.Series:
+        c = bc.value
+        c_norms = (c * c).sum(axis=1)
+        x = np.array(v.tolist(), dtype=np.float64)
+        # ||x-c||^2 ordering via ||c||^2 - 2 x.c (||x||^2 constant per row);
+        # stable sort -> deterministic lower-index tie-break
+        d = c_norms[None, :] - 2.0 * (x @ c.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    return topn(F.col(vec_col))
+
+
 def cosine_topk_ivf(
     vectors: DataFrame,
     queries: DataFrame,
@@ -198,26 +226,28 @@ def cosine_topk_ivf(
     vec_col: str = "embedding",
     q_id_col: str = "q_id",
     q_vec_col: str = "q_vec",
+    broadcast_queries: bool = True,
 ) -> DataFrame:
     """Approximate top-k: probe only the nprobe nearest centroid partitions
     per query. At scale the vector table is stored partitioned by `cell` so
-    each query touches nprobe partitions (partition pruning)."""
+    each query touches nprobe partitions (partition pruning).
+
+    The query->cells assignment runs distributed (assign_centroids_topn);
+    nothing query-sized is materialized on the driver. broadcast_queries
+    keeps the probe side broadcast for serving-sized query batches — pass
+    False when the query set is itself a corpus and should shuffle-join on
+    cell instead (AQE picks the strategy)."""
     v = vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     v = v.withColumn("cell", assign_centroid(v, centroids, "v")).withColumn(
         "nv", _norm(F.col("v"))
     )
-    qp = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv")).toPandas()
-    probes = []
-    for _, row in qp.iterrows():
-        qv = np.asarray(row["qv"], dtype=np.float64)
-        d = ((centroids - qv) ** 2).sum(1)
-        for c in np.argsort(d)[:nprobe]:
-            probes.append((row["q_id"], int(c), [float(x) for x in qv]))
-    spark = vectors.sparkSession
-    probe_df = spark.createDataFrame(
-        probes, "q_id long, cell int, qv array<double>"
+    q = queries.select(F.col(q_id_col).alias("q_id"), F.col(q_vec_col).alias("qv"))
+    probe_df = q.withColumn(
+        "cell", F.explode(assign_centroids_topn(q, centroids, "qv", nprobe))
     ).withColumn("nq", _norm(F.col("qv")))
-    scored = v.join(F.broadcast(probe_df), "cell").withColumn(
+    if broadcast_queries:
+        probe_df = F.broadcast(probe_df)
+    scored = v.join(probe_df, "cell").withColumn(
         "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
