@@ -1850,18 +1850,25 @@ def oracle_sql() -> dict[str, str]:
                           || ' from 10.0.' || CAST(doc_id % 200 AS VARCHAR)
                           || '.' || CAST((doc_id * 7) % 250 AS VARCHAR) AS text
               FROM documents)
+            -- sequential count-then-redact (ADVICE r3): each count runs on
+            -- the text AFTER the earlier types were replaced, matching the
+            -- engine's pii_counts exactly
+            , r1 AS (SELECT doc_id, text, regexp_replace(text,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '[EMAIL]', 'g') AS t1 FROM planted),
+            r2 AS (SELECT *, regexp_replace(t1,
+                     '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?',
+                     '[PHONE]', 'g') AS t2 FROM r1)
             SELECT doc_id,
                    CAST(len(regexp_extract_all(text,
                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_email,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t1,
                      '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?')) AS INT) AS n_phone,
-                   CAST(len(regexp_extract_all(text,
+                   CAST(len(regexp_extract_all(t2,
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ip,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
-                     '\+\d{1,3}[ -]\d{3}[ -]\d{3,4}([ -]\d{1,4})?', '[PHONE]', 'g'),
+                   regexp_replace(t2,
                      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS red_text
-            FROM planted ORDER BY doc_id
+            FROM r2 ORDER BY doc_id
         """,
         # one CTE chain reusing the verified fragments: text_quality's
         # n_tok/ratio/stopword quality, lang_id's marker CASE (same
@@ -2375,7 +2382,8 @@ def oracle_sql() -> dict[str, str]:
                           + ratio
                           + (CASE WHEN len(list_intersect(list_distinct(toks),
                                [{_SW_LIST}])) > 0 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality,
-                   ROUND(COALESCE(m.top2, 0.0), 6) AS top_bigram_frac,
+                   ROUND(CASE WHEN len(toks) < 2 THEN 0.0
+                         ELSE COALESCE(m.top2, 0.0) END, 6) AS top_bigram_frac,
                    ROUND(CASE WHEN len(toks) = 0 THEN 0.0
                          ELSE CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3)
                          END, 6) AS dup_trigram_frac,

@@ -113,16 +113,25 @@ def build_robots_standard_df(spark, pages: DataFrame, agent: str = DEFAULT_AGENT
 
 
 def url_path_of(url: Column | str) -> Column:
-    """path[?query] beginning at the first '/' after the authority;
-    '/' when the URL has no path."""
+    """path[?query] — the RFC 9309 match target. The authority ends at the
+    first of '/' or '?' (same cut canonicalize_url makes): a URL like
+    http://host?a=1 has path '/' but KEEPS its query, so a
+    `Disallow: /*?a=1` rule still matches it (ADVICE r3)."""
     u = F.col(url) if isinstance(url, str) else url
     rest = F.substr(
         u, F.length(F.substring_index(u, "://", 1)) + F.lit(4), F.length(u)
     )
     rest = F.when(u.contains("://"), rest).otherwise(u)
-    p = F.when(
-        F.instr(rest, "/") > 0, F.substr(rest, F.instr(rest, "/"), F.length(rest))
-    ).otherwise(F.lit("/"))
+    slash, qmark = F.instr(rest, "/"), F.instr(rest, "?")
+    p = (
+        F.when(
+            (slash > 0) & ((qmark == 0) | (slash < qmark)),
+            F.substr(rest, slash, F.length(rest)),
+        )
+        # query with no path slash: path defaults to '/', query retained
+        .when(qmark > 0, F.concat(F.lit("/"), F.substr(rest, qmark, F.length(rest))))
+        .otherwise(F.lit("/"))
+    )
     return p
 
 

@@ -182,11 +182,14 @@ def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
     occurrences taken by the single most frequent n-gram (Gopher/MassiveText
     'top n-gram fraction', Rae et al. 2021 §A1.1, expressed over token
     counts). High values flag boilerplate/keyword-stuffed pages. 0.0 for
-    token-less documents."""
+    documents with fewer than n tokens: shingles() falls back to one
+    whole-text shingle there, which would trivially own 100% of the
+    occurrences and flag every short doc as maximally repetitive
+    (ADVICE r3) — too short to repeat an n-gram means not repetitive."""
     toks = tokenize(text)
     grams = shingles(toks, n)
     frac = _max_run_count(grams) / F.size(grams)
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(frac.cast("double"))
 
 
 def dup_ngram_fraction(text: Column | str, n: int = 3) -> Column:
@@ -236,9 +239,20 @@ def redact_pii(text: Column | str) -> Column:
 
 
 def pii_counts(text: Column | str) -> dict[str, Column]:
-    """Per-type PII match counts (audit columns for the redaction pass)."""
+    """Per-type PII match counts (audit columns for the redaction pass),
+    counted SEQUENTIALLY on the progressively redacted text (ADVICE r3):
+    email is counted on the raw text then redacted, phone on the
+    email-redacted text, and so on — mirroring redact_pii's replacement
+    order exactly, so each count equals the number of replacements that
+    type actually makes (independent counting would double-count, e.g.
+    digits-and-dots inside an email local part also matching the phone/IP
+    patterns)."""
     t = _c(text)
-    return {name: F.regexp_count(t, F.lit(pat)) for name, pat, _ in PII_PATTERNS}
+    out: dict[str, Column] = {}
+    for name, pat, repl in PII_PATTERNS:
+        out[name] = F.regexp_count(t, F.lit(pat))
+        t = F.regexp_replace(t, pat, repl)
+    return out
 
 
 def shingles(tokens: Column, k: int = 3) -> Column:

@@ -97,10 +97,17 @@ def resolve_href(page_url: Column | str, href: Column | str) -> Column:
 
 # -- beyond the reference: frontier-scale URL canonicalization ---------------
 
-TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|ref|ref_src)(=.*)?$"
+# NOTE: bare 'ref' is deliberately NOT in the default scrub list (ADVICE r3):
+# unlike utm_*/gclid it is content-bearing on many sites, and scrubbing it
+# would false-merge genuinely distinct resources into one seen-set entry.
+# Callers that know their corpus treats 'ref' as tracking pass a widened
+# pattern via canonicalize_url(scrub_param_re=...).
+TRACKING_PARAM_RE = r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|ref_src)(=.*)?$"
 
 
-def canonicalize_url(url: Column | str) -> Column:
+def canonicalize_url(
+    url: Column | str, scrub_param_re: str = TRACKING_PARAM_RE
+) -> Column:
     """Crawl-frontier URL canonicalization (beyond the reference, which dedups
     on the verbatim string): collapses the common aliases of one resource so
     the seen-set anti-join treats them as one URL — at a 10^10-URL frontier
@@ -116,8 +123,10 @@ def canonicalize_url(url: Column | str) -> Column:
       2. lowercase the scheme and the host (userinfo and path keep case)
       3. drop default ports (http:80, https:443)
       4. empty path -> '/'
-      5. drop tracking params (utm_*, gclid, fbclid, msclkid, mc_eid, ref,
-         ref_src), sort the survivors byte-wise, drop a now-empty '?'
+      5. drop tracking params (scrub_param_re — default utm_*, gclid,
+         fbclid, msclkid, mc_eid, ref_src; bare 'ref' excluded, see
+         TRACKING_PARAM_RE note), sort the survivors byte-wise, drop a
+         now-empty '?'
 
     URLs without '://' are returned trimmed but otherwise untouched (the
     quirk-exact reference path never produces them; defensive for ingest).
@@ -194,7 +203,7 @@ def canonicalize_url(url: Column | str) -> Column:
     kept = F.array_sort(
         F.filter(
             F.split(query, "&"),
-            lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+            lambda p: (p != "") & ~p.rlike(scrub_param_re),
         )
     )
     query_part = F.when(F.size(kept) > 0, F.concat(F.lit("?"), F.array_join(kept, "&"))).otherwise(

@@ -246,7 +246,8 @@ def o_canonicalize(url: str) -> str:
     else:
         path, query = pathq, ""
     path = path or "/"
-    track = re.compile(r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|ref|ref_src)(=.*)?$")
+    # bare 'ref' deliberately kept (content-bearing on many sites; ADVICE r3)
+    track = re.compile(r"^(utm_[^=&]*|gclid|fbclid|msclkid|mc_eid|ref_src)(=.*)?$")
     kept = sorted(p for p in query.split("&") if p and not track.match(p))
     query_part = "?" + "&".join(kept) if kept else ""
     return f"{scheme}://{userinfo}{host}{port_part}{path}{query_part}"

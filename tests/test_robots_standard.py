@@ -135,11 +135,15 @@ def test_url_path_of(spark):
             ("http://h.test/a/b?q=1",),
             ("https://h.test",),
             ("http://h.test:8080/p",),
+            # query with no path slash: path defaults '/', query KEPT so
+            # a Disallow: /*?a=1 rule can match (ADVICE r3)
+            ("http://h.test?a=1",),
+            ("https://h.test:8080?x=2&y=3",),
         ],
         "url string",
     )
     got = [r["p"] for r in df.select(url_path_of("url").alias("p")).collect()]
-    assert got == ["/a/b?q=1", "/", "/p"]
+    assert got == ["/a/b?q=1", "/", "/p", "/?a=1", "/?x=2&y=3"]
 
 
 def test_crawl_standard_mode_matches_oracle(spark, tmp_path):
@@ -166,7 +170,10 @@ def test_crawl_standard_mode_matches_oracle(spark, tmp_path):
 
     def std_fn(url: str, body: str | None) -> bool:
         rest = url.split("://", 1)[-1]
-        path = rest[rest.find("/"):] if "/" in rest else "/"
+        cut = min((i for i in (rest.find("/"), rest.find("?")) if i >= 0), default=-1)
+        path = rest[cut:] if cut >= 0 else "/"
+        if path.startswith("?"):
+            path = "/" + path
         return o_allowed(body, path)
 
     store, metrics = run_crawl(
