@@ -94,6 +94,12 @@ def extract_meta_py(html_bytes: bytes | None) -> str | None:
     """
     if html_bytes is None:
         return None
+    # bytes-level short-circuit: most pages have no <meta at all — skip the
+    # full-document decode + splitlines for them (the decode was the real
+    # per-page cost meta extraction added to the parse kernel in round 3;
+    # iso-8859-1 maps bytes 1:1 so the bytes scan can't miss a str match)
+    if b"<meta" not in html_bytes:
+        return ""
     out: list[str] = []
     for line in html_bytes.decode("iso-8859-1").splitlines():
         if "<meta" not in line:

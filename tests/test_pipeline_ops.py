@@ -708,7 +708,7 @@ def test_repetition_signals_vs_python_oracle(spark):
 
     def py_top(t, n):
         toks = py_toks(t)
-        if not toks:
+        if len(toks) < n:  # shorter than n tokens: no real n-gram exists
             return 0.0
         g = py_grams(toks, n)
         return Counter(g).most_common(1)[0][1] / len(g)
