@@ -77,6 +77,40 @@ def extract_text_py(html_bytes: bytes | None) -> str | None:
     return _WS.sub(" ", s).strip()
 
 
+# str.splitlines boundary characters reachable from iso-8859-1 ( /
+# need multi-byte encodings and can't appear): these 8 bytes delimit exactly
+# the lines the decoded-splitlines scan would see, so meta lines can be cut
+# out of the raw bytes without decoding the whole document.
+_LINE_BOUND_BYTES = (b"\n", b"\r", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e", b"\x85")
+_LINE_BOUND_RE = re.compile(rb"[\n\r\x0b\x0c\x1c\x1d\x1e\x85]")
+_META_SCAN_MIN_BYTES = 4096  # measured crossover vs decode+splitlines
+
+
+def _iter_meta_lines(hb: bytes):
+    """Yield each distinct line containing ``<meta`` (decoded iso-8859-1,
+    document order) without decoding or splitting the rest of the document —
+    the full decode+splitlines was the dominant per-page cost of meta
+    extraction in the parse kernel. Byte-identical to
+    ``[l for l in hb.decode("iso-8859-1").splitlines() if "<meta" in l]``
+    (property-tested): iso-8859-1 maps bytes to chars 1:1, so a boundary-free
+    byte run IS the splitlines element, and a \\r\\n pair is covered because
+    both bytes are boundaries and the backward scan picks the latest one."""
+    pos = hb.find(b"<meta")
+    lo = 0  # lines are disjoint and ordered: never scan back past the last one
+    while pos != -1:
+        start = 0
+        for b in _LINE_BOUND_BYTES:
+            i = hb.rfind(b, lo, pos)
+            if i + 1 > start:
+                start = i + 1
+        start = max(start, lo)
+        m = _LINE_BOUND_RE.search(hb, pos)
+        end = m.start() if m else len(hb)
+        yield hb[start:end].decode("iso-8859-1")
+        lo = end
+        pos = hb.find(b"<meta", end)
+
+
 def extract_meta_py(html_bytes: bytes | None) -> str | None:
     """Space-joined meta Description/Keywords content values, lowercased —
     the quirk-exact line scan of Indexer.java:102-140.
@@ -94,16 +128,15 @@ def extract_meta_py(html_bytes: bytes | None) -> str | None:
     """
     if html_bytes is None:
         return None
-    # bytes-level short-circuit: most pages have no <meta at all — skip the
-    # full-document decode + splitlines for them (the decode was the real
-    # per-page cost meta extraction added to the parse kernel in round 3;
-    # iso-8859-1 maps bytes 1:1 so the bytes scan can't miss a str match)
-    if b"<meta" not in html_bytes:
-        return ""
+    # under ~4 KB the one-shot decode+splitlines wins (measured crossover);
+    # above it the bytes line-scan avoids materializing every line of a
+    # large page just to find the couple containing "<meta"
+    if len(html_bytes) < _META_SCAN_MIN_BYTES:
+        lines = (l for l in html_bytes.decode("iso-8859-1").splitlines() if "<meta" in l)
+    else:
+        lines = _iter_meta_lines(html_bytes)
     out: list[str] = []
-    for line in html_bytes.decode("iso-8859-1").splitlines():
-        if "<meta" not in line:
-            continue
+    for line in lines:
 
         def remainder(cur: str) -> str | None:
             if "content=" in cur:

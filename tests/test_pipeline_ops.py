@@ -313,6 +313,52 @@ def test_jpeg_header_dims_and_media_meta(spark):
     assert got == {i: (100 + i, 50 + i) for i in range(20)}
 
 
+def test_mp4_header_dims_duration_and_media_meta(spark):
+    """MP4 metadata path: the pure-stdlib ISO-BMFF box walk reads dims +
+    duration from real box layouts — mvhd v0/v1, 16.16-fixed tkhd dims,
+    audio-only (0x0) tracks, size==0 to-end boxes and 64-bit largesize
+    boxes — through decode_header and the Spark with_media_meta kernel;
+    frame decode stays an honest ffmpeg stub."""
+    from cis455crawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_mp4_header,
+        encode_mp4_header,
+        with_media_meta,
+    )
+
+    assert decode_mp4_header(encode_mp4_header(1920, 1080, 125_000)) == (1920, 1080, 125_000)
+    # v1 mvhd (64-bit duration) at a real media timescale
+    assert decode_mp4_header(
+        encode_mp4_header(640, 360, 9_500, timescale=90_000, v1=True)
+    ) == (640, 360, 9_500)
+    # audio-only: no video track dims, duration still read
+    assert decode_mp4_header(encode_mp4_header(0, 0, 42_000)) == (0, 0, 42_000)
+    # trailing mdat with size==0 (extends to EOF)
+    mp4 = encode_mp4_header(100, 50, 777)
+    patched = mp4[:-24] + b"\x00\x00\x00\x00" + mp4[-20:]
+    assert decode_mp4_header(patched) == (100, 50, 777)
+    # moov wrapped in a 64-bit largesize box
+    ftyp_end = int.from_bytes(mp4[:4], "big")
+    body = mp4[ftyp_end:-24]  # the moov box of the encoded header
+    large = mp4[:ftyp_end] + b"\x00\x00\x00\x01" + body[4:8] + (len(body) + 8).to_bytes(8, "big") + body[8:]
+    assert decode_mp4_header(large) == (100, 50, 777)
+    with pytest.raises(NotImplementedError):
+        decode_mp4_header(mp4[:40])  # truncated before moov
+    with pytest.raises(NotImplementedError):
+        decode_mp4_header(b"\x00\x00\x00\x08free")  # no ftyp
+
+    rows = [
+        (i, "video", encode_mp4_header(320 + i, 240 + i, 1000 * i, v1=bool(i % 2)), None, None, None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["dur_ms"])
+        for r in with_media_meta(df).collect()
+    }
+    assert got == {i: (320 + i, 240 + i, 1000 * i) for i in range(20)}
+
+
 def test_train_centroids_distributed_matches_numpy(spark):
     """Distributed Lloyd's (full-table assignment + per-cell means via ONE
     groupBy) equals a numpy Lloyd's oracle run from the identical init —

@@ -52,3 +52,30 @@ def test_text_extraction_invariants(html: bytes):
     assert text == text.strip()
     again = extract_text_py(text.encode("iso-8859-1"))
     assert again == text
+
+
+# --- meta line scan: bytes-level fast path vs decode+splitlines ---
+
+_meta_piece = st.sampled_from(
+    [b"<meta", b' name="description"', b' name="Description"', b' name="Keywords"',
+     b' name="keywords"', b' content="a,b c"', b' Content="X,Y">', b"content=",
+     b"\n", b"\r\n", b"\r", b"\x85", b"\x0b", b"\x0c", b"\x1c", b"\x1d", b"\x1e",
+     b"plain text ", b"<met", b"a>", b"<meta><meta>", b"\xff\xfe\x80", b"<p>x</p>"]
+)
+_meta_doc = st.lists(_meta_piece, max_size=14).map(b"".join)
+
+
+def _oracle_meta_lines(hb: bytes) -> list[str]:
+    return [l for l in hb.decode("iso-8859-1").splitlines() if "<meta" in l]
+
+
+@settings(max_examples=500, deadline=None)
+@given(html=_meta_doc)
+def test_meta_line_scan_matches_splitlines(html: bytes):
+    """_iter_meta_lines (the no-full-decode fast path inside extract_meta_py)
+    must yield exactly the splitlines elements containing '<meta', in order —
+    including under \r\n pairs, bare \r, and the exotic str.splitlines
+    boundaries reachable from iso-8859-1 (\x85, \x0b..\x1e)."""
+    from cis455crawler_spark.functions.html import _iter_meta_lines
+
+    assert list(_iter_meta_lines(html)) == _oracle_meta_lines(html), html
