@@ -203,6 +203,61 @@ def test_embedding_near_dups_and_ann(spark, sf_dir):
         assert v == q
 
 
+def test_semantic_dedup_matches_numpy_oracle(spark):
+    """SemDeDup keep-first semantics vs an independent numpy oracle on a
+    designed corpus: planted exact and scaled twins (dropped), a 3-chain of
+    mutually >=threshold docs in one cluster (first kept, the rest dropped
+    with n_close 1 and 2), plus random background docs whose same-cell
+    cosines exercise the rule away from the planted structure."""
+    import numpy as np
+
+    from cis455crawler_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(11)
+    cents = rng.normal(size=(4, 16))
+    docs = {}
+    for i in range(40):  # background: scattered around centroids 0..2 only
+        docs[i] = cents[i % 3] * 3.0 + rng.normal(scale=0.4, size=16)
+    docs[100] = docs[5].copy()  # exact twin of 5 -> dropped
+    docs[101] = docs[5] * 2.0  # scaled twin (cosine 1.0) -> dropped
+    # 3-chain alone in centroid 3's cell (no background shares it, so the
+    # chain's n_close counts are exactly the within-chain pairs)
+    base = cents[3] * 3.0
+    for j, vid in enumerate([200, 201, 202]):
+        docs[vid] = base + rng.normal(scale=1e-3, size=16)
+    thr = 0.95
+
+    df = spark.createDataFrame(
+        [(int(k), [float(x) for x in v]) for k, v in docs.items()],
+        "vec_id long, embedding array<double>",
+    ).repartition(4)
+    got = {
+        r["id"]: (r["cell"], r["n_close"], r["kept"])
+        for r in semantic_dedup(df, cents, thr, id_col="vec_id").collect()
+    }
+
+    # numpy oracle: same assignment + keep-first rule
+    ids = sorted(docs)
+    cells = {
+        i: int(np.argmin(((cents - docs[i]) ** 2).sum(axis=1))) for i in ids
+    }
+    exp = {}
+    for i in ids:
+        n_close = 0
+        for j in ids:
+            if j < i and cells[j] == cells[i]:
+                a, b = docs[i], docs[j]
+                cos = a @ b / (np.linalg.norm(a) * np.linalg.norm(b))
+                if cos >= thr:
+                    n_close += 1
+        exp[i] = (cells[i], n_close, n_close == 0)
+    assert got == exp
+    # the designed structure actually fired
+    assert not got[100][2] and not got[101][2]
+    assert got[200][2] and not got[201][2] and not got[202][2]
+    assert got[201][1] == 1 and got[202][1] == 2
+
+
 def test_assign_centroid_4096_broadcast_path(spark):
     """IVF assignment at production centroid counts (VERDICT r2 'What's
     wrong' #2): 4096 centroids must route through the Arrow/broadcast-matmul
@@ -357,6 +412,44 @@ def test_mp4_header_dims_duration_and_media_meta(spark):
         for r in with_media_meta(df).collect()
     }
     assert got == {i: (320 + i, 240 + i, 1000 * i) for i in range(20)}
+
+
+def test_mp3_header_duration_and_media_meta(spark):
+    """MP3 metadata path: the pure-stdlib MPEG frame-header parse reads
+    duration from real header layouts — Xing/Info exact frame counts
+    (stereo/mono, MPEG1 sample rates), ID3v2-prefixed streams, and the CBR
+    byte-length estimate when no VBR tag is present — through decode_header
+    and the Spark with_media_meta kernel; sample decode stays an honest
+    stub."""
+    from cis455crawler_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_header,
+        decode_mp3_header,
+        encode_mp3_header,
+        with_media_meta,
+    )
+
+    # Xing exact frame count: MPEG1 Layer III spf=1152
+    assert decode_mp3_header(encode_mp3_header(frames=38)) == (
+        0, 0, 38 * 1152 * 1000 // 44100)
+    # mono side-info offset + ID3v2 skip + non-default sample rate
+    p = encode_mp3_header(frames=100, mono=True, id3=True, sample_rate=32000)
+    assert decode_header(p) == (0, 0, 100 * 1152 * 1000 // 32000)
+    # CBR estimate: audio bytes * 8 / bitrate (sync at offset 0)
+    p = encode_mp3_header(audio_bytes=16000, bitrate_kbps=320)
+    assert decode_mp3_header(p) == (0, 0, len(p) * 8 * 1000 // 320_000)
+    with pytest.raises(NotImplementedError):
+        decode_mp3_header(bytes([0xFF, 0xEB, 0x90, 0x00]) + bytes(64))  # reserved version
+    with pytest.raises(NotImplementedError):
+        decode_mp3_header(b"ID3\x04\x00\x00\x00\x00\x00\x00")  # tag, no sync
+
+    rows = [
+        (i, "audio", encode_mp3_header(frames=10 + i, mono=bool(i % 2)), None, None, None)
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4)
+    got = {r["media_id"]: r["dur_ms"] for r in with_media_meta(df).collect()}
+    assert got == {i: (10 + i) * 1152 * 1000 // 44100 for i in range(20)}
 
 
 def test_train_centroids_distributed_matches_numpy(spark):
