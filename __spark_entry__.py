@@ -1480,6 +1480,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["sitemap_lastmod_hints"] = sitemap_lastmod_hints
 
+    def semantic_dedup_docs(spark, sf):
+        """SemDeDup (Abbas et al. 2023) over the embeddings table: centroids
+        are the first 8 embeddings (derivable identically in SQL — no
+        Lloyd's, the operator takes any centroids), ten exact twins are
+        planted at vec_id+10000 (cosine exactly 1.0 with their originals —
+        no threshold-boundary float risk), and every doc reports its
+        cluster, its count of earlier >=0.9-cosine same-cluster neighbors,
+        and whether it survives. The twins land in their originals'
+        clusters and are dropped; every original is kept."""
+        import numpy as np
+
+        from cis455crawler_spark.operators.similarity import semantic_dedup
+
+        emb = _load(spark, sf, "embeddings")
+        dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        base = emb.select("vec_id", dvec.alias("v"))
+        twins = base.filter(F.col("vec_id").between(20, 29)).select(
+            (F.col("vec_id") + 10000).alias("vec_id"), "v"
+        )
+        allv = base.unionByName(twins)
+        cents = np.array(
+            [r["v"] for r in base.filter(F.col("vec_id") < 8).orderBy("vec_id").collect()]
+        )
+        out = semantic_dedup(allv, cents, 0.9, id_col="vec_id", vec_col="v")
+        return out.orderBy("id").select(
+            F.col("id").alias("vec_id"),
+            F.col("cell").cast("int").alias("cell"),
+            F.col("n_close").cast("long").alias("n_close"),
+            "kept",
+        )
+
+    q["semantic_dedup_docs"] = semantic_dedup_docs
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -1659,6 +1692,30 @@ def oracle_sql() -> dict[str, str]:
                                || '-01' AS TIMESTAMP)
                         ELSE NULL END AS lastmod
             FROM documents ORDER BY seed_url
+        """,
+        "semantic_dedup_docs": """
+            WITH v0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            allv AS (SELECT vec_id, v FROM v0
+                     UNION ALL
+                     SELECT vec_id + 10000, v FROM v0
+                     WHERE vec_id BETWEEN 20 AND 29),
+            c AS (SELECT vec_id AS cid, v AS cv FROM v0 WHERE vec_id < 8),
+            -- nearest-centroid assignment: squared-L2 argmin, lower index on
+            -- ties (list_distance is the monotone sqrt of Spark's fold sum)
+            a AS (SELECT vec_id, v,
+                    (SELECT cid FROM c
+                     ORDER BY list_distance(a0.v, cv), cid LIMIT 1) AS cell
+                  FROM allv a0),
+            p AS (SELECT x.vec_id AS vec_id, COUNT(*) AS n_close
+                  FROM a x JOIN a y ON x.cell = y.cell AND x.vec_id > y.vec_id
+                  WHERE list_dot_product(x.v, y.v)
+                          / (sqrt(list_dot_product(x.v, x.v))
+                             * sqrt(list_dot_product(y.v, y.v))) >= 0.9
+                  GROUP BY x.vec_id)
+            SELECT a.vec_id, a.cell::INT AS cell,
+                   COALESCE(p.n_close, 0)::BIGINT AS n_close,
+                   p.vec_id IS NULL AS kept
+            FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id
         """,
         "degree_distribution": """
             WITH e AS (

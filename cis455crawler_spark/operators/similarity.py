@@ -367,3 +367,58 @@ def cosine_topk_quantized(
         .filter(F.col("rn") <= k)
         .select("q_id", "vec_id", "cosine", "rn")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): cluster documents by
+    nearest centroid, then within each cluster drop every document that has
+    an EARLIER (lower-id) neighbor with cosine similarity >= threshold —
+    the deterministic keep-first variant of the paper's per-cluster
+    near-duplicate pruning. Extends the reference's exact URL/content dedup
+    (XPathCrawlerThread.java:357-366 seen-set; content-seen MD5) to the
+    embedding-space near-dup regime an LLM-corpus pipeline needs.
+
+    Returns one row per input doc: (id, cell, n_close, kept) where n_close
+    counts the earlier same-cluster neighbors at >= threshold and
+    kept = (n_close == 0).
+
+    Scale shape: assignment is assign_centroid (pure-JVM literal argmin for
+    small k, broadcast Arrow matmul above — nothing shuffled); the pairwise
+    stage self-joins ON THE CELL ID only, so cost is quadratic within a
+    cluster but linear in cluster count — exactly the SemDeDup cost model
+    (k grows with the corpus so cluster size stays bounded; a hot cluster
+    is an AQE-splittable skewed equi-join, not a window straggler). The
+    cosine itself is JVM zip_with/aggregate column math — no Python on the
+    pair path."""
+    v = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    v = v.withColumn("cell", assign_centroid(v, centroids, "v")).withColumn(
+        "nv", _norm(F.col("v"))
+    )
+    a = v.select(
+        F.col("id").alias("a_id"), F.col("v").alias("a_v"),
+        F.col("cell").alias("cell"), F.col("nv").alias("a_nv"),
+    )
+    b = v.select(
+        F.col("id").alias("b_id"), F.col("v").alias("b_v"),
+        F.col("cell").alias("cell"), F.col("nv").alias("b_nv"),
+    )
+    cos = _dot(F.col("a_v"), F.col("b_v")) / (F.col("a_nv") * F.col("b_nv"))
+    close = (
+        a.join(b, "cell")
+        .filter(F.col("a_id") > F.col("b_id"))
+        .filter(cos >= F.lit(float(threshold)))
+        .groupBy(F.col("a_id").alias("id"))
+        .agg(F.count(F.lit(1)).alias("n_close"))
+    )
+    return (
+        v.join(close, "id", "left")
+        .withColumn("n_close", F.coalesce(F.col("n_close"), F.lit(0).cast("long")))
+        .withColumn("kept", F.col("n_close") == 0)
+        .select("id", "cell", "n_close", "kept")
+    )
