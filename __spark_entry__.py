@@ -1513,6 +1513,147 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["semantic_dedup_docs"] = semantic_dedup_docs
 
+    # ---- round-4 continuation: crawl-science + training-shard operators ----
+
+    def crawl_trap_hosts(spark, sf):
+        """Spider-trap host detection (Heydon & Najork, Mercator 1999): one
+        groupBy(host) profile over a synthesized crawl log. Hosts h0-h2 are
+        session-id traps (every URL distinct, all serving identical bytes
+        -> urls_per_content explodes), h3-h5 are calendar traps (unique
+        content but unbounded path depth), h6+ are healthy. Both trap
+        signals and the healthy negative case are exercised; the flag is
+        reproduced by the SQL oracle from the same synthesis."""
+        from cis455crawler_spark.operators.traps import trap_host_stats
+
+        o = _load(spark, sf, "orders")
+        hid = F.col("o_custkey") % 40
+        host = F.concat(F.lit("h"), hid.cast("string"), F.lit(".example.com"))
+        okey = F.col("o_orderkey").cast("string")
+        url = (
+            F.when(
+                hid < 3,
+                # session trap: flat path, session-id query, one content blob
+                F.concat(F.lit("http://"), host, F.lit("/page?session="), okey),
+            )
+            .when(
+                hid < 6,
+                # calendar trap: ever-deeper /d/d/... paths, distinct content
+                F.concat(
+                    F.lit("http://"), host, F.lit("/cal/"),
+                    F.repeat(F.lit("d/"), (F.col("o_orderkey") % 15).cast("int")),
+                    F.lit("p"), okey,
+                ),
+            )
+            .otherwise(F.concat(F.lit("http://"), host, F.lit("/page/"), okey))
+        )
+        fp = F.when(hid < 3, F.md5(host)).otherwise(F.md5(url))
+        log = o.select(url.alias("url"), fp.alias("content_fp"))
+        return trap_host_stats(log).orderBy("host")
+
+    q["crawl_trap_hosts"] = crawl_trap_hosts
+
+    def change_rate_poisson_urls(spark, sf):
+        """Cho & Garcia-Molina change-frequency estimator (TOIT 2003) over a
+        synthesized capture history: 100 URLs, up to 20 daily captures each
+        (slot = o_custkey % 20), each URL's content rotating every
+        1+(url_id%5) days — lambda_per_day recovers the rotation rate with
+        the estimator's 0.5 bias correction, per-URL window + one groupBy."""
+        from cis455crawler_spark.operators.recrawl import change_rate_poisson
+
+        o = _load(spark, sf, "orders")
+        uid = F.col("o_orderkey") % 100
+        slot = F.col("o_custkey") % 20
+        url = F.concat(F.lit("http://site.test/p"), uid.cast("string"))
+        period = (uid % 5) + 1
+        version = F.floor(slot / period)
+        fp = F.md5(F.concat(url, F.lit("#"), version.cast("string")))
+        caps = (
+            o.select(
+                url.alias("url"),
+                (slot * 86400).cast("double").alias("ts"),
+                fp.alias("content_fp"),
+            )
+            .distinct()
+        )
+        return change_rate_poisson(caps).orderBy("url")
+
+    q["change_rate_poisson_urls"] = change_rate_poisson_urls
+
+    def token_zipf_coverage(spark, sf):
+        """Corpus vocabulary head: top-100 tokens by frequency with Zipf
+        rank, corpus frequency share, and cumulative coverage — the
+        tokenizer-vocabulary sizing curve every training-data pipeline
+        reports. The vocab aggregate is map-side combinable; the top-100 is
+        a TakeOrdered (per-partition heads + one tiny reduce), and the rank
+        / cumulative window runs AFTER the limit, over <=100 rows, never
+        the corpus; the 1-row total joins in by broadcast."""
+        docs = _load(spark, sf, "documents")
+        toks = docs.select(
+            F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("word")
+        ).filter(F.col("word") != "")
+        vocab = toks.groupBy("word").agg(F.count("*").alias("freq"))
+        total = vocab.agg(F.sum("freq").alias("total"))
+        top = vocab.orderBy(F.desc("freq"), "word").limit(100)
+        w = Window.orderBy(F.desc("freq"), "word")
+        cum = Window.orderBy(F.desc("freq"), "word").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            top.crossJoin(F.broadcast(total))
+            .select(
+                F.row_number().over(w).alias("rank"),
+                "word",
+                "freq",
+                F.round(F.col("freq") / F.col("total"), 6).alias("frac"),
+                F.round(F.sum("freq").over(cum) / F.col("total"), 6).alias("cum_frac"),
+            )
+            .orderBy("rank")
+        )
+
+    q["token_zipf_coverage"] = token_zipf_coverage
+
+    def shard_shuffle_train(spark, sf):
+        """Deterministic global shuffle into training shards: shard =
+        md5(doc_id) mod 16, intra-shard order by an independent md5 salt
+        ('ord'), position + running token count within the shard — the
+        reproducible corpus-shuffling step before sequence packing (no RNG:
+        identical shard files on every engine and run). Shard count is the
+        write parallelism knob: at 100 TB pick shards ~ executor-partition
+        sized and this becomes write.partitionBy(shard) +
+        sortWithinPartitions(order_key); the per-shard window here is the
+        oracle-checkable equivalent at test scale, keyed by the uniform
+        hash shard — no skew by construction."""
+        docs = _load(spark, sf, "documents")
+        did = F.col("doc_id").cast("string")
+        shard = (
+            F.conv(F.substring(F.md5(did), 1, 8), 16, 10).cast("long") % 16
+        ).alias("shard")
+        okey = F.md5(F.concat(F.lit("ord"), did))
+        n_tok = F.size(
+            F.filter(
+                F.split(F.lower("text"), "[^a-z0-9]+"), lambda x: x != F.lit("")
+            )
+        )
+        base = docs.select(
+            "doc_id", shard, okey.alias("order_key"), n_tok.alias("n_tok")
+        )
+        w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+        cum = Window.partitionBy("shard").orderBy("order_key", "doc_id").rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return (
+            base.select(
+                "doc_id",
+                "shard",
+                F.row_number().over(w).alias("pos"),
+                "n_tok",
+                F.sum("n_tok").over(cum).alias("cum_tok"),
+            )
+            .orderBy("shard", "pos")
+        )
+
+    q["shard_shuffle_train"] = shard_shuffle_train
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -1536,6 +1677,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_suite_orders",
         "agg_distinct_events",
         "asof_last_click",
+        # round-4 continuation: four more triple-gated relational demos
+        # demoted so the new crawl-science entries sit inside the driver's
+        # ~50-entry gate window (their semantics stay covered: q3/q5 by q1
+        # + the join suite, semi_join by term_search, sessionize by the
+        # streaming suite; all remain strict-swept)
+        "q3_shipping_priority",
+        "q5_revenue_by_nation",
+        "semi_join_orders",
+        "sessionize_events",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -1716,6 +1866,124 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(p.n_close, 0)::BIGINT AS n_close,
                    p.vec_id IS NULL AS kept
             FROM a LEFT JOIN p USING (vec_id) ORDER BY vec_id
+        """,
+        "crawl_trap_hosts": r"""
+            WITH base AS (SELECT o_orderkey AS k, o_custkey % 40 AS hid FROM orders),
+            u AS (
+              SELECT hid,
+                     'h' || CAST(hid AS VARCHAR) || '.example.com' AS host_gen,
+                     CASE
+                       WHEN hid < 3 THEN
+                         'http://h' || CAST(hid AS VARCHAR)
+                         || '.example.com/page?session=' || CAST(k AS VARCHAR)
+                       WHEN hid < 6 THEN
+                         'http://h' || CAST(hid AS VARCHAR) || '.example.com/cal/'
+                         || repeat('d/', CAST(k % 15 AS INT)) || 'p' || CAST(k AS VARCHAR)
+                       ELSE
+                         'http://h' || CAST(hid AS VARCHAR)
+                         || '.example.com/page/' || CAST(k AS VARCHAR)
+                     END AS url
+              FROM base),
+            log AS (
+              SELECT url,
+                     CASE WHEN hid < 3 THEN md5(host_gen) ELSE md5(url) END AS fp
+              FROM u),
+            -- parse exactly as operators/traps.py does: host = text after
+            -- '//' cut at the next '/', depth = non-empty path segments with
+            -- the ?query / #fragment stripped
+            parsed AS (
+              SELECT split_part(substr(url, 8), '/', 1) AS host,
+                     url, fp,
+                     len(list_filter(
+                       string_split(
+                         split_part(split_part(
+                           regexp_replace(url, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', ''),
+                           '?', 1), '#', 1),
+                         '/'),
+                       x -> x <> '')) AS depth,
+                     CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0 END AS has_q
+              FROM log)
+            SELECT host,
+                   COUNT(DISTINCT url) AS n_urls,
+                   COUNT(DISTINCT fp) AS n_content,
+                   ROUND(COUNT(DISTINCT url)::DOUBLE / COUNT(DISTINCT fp), 6)
+                     AS urls_per_content,
+                   CAST(MAX(depth) AS INT) AS max_depth,
+                   ROUND(AVG(depth), 6) AS avg_depth,
+                   ROUND(AVG(has_q), 6) AS query_frac,
+                   CASE WHEN COUNT(DISTINCT url)::DOUBLE / COUNT(DISTINCT fp) >= 5.0
+                             OR MAX(depth) >= 12
+                        THEN 1 ELSE 0 END AS is_trap
+            FROM parsed GROUP BY host ORDER BY host
+        """,
+        "change_rate_poisson_urls": r"""
+            WITH caps AS (
+              SELECT DISTINCT
+                'http://site.test/p' || CAST(o_orderkey % 100 AS VARCHAR) AS url,
+                CAST((o_custkey % 20) * 86400 AS DOUBLE) AS ts,
+                md5('http://site.test/p' || CAST(o_orderkey % 100 AS VARCHAR)
+                    || '#'
+                    || CAST(CAST(floor((o_custkey % 20)
+                                       / ((o_orderkey % 100) % 5 + 1)) AS BIGINT)
+                            AS VARCHAR)) AS fp
+              FROM orders),
+            m AS (
+              SELECT url, ts, fp,
+                     (fp <> lag(fp) OVER (PARTITION BY url ORDER BY ts))::INT
+                       AS changed
+              FROM caps),
+            a AS (
+              SELECT url,
+                     COUNT(*) - 1 AS n_intervals,
+                     CAST(COALESCE(SUM(changed), 0) AS BIGINT) AS n_changes,
+                     MIN(ts) AS f, MAX(ts) AS l
+              FROM m GROUP BY url)
+            SELECT url, n_intervals, n_changes,
+                   CASE WHEN n_intervals > 0
+                        THEN ROUND(((l - f) / 86400.0) / n_intervals, 6) END
+                     AS dt_days,
+                   CASE WHEN n_intervals > 0
+                        THEN ROUND(-ln((n_intervals - n_changes + 0.5)
+                                       / (n_intervals + 0.5))
+                                   / (((l - f) / 86400.0) / n_intervals), 6) END
+                     AS lambda_per_day
+            FROM a ORDER BY url
+        """,
+        "token_zipf_coverage": r"""
+            WITH toks AS (
+              SELECT u.tok AS word FROM documents,
+                UNNEST(list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                                   x -> x <> '')) AS u(tok)),
+            v AS (SELECT word, COUNT(*) AS freq FROM toks GROUP BY word),
+            t AS (SELECT SUM(freq) AS total FROM v),
+            top AS (SELECT word, freq FROM v ORDER BY freq DESC, word LIMIT 100)
+            SELECT CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, word) AS INT) AS rank,
+                   word, freq,
+                   ROUND(freq / total, 6) AS frac,
+                   ROUND(SUM(freq) OVER (ORDER BY freq DESC, word
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) / total, 6) AS cum_frac
+            FROM top, t ORDER BY rank
+        """,
+        "shard_shuffle_train": r"""
+            WITH base AS (
+              SELECT doc_id,
+                     CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          AS BIGINT) % 16 AS shard,
+                     md5('ord' || CAST(doc_id AS VARCHAR)) AS order_key,
+                     CAST(len(list_filter(
+                       regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                       x -> x <> '')) AS INT) AS n_tok
+              FROM documents)
+            SELECT doc_id, shard,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY shard
+                                           ORDER BY order_key, doc_id) AS INT) AS pos,
+                   n_tok,
+                   CAST(SUM(n_tok) OVER (PARTITION BY shard
+                                         ORDER BY order_key, doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) AS BIGINT) AS cum_tok
+            FROM base ORDER BY shard, pos
         """,
         "degree_distribution": """
             WITH e AS (

@@ -76,6 +76,12 @@ BENCH_QUERIES = [
     "training_pipeline_e2e",
     "ann_quantized_topk",
     "trustrank_seeds",
+    # round-4 continuation ops
+    "semantic_dedup_docs",
+    "crawl_trap_hosts",
+    "change_rate_poisson_urls",
+    "token_zipf_coverage",
+    "shard_shuffle_train",
 ]
 
 
