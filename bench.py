@@ -82,6 +82,9 @@ BENCH_QUERIES = [
     "change_rate_poisson_urls",
     "token_zipf_coverage",
     "shard_shuffle_train",
+    "postings_varint_size",
+    "reciprocal_link_ratio",
+    "pld_rollup_hosts",
 ]
 
 

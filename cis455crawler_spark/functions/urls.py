@@ -214,3 +214,44 @@ def canonicalize_url(
         scheme, F.lit("://"), userinfo, host, port_part, path, query_part
     )
     return F.when(u.contains("://"), canonical).otherwise(raw)
+
+
+# Two-level public suffixes for registered-domain (pay-level-domain)
+# extraction — a representative subset of the Mozilla Public Suffix List's
+# most common entries; production swaps in the full list (it is a few
+# thousand entries, well inside broadcast-literal range).
+TWO_LEVEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+)
+
+
+def registered_domain(
+    host: Column | str, two_level_suffixes: tuple[str, ...] = TWO_LEVEL_SUFFIXES
+) -> Column:
+    """Pay-level domain of a hostname: the label owned by a registrant.
+
+    'a.b.example.com' -> 'example.com'; 'www.example.co.uk' ->
+    'example.co.uk' (the trailing two labels are a public suffix, so the
+    PLD takes three). Domain-level curation, quotas, and dedup key on the
+    PLD, not the host — one registrant can mint unlimited subdomains, so
+    any host-keyed budget is gameable at web scale.
+
+    Pure JVM array ops: split on '.', slice the tail. Hosts that ARE a
+    suffix (or a single label, or carry a port) pass through lowercased
+    unchanged — ports belong to host_of's quirk domain, strip them first
+    with canonicalize_url if needed.
+    """
+    h = F.lower(_c(host))
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, n - 1, 2), ".")
+    last3 = F.array_join(F.slice(labels, n - 2, 3), ".")
+    sufs = F.array(*[F.lit(s) for s in two_level_suffixes])
+    return (
+        F.when(n <= 2, h)
+        .when(F.array_contains(sufs, last2), F.when(n >= 3, last3).otherwise(h))
+        .otherwise(last2)
+    )

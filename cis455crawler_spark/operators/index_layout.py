@@ -1,0 +1,113 @@
+"""Inverted-index layout analytics: delta-gap + varint size accounting.
+
+The reference serializes postings as plain text lines ("docid:tf ..."
+Indexer/FileManagement.java postings assembly; cited in operators/indexer);
+a production index stores each term's sorted doc_id list as delta gaps in
+LEB128-style varints (the Lucene/WAND family layout). This operator computes,
+per term, exactly how many bytes that encoding needs — the sizing input for
+index shard planning (bytes/posting decides how many terms fit a shard, and
+the compression ratio vs raw int64 is the storage budget line).
+
+Skew is the design constraint: a stopword-grade term can hold 10^9+ postings,
+so a `Window.partitionBy(word)` lag would put that term's whole postings list
+in ONE task (the same straggler shape fixed in operators/spans.py round 4).
+The gap computation is therefore TWO-PHASE, the pack_token_spans pattern:
+
+  phase 1  lag within (word, bucket) where bucket = doc_id DIV bucket_size —
+           partitions are bounded by bucket_size regardless of term
+           frequency, so the hot term becomes many uniform tasks;
+  phase 2  per-(word,bucket) partials (inner byte sum, min/max doc_id, count)
+           collapse map-side; the cross-bucket BOUNDARY gaps come from a lag
+           over the bucket-level table, whose partitions hold at most
+           (doc_id_range / bucket_size) rows per word — 10^4 rows at 10^10
+           docs with the default 2^20 bucket, never the postings themselves.
+
+Varint width uses an integer threshold ladder, not floor(log2(gap)/7):
+log2 via ln-ratio is float and engines disagree at exact powers of two;
+the ladder is branch-exact everywhere (and what an encoder actually does).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def varint_bytes(gap: Column) -> Column:
+    """LEB128 byte count for a positive integer gap (7 payload bits/byte).
+
+    Integer comparisons only — deterministic on every engine. Gaps here are
+    doc_id deltas >= 1; 5 bytes covers anything below 2^35 (a 10^10-doc
+    corpus), beyond that an encoder would continue the ladder.
+    """
+    return (
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .when(gap < 268435456, 4)
+        .otherwise(5)
+    )
+
+
+def postings_varint_stats(
+    postings: DataFrame,
+    word_col: str = "word",
+    doc_col: str = "doc_id",
+    bucket_size: int = 1 << 20,
+) -> DataFrame:
+    """Per-term varint-encoded postings size vs raw int64.
+
+    `postings` holds distinct (word, doc_id) pairs with doc_id >= 0. The
+    first posting of a term is charged as gap = doc_id + 1 (the value
+    itself, 1-based so doc_id 0 costs one byte), every later one as the
+    delta to its predecessor in doc_id order. Returns one row per term:
+    (word, df, bytes_varint, bytes_raw = 8*df, compression_ratio).
+    """
+    p = postings.select(
+        F.col(word_col).alias("word"),
+        F.col(doc_col).alias("doc_id"),
+        F.floor(F.col(doc_col) / bucket_size).alias("bucket"),
+    )
+    # phase 1: gaps strictly inside a bucket (bounded partitions)
+    w_in = Window.partitionBy("word", "bucket").orderBy("doc_id")
+    inner = p.withColumn("_prev", F.lag("doc_id").over(w_in)).withColumn(
+        "_gap", F.col("doc_id") - F.col("_prev")
+    )
+    per_bucket = inner.groupBy("word", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        # bucket-first rows carry a NULL lag gap — they are charged by the
+        # phase-2 boundary pass, so they must contribute NOTHING here (an
+        # unguarded varint_bytes(NULL) would fall through to otherwise(5))
+        F.coalesce(
+            F.sum(F.when(F.col("_gap").isNotNull(), varint_bytes(F.col("_gap")))),
+            F.lit(0),
+        ).alias("inner_bytes"),
+    )
+    # phase 2: boundary gap of each bucket = its min_doc minus the previous
+    # bucket's max_doc (the term's first bucket anchors at doc_id + 1)
+    w_b = Window.partitionBy("word").orderBy("bucket")
+    bounded = per_bucket.withColumn(
+        "_prev_max", F.lag("max_doc").over(w_b)
+    ).withColumn(
+        "boundary_bytes",
+        varint_bytes(
+            F.when(
+                F.col("_prev_max").isNull(), F.col("min_doc") + 1
+            ).otherwise(F.col("min_doc") - F.col("_prev_max"))
+        ),
+    )
+    out = bounded.groupBy("word").agg(
+        F.sum("n").alias("df"),
+        (F.sum("inner_bytes") + F.sum("boundary_bytes")).alias("bytes_varint"),
+    )
+    return out.select(
+        "word",
+        "df",
+        "bytes_varint",
+        (F.col("df") * 8).alias("bytes_raw"),
+        F.round(F.col("df") * 8 / F.col("bytes_varint"), 6).alias(
+            "compression_ratio"
+        ),
+    )
