@@ -1721,6 +1721,63 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["pld_rollup_hosts"] = pld_rollup_hosts
 
+    def paragraph_dedup_corpus(spark, sf):
+        """CCNet-style corpus-wide paragraph dedup: one shuffle on the
+        paragraph hash counts doc-frequency (map-side combinable), drop
+        paragraphs present in >=2 docs, reassemble per-doc survivors in
+        order. kept_md5 certifies the exact surviving text."""
+        from cis455crawler_spark.operators.paragraphs import (
+            explode_paragraphs,
+            paragraph_dedup_stats,
+        )
+
+        docs = _load(spark, sf, "documents")
+        paras = explode_paragraphs(docs, tokens_per_para=5)
+        return paragraph_dedup_stats(paras, max_docs=2).orderBy("doc_id")
+
+    q["paragraph_dedup_corpus"] = paragraph_dedup_corpus
+
+    def line_dedup_docs(spark, sf):
+        """C4-style within-document repeated-line removal: keep the first
+        occurrence of each distinct paragraph per doc. Doc-local — every
+        shuffle key contains doc_id, no corpus-wide hot key."""
+        from cis455crawler_spark.operators.paragraphs import (
+            dedup_lines_within_doc,
+            explode_paragraphs,
+        )
+
+        docs = _load(spark, sf, "documents")
+        paras = explode_paragraphs(docs, tokens_per_para=5)
+        return dedup_lines_within_doc(paras).orderBy("doc_id")
+
+    q["line_dedup_docs"] = line_dedup_docs
+
+    def text_normalize_nfc(spark, sf):
+        """Unicode NFC normalization + whitespace collapse: combining
+        sequences (e + U+0301) are injected deterministically, tabs are
+        injected around every space, then the Arrow-batched NFC kernel
+        composes and the JVM collapse restores single spaces. The char
+        count coming back to the raw length is the invariant; norm_md5
+        certifies the exact normalized bytes vs DuckDB's nfc_normalize."""
+        from cis455crawler_spark.functions.text import (
+            collapse_whitespace,
+            normalize_nfc,
+        )
+
+        docs = _load(spark, sf, "documents")
+        dirty = F.regexp_replace(F.col("text"), "e", "e\u0301")
+        spaced = F.regexp_replace(dirty, " ", " \t ")
+        norm = collapse_whitespace(normalize_nfc(spaced))
+        return docs.select(
+            "doc_id",
+            F.length("text").alias("n_chars_raw"),
+            F.length(spaced).alias("n_chars_dirty"),
+            F.length(norm).alias("n_chars_norm"),
+            F.md5(norm).alias("norm_md5"),
+        ).orderBy("doc_id")
+
+    q["text_normalize_nfc"] = text_normalize_nfc
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -1762,6 +1819,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_stopwords",
         "streaming_tumbling_counts",
         "fetch_routing_crawl",
+        # third round-4 batch: four more multiply-proven entries demoted so
+        # the paragraph-dedup / line-dedup / NFC entries sit in the gate
+        # window. simhash (r2+r3 driver green, md5-exact, pigeonhole pytest)
+        # is covered by the five other gated dedup entries; the cuckoo
+        # anti-join twin has the gated bloom-path seen_anti_join plus the
+        # sidecar pytest suite; sliding windows have the streaming pytest
+        # suite (tumbling twin already in tail); stratified sampling is a
+        # deterministic md5-mod with 3 rounds of green rows.
+        "simhash_dups",
+        "seen_anti_join_cuckoo",
+        "sliding_window_counts",
+        "stratified_sample_docs",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2137,6 +2206,85 @@ def oracle_sql() -> dict[str, str]:
               FROM h)
             SELECT pld, COUNT(DISTINCT host) AS n_hosts, COUNT(*) AS n_rows
             FROM p GROUP BY pld ORDER BY pld
+        """,
+        "paragraph_dedup_corpus": r"""
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' +'),
+                                 x -> x <> '') AS a
+              FROM documents),
+            paras AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(list_slice(a, i*5 + 1,
+                                                least((i+1)*5, len(a))),
+                                     ' ') AS para
+              FROM arr,
+                   UNNEST(range(CAST(ceil(len(a)/5.0) AS BIGINT))) AS t(i)),
+            freq AS (
+              SELECT md5(para) AS h, COUNT(DISTINCT doc_id) AS para_df
+              FROM paras GROUP BY 1),
+            kept AS (
+              SELECT p.* FROM paras p
+              JOIN freq f ON f.h = md5(p.para)
+              WHERE f.para_df < 2),
+            ks AS (
+              SELECT doc_id, COUNT(*) AS n_kept,
+                     md5(string_agg(para, chr(10) ORDER BY para_idx))
+                       AS kept_md5
+              FROM kept GROUP BY doc_id),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_para FROM paras GROUP BY doc_id)
+            SELECT t.doc_id, t.n_para,
+                   CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+                   k.kept_md5
+            FROM tot t LEFT JOIN ks k ON k.doc_id = t.doc_id
+            ORDER BY t.doc_id
+        """,
+        "line_dedup_docs": r"""
+            WITH arr AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(text, ' +'),
+                                 x -> x <> '') AS a
+              FROM documents),
+            paras AS (
+              SELECT doc_id, i AS para_idx,
+                     array_to_string(list_slice(a, i*5 + 1,
+                                                least((i+1)*5, len(a))),
+                                     ' ') AS para
+              FROM arr,
+                   UNNEST(range(CAST(ceil(len(a)/5.0) AS BIGINT))) AS t(i)),
+            firsts AS (
+              SELECT doc_id, md5(para) AS h,
+                     MIN(para_idx) AS para_idx, MIN(para) AS para
+              FROM paras GROUP BY doc_id, md5(para)),
+            tot AS (
+              SELECT doc_id, COUNT(*) AS n_para FROM paras GROUP BY doc_id),
+            u AS (
+              SELECT doc_id, COUNT(*) AS n_uniq,
+                     md5(string_agg(para, chr(10) ORDER BY para_idx))
+                       AS kept_md5
+              FROM firsts GROUP BY doc_id)
+            SELECT t.doc_id, t.n_para, u.n_uniq, u.kept_md5
+            FROM tot t JOIN u USING (doc_id) ORDER BY doc_id
+        """,
+        "text_normalize_nfc": r"""
+            WITH d AS (
+              SELECT doc_id, text,
+                     regexp_replace(
+                       regexp_replace(text, 'e', 'e' || chr(769), 'g'),
+                       ' ', ' ' || chr(9) || ' ', 'g') AS spaced
+              FROM documents),
+            n AS (
+              SELECT doc_id, text, spaced,
+                     trim(regexp_replace(nfc_normalize(spaced),
+                                         '\s+', ' ', 'g')) AS norm
+              FROM d)
+            SELECT doc_id,
+                   CAST(length(text) AS INT) AS n_chars_raw,
+                   CAST(length(spaced) AS INT) AS n_chars_dirty,
+                   CAST(length(norm) AS INT) AS n_chars_norm,
+                   md5(norm) AS norm_md5
+            FROM n ORDER BY doc_id
         """,
         "degree_distribution": """
             WITH e AS (

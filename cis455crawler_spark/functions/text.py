@@ -263,3 +263,32 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))).otherwise(
         F.array(F.concat_ws(" ", tokens))
     )
+
+
+def normalize_nfc(text: Column | str) -> Column:
+    """Unicode NFC normalization — the canonical-composition pass every
+    web-text pipeline runs before hashing/dedup (CCNet normalizes before
+    hashing; HTML entity + mojibake cleanup feeds the same step). The JVM
+    expression library has no normalizer, so this is the one text op that
+    drops to Python: an Arrow-batched pandas UDF calling
+    unicodedata.normalize('NFC', ...) — per-batch vectorized transfer, no
+    per-row Python in the plan around it. Compose with
+    collapse_whitespace() (pure JVM) for the full cleanup."""
+    import pandas as pd  # noqa: F401  (signature typing)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql import types as T
+
+    @pandas_udf(T.StringType())
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(
+            lambda x: x if x is None else unicodedata.normalize("NFC", x)
+        )
+
+    return _nfc(_c(text))
+
+
+def collapse_whitespace(text: Column | str) -> Column:
+    """Collapse runs of whitespace to single spaces and trim — pure JVM."""
+    return F.trim(F.regexp_replace(_c(text), r"\s+", " "))
