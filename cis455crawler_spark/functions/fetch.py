@@ -122,3 +122,40 @@ def route_fetch(
         .when(F.length(h) > max_content_bytes, F.lit("size_reject"))
         .otherwise(F.lit("parse"))
     )
+
+
+# --- HTTP cache freshness (RFC 9111) -> recrawl TTL -----------------------
+
+CACHE_NOCACHE_RE = r"(?i)no-store|no-cache|must-revalidate"
+CACHE_SMAXAGE_RE = r"(?i)s-maxage\s*=\s*([0-9]+)"
+CACHE_MAXAGE_RE = r"(?i)max-age\s*=\s*([0-9]+)"
+
+
+def cache_ttl_seconds(
+    cache_control: Column | str, default_ttl: int = 86400
+) -> Column:
+    """Freshness lifetime (seconds) from a Cache-Control header value,
+    per RFC 9111 §4.2.1 precedence for a shared cache (a crawler is one):
+
+      no-store / no-cache / must-revalidate -> 0 (always revalidate)
+      s-maxage=N   (shared-cache override)  -> N
+      max-age=N                             -> N
+      no freshness directive / NULL header  -> default_ttl
+
+    The regexes can't collide: "s-maxage" does not contain the substring
+    "max-age" (no hyphen between max and age), so the plain max-age
+    pattern never matches inside an s-maxage directive. Pure JVM regexp —
+    this is the header-driven analogue of the Poisson change-rate
+    estimator in operators/recrawl.py: servers that declare freshness get
+    scheduled from their own declaration, the rest from observed change
+    history."""
+    cc = _c(cache_control)
+    nocache = F.coalesce(cc.rlike(CACHE_NOCACHE_RE), F.lit(False))
+    smax = F.regexp_extract(cc, CACHE_SMAXAGE_RE, 1)
+    mage = F.regexp_extract(cc, CACHE_MAXAGE_RE, 1)
+    return (
+        F.when(nocache, F.lit(0).cast("long"))
+        .when(smax != "", smax.cast("long"))
+        .when(mage != "", mage.cast("long"))
+        .otherwise(F.lit(default_ttl).cast("long"))
+    )
