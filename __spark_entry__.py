@@ -1859,6 +1859,55 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cache_ttl_recrawl"] = cache_ttl_recrawl
 
+    def wand_block_maxscore(spark, sf):
+        """Block-max WAND metadata (Ding & Suel SIGIR'11) over the BM25
+        postings: per (word, 64-doc block) max impact + term-wide upper
+        bound via agg + dimension join back (never a window over word)."""
+        from cis455crawler_spark.operators.index_layout import (
+            term_block_maxscore,
+        )
+        from cis455crawler_spark.operators.indexer import bm25_postings
+
+        docs = _load(spark, sf, "documents")
+        scored = bm25_postings(docs)
+        return term_block_maxscore(scored, block_size=64).orderBy(
+            "word", "block_id"
+        )
+
+    q["wand_block_maxscore"] = wand_block_maxscore
+
+    def term_dict_frontcode(spark, sf):
+        """Front-coded term-dictionary sizing (Lucene .tim block layout):
+        LCP vs the previous term computed with slice + zip_with +
+        array_position (codegen, no Python), lag partition-local to the
+        leading-char bucket."""
+        from cis455crawler_spark.operators.index_layout import (
+            term_dict_frontcode_stats,
+        )
+
+        terms = _tokens(spark, sf).select("word")
+        return term_dict_frontcode_stats(terms).orderBy("bucket")
+
+    q["term_dict_frontcode"] = term_dict_frontcode
+
+    def salsa_hub_auth(spark, sf):
+        """SALSA (Lempel & Moran WWW'00) on the same synthetic graph
+        family as hits_hubs_auth — degree-normalized random-walk scatter,
+        verified against an unrolled-CTE DuckDB oracle."""
+        from cis455crawler_spark.operators.pagerank import salsa
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 50).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 50).cast("string")).alias("dst"),
+        )
+        s = salsa(edges, iterations=3)
+        return s.select(
+            "node", F.round("hub", 6).alias("hub"), F.round("auth", 6).alias("auth")
+        ).orderBy("node")
+
+    q["salsa_hub_auth"] = salsa_hub_auth
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -1922,6 +1971,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk",
         "lm_bigram_quality",
         "hits_hubs_auth",
+        # fifth round-4 batch: three more with 2+ rounds of green driver
+        # rows each (pii counting/redaction also property-tested; CDX and
+        # boilerplate both pytest-covered with plan asserts) demoted so
+        # WAND block-max / front-coding / SALSA get driver rows.
+        "pii_redact",
+        "cdx_capture_index",
+        "boilerplate_strip",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2019,6 +2075,45 @@ def _hits_sql(raw_edges_sql: str, iterations: int = 3) -> str:
           SELECT n.node, COALESCE(s.v, 0.0) AS v
           FROM nodes n LEFT JOIN (
             SELECT e.src, SUM(a.auth) AS v FROM e JOIN a{i} a ON e.dst = a.node
+            GROUP BY e.src) s ON n.node = s.src),
+        h{i} AS (
+          SELECT node, CASE WHEN t.t > 0 THEN v / t.t ELSE 0.0 END AS hub
+          FROM h{i}r, (SELECT SUM(v) AS t FROM h{i}r) t)"""
+    sql += f"""
+        SELECT h.node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
+        FROM h{iterations} h JOIN a{iterations} a USING (node) ORDER BY h.node"""
+    return sql
+
+
+def _salsa_sql(raw_edges_sql: str, iterations: int = 3) -> str:
+    """Unrolled-CTE SALSA (matching operators/pagerank.py:salsa): each
+    half-step divides the scattered score by the scattering node's degree
+    before the L1-normalized sum."""
+    assert iterations >= 1, "salsa oracle needs iterations >= 1"
+    sql = f"""WITH raw AS ({raw_edges_sql}),
+        e AS (SELECT DISTINCT src, dst FROM raw),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        idg AS (SELECT dst, COUNT(*) AS indeg FROM e GROUP BY dst),
+        h0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS hub FROM nodes)"""
+    for i in range(1, iterations + 1):
+        sql += f""",
+        a{i}r AS (
+          SELECT n.node, COALESCE(s.v, 0.0) AS v
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst, SUM(h.hub / od.outdeg) AS v
+            FROM e JOIN h{i - 1} h ON e.src = h.node
+                   JOIN od ON od.src = e.src
+            GROUP BY e.dst) s ON n.node = s.dst),
+        a{i} AS (
+          SELECT node, CASE WHEN t.t > 0 THEN v / t.t ELSE 0.0 END AS auth
+          FROM a{i}r, (SELECT SUM(v) AS t FROM a{i}r) t),
+        h{i}r AS (
+          SELECT n.node, COALESCE(s.v, 0.0) AS v
+          FROM nodes n LEFT JOIN (
+            SELECT e.src, SUM(a.auth / idg.indeg) AS v
+            FROM e JOIN a{i} a ON e.dst = a.node
+                   JOIN idg ON idg.dst = e.dst
             GROUP BY e.src) s ON n.node = s.src),
         h{i} AS (
           SELECT node, CASE WHEN t.t > 0 THEN v / t.t ELSE 0.0 END AS hub
@@ -2457,6 +2552,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(ttl_s / 900.0) AS BIGINT) AS due_bucket
             FROM t ORDER BY url
         """,
+        "wand_block_maxscore": f"""
+            {tokens},
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                   FROM tokens GROUP BY doc_id, word),
+            m AS (SELECT doc_id, word, tf,
+                         CAST(SUM(tf) OVER (PARTITION BY doc_id) AS BIGINT)
+                           AS dl,
+                         COUNT(*) OVER (PARTITION BY word) AS df
+                  FROM tf),
+            c AS (SELECT COUNT(DISTINCT doc_id) AS n_docs,
+                         SUM(tf) * 1.0 / COUNT(DISTINCT doc_id) AS avgdl
+                  FROM m),
+            s AS (SELECT doc_id, word,
+                         LN(1 + (n_docs - df + 0.5) / (df + 0.5))
+                           * tf * (1.2 + 1.0)
+                           / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+                           AS score
+                  FROM m, c),
+            b AS (SELECT word, doc_id // 64 AS block_id, MAX(score) AS bm,
+                         COUNT(*) AS block_df
+                  FROM s GROUP BY 1, 2)
+            SELECT word, CAST(block_id AS BIGINT) AS block_id,
+                   ROUND(bm, 6) AS block_max, block_df,
+                   ROUND(MAX(bm) OVER (PARTITION BY word), 6) AS term_max
+            FROM b ORDER BY word, block_id
+        """,
+        "term_dict_frontcode": f"""
+            {tokens},
+            t AS (SELECT DISTINCT word FROM tokens),
+            l AS (SELECT word, substr(word, 1, 1) AS bucket,
+                         lag(word) OVER (PARTITION BY substr(word, 1, 1)
+                                         ORDER BY word) AS prev
+                  FROM t),
+            p AS (SELECT bucket, length(word) AS len,
+                         CASE WHEN prev IS NULL THEN 0
+                              ELSE COALESCE(
+                                list_position(list_transform(
+                                  range(1, least(length(word),
+                                                 length(prev)) + 1),
+                                  i -> substr(word, CAST(i AS INT), 1)
+                                       = substr(prev, CAST(i AS INT), 1)),
+                                  false) - 1,
+                                least(length(word), length(prev)))
+                         END AS lcp
+                  FROM l)
+            SELECT bucket, COUNT(*) AS n_terms,
+                   CAST(SUM(len + 1) AS BIGINT) AS raw_bytes,
+                   CAST(SUM(2 + len - lcp) AS BIGINT) AS front_bytes,
+                   ROUND(SUM(len + 1) * 1.0 / SUM(2 + len - lcp), 6)
+                     AS compression_ratio
+            FROM p GROUP BY bucket ORDER BY bucket
+        """,
+        "salsa_hub_auth": _salsa_sql(
+            """SELECT 'n' || CAST(o_custkey % 50 AS VARCHAR) AS src,
+                      'n' || CAST(o_orderkey % 50 AS VARCHAR) AS dst
+               FROM orders""",
+            3,
+        ),
         "degree_distribution": """
             WITH e AS (
               SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,

@@ -111,3 +111,95 @@ def postings_varint_stats(
             "compression_ratio"
         ),
     )
+
+
+def term_block_maxscore(
+    scored_postings: DataFrame, block_size: int = 64
+) -> DataFrame:
+    """Block-max WAND metadata (Ding & Suel, SIGIR 2011; Broder et al.,
+    CIKM 2003): per (word, doc_id-range block) the maximum impact score,
+    plus the term-wide upper bound. A WAND/BMW serve path uses term_max to
+    skip whole terms and block_max to skip whole blocks without scoring a
+    single posting — the standard top-k pruning layer above the postings
+    the engine already builds.
+
+    Input: (doc_id, word, score) rows — bm25_postings() output. Shape:
+    one groupBy(word, block) with map-side partial MAX (a 10^9-posting
+    stopword collapses to one partial row per map task per block), then
+    the term-wide max via agg + dimension join back on word — NOT a
+    window over word (same straggler-avoidance as duplicate_span_stats)."""
+    blocks = (
+        scored_postings.withColumn(
+            "block_id", F.floor(F.col("doc_id") / block_size).cast("bigint")
+        )
+        .groupBy("word", "block_id")
+        .agg(
+            F.max("score").alias("_block_max"),
+            F.count("*").alias("block_df"),
+        )
+    )
+    term_max = blocks.groupBy("word").agg(
+        F.max("_block_max").alias("_term_max")
+    )
+    return (
+        blocks.join(term_max, "word")
+        .select(
+            "word",
+            "block_id",
+            F.round("_block_max", 6).alias("block_max"),
+            "block_df",
+            F.round("_term_max", 6).alias("term_max"),
+        )
+    )
+
+
+def term_dict_frontcode_stats(
+    terms: DataFrame, term_col: str = "word", bucket_chars: int = 1
+) -> DataFrame:
+    """Front-coded term-dictionary sizing (the Lucene .tim block layout):
+    terms sorted within a bucket share their longest common prefix with
+    the previous term and store only (lcp byte, suffix-length byte,
+    suffix bytes); bucket heads store the full term. Per bucket:
+
+      (bucket, n_terms, raw_bytes, front_bytes, compression_ratio)
+
+    raw = 1 length byte + the term; front = 2 header bytes + suffix.
+    Buckets are the leading `bucket_chars` characters — block boundaries
+    at bucket edges are a layout CHOICE (Lucene restarts every 16 terms;
+    restarting per prefix bucket is equally valid and makes the lag
+    partition-local). Term dictionaries are vocabulary-sized (millions,
+    not corpus-sized), so ~36^bucket_chars-way parallelism suffices;
+    raise bucket_chars for wider fan-out.
+
+    LCP is computed engine-side with no Python: slice both char arrays to
+    the shorter length (so no null padding), zip_with equality, and take
+    the first mismatch position — array ops inside codegen."""
+    t = terms.select(F.col(term_col).alias("word")).distinct()
+    t = t.withColumn("bucket", F.substring("word", 1, bucket_chars))
+    w = Window.partitionBy("bucket").orderBy("word")
+    t = t.withColumn("prev", F.lag("word").over(w))
+    ca = F.split(F.col("word"), "")
+    cb = F.split(F.col("prev"), "")
+    minlen = F.least(F.length("word"), F.length("prev"))
+    eq = F.zip_with(
+        F.slice(ca, 1, minlen), F.slice(cb, 1, minlen), lambda x, y: x == y
+    )
+    mismatch = F.array_position(eq, False)
+    lcp = F.when(F.col("prev").isNull(), F.lit(0)).otherwise(
+        F.when(mismatch > 0, mismatch - 1).otherwise(minlen)
+    )
+    sized = t.select(
+        "bucket",
+        F.length("word").alias("_len"),
+        lcp.cast("bigint").alias("_lcp"),
+    )
+    return sized.groupBy("bucket").agg(
+        F.count("*").alias("n_terms"),
+        F.sum(F.col("_len") + 1).alias("raw_bytes"),
+        F.sum(F.lit(2) + F.col("_len") - F.col("_lcp")).alias("front_bytes"),
+        F.round(
+            F.sum(F.col("_len") + 1)
+            / F.sum(F.lit(2) + F.col("_len") - F.col("_lcp")),
+            6,
+        ).alias("compression_ratio"),
+    )
