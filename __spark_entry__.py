@@ -1908,6 +1908,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["salsa_hub_auth"] = salsa_hub_auth
 
+    def mirror_host_detect(spark, sf):
+        """Mirror-host detection (Bharat&Broder WWW'99): hosts sharing
+        content fingerprints, paired through the print with a
+        hosts-per-print cap so boilerplate prints can't explode the
+        self-join. Shared prints planted via doc_id%3/%12 over 5 hosts
+        (12 generates Z5, so every shared print spreads to all hosts)."""
+        from cis455crawler_spark.operators.mirrors import (
+            host_fingerprints,
+            mirror_host_pairs,
+        )
+
+        docs = _load(spark, sf, "documents")
+        host = F.concat(F.lit("h"), (F.col("doc_id") % 5).cast("string"))
+        content = F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("shared-"), (F.col("doc_id") % 12).cast("string")),
+        ).otherwise(F.col("text"))
+        prints = host_fingerprints(
+            docs.select(host.alias("host"), content.alias("text"))
+        )
+        return mirror_host_pairs(
+            prints, max_hosts_per_print=20, min_shared=2
+        ).orderBy("host_a", "host_b")
+
+    q["mirror_host_detect"] = mirror_host_detect
+
+    def containment_dups(spark, sf):
+        """Asymmetric shingle containment (Broder'97): quote/subset pairs
+        the symmetric Jaccard dedups miss. Every 7th doc is rewritten as
+        the 8-token prefix of its successor, so its shingles are a strict
+        subset -> containment 1.0 against the successor."""
+        from cis455crawler_spark.operators.mirrors import containment_pairs
+
+        docs = _load(spark, sf, "documents").select("doc_id", "text")
+        nxt = docs.select(
+            (F.col("doc_id") - 1).alias("doc_id"),
+            F.col("text").alias("next_text"),
+        )
+        base = docs.join(nxt, "doc_id", "left")
+        toks_next = F.filter(
+            F.split(F.lower("next_text"), "[^a-z0-9]+"), lambda t: t != ""
+        )
+        prefix8 = F.array_join(F.slice(toks_next, 1, 8), " ")
+        text2 = F.when(
+            (F.col("doc_id") % 7 == 0) & F.col("next_text").isNotNull(),
+            prefix8,
+        ).otherwise(F.col("text"))
+        planted = base.select("doc_id", text2.alias("text"))
+        return containment_pairs(planted, k=3, threshold=0.9).orderBy(
+            "contained", "container"
+        )
+
+    q["containment_dups"] = containment_dups
+
+    def bpe_pair_stats(spark, sf):
+        """BPE merge-1 statistics (Sennrich ACL'16): adjacent char-pair
+        counts over the corpus word-frequency table (the vocab collapse a
+        distributed BPE trainer runs its merge loop on). Stopwords kept —
+        a tokenizer must see them."""
+        from cis455crawler_spark.operators.bpe import (
+            bpe_pair_counts,
+            word_frequency_table,
+        )
+
+        docs = _load(spark, sf, "documents")
+        wf = word_frequency_table(docs)
+        return bpe_pair_counts(wf).orderBy("pair")
+
+    q["bpe_pair_stats"] = bpe_pair_stats
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -1978,6 +2048,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact",
         "cdx_capture_index",
         "boilerplate_strip",
+        # sixth round-4 batch: three more triple-proven entries demoted so
+        # mirror detection / containment / BPE stats get driver rows.
+        # Anchor postings r2+r3 green with the gated search/indexer family
+        # re-exercising the token stream; lang-id r2+r3 green with the
+        # gated text_quality twin; postings assembly r1-r3 green and its
+        # semantics ride through the gated tfidf/bm25/serve entries.
+        "anchor_text_postings",
+        "lang_id_docs",
+        "postings_assembly",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2603,6 +2682,93 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(SUM(len + 1) * 1.0 / SUM(2 + len - lcp), 6)
                      AS compression_ratio
             FROM p GROUP BY bucket ORDER BY bucket
+        """,
+        "mirror_host_detect": """
+            WITH p AS (
+              SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
+                     md5(CASE WHEN doc_id % 3 = 0
+                              THEN 'shared-' || CAST(doc_id % 12 AS VARCHAR)
+                              ELSE text END) AS fp
+              FROM documents),
+            pr AS (SELECT DISTINCT host, fp FROM p),
+            pp AS (SELECT fp, COUNT(DISTINCT host) AS n_hosts
+                   FROM pr GROUP BY fp),
+            capped AS (SELECT pr.host, pr.fp FROM pr
+                       JOIN pp ON pp.fp = pr.fp WHERE pp.n_hosts <= 20),
+            pairs AS (
+              SELECT a.host AS host_a, b.host AS host_b, COUNT(*) AS shared
+              FROM capped a JOIN capped b
+                ON a.fp = b.fp AND a.host < b.host
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+            sz AS (SELECT host, COUNT(*) AS n_prints FROM pr GROUP BY host)
+            SELECT host_a, host_b, shared,
+                   sa.n_prints AS n_a, sb.n_prints AS n_b,
+                   ROUND(shared * 1.0 / sa.n_prints, 6) AS overlap_a,
+                   ROUND(shared * 1.0 / sb.n_prints, 6) AS overlap_b
+            FROM pairs JOIN sz sa ON sa.host = host_a
+                       JOIN sz sb ON sb.host = host_b
+            ORDER BY host_a, host_b
+        """,
+        "containment_dups": """
+            WITH nxt AS (
+              SELECT d.doc_id,
+                     CASE WHEN d.doc_id % 7 = 0 AND d2.doc_id IS NOT NULL
+                       THEN array_to_string(list_slice(
+                              list_filter(regexp_split_to_array(
+                                lower(d2.text), '[^a-z0-9]+'),
+                                x -> x <> ''), 1, 8), ' ')
+                       ELSE d.text END AS text
+              FROM documents d
+              LEFT JOIN documents d2 ON d2.doc_id = d.doc_id + 1),
+            tk AS (
+              SELECT doc_id,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM nxt),
+            shl AS (
+              SELECT doc_id,
+                     CASE WHEN len(toks) >= 3
+                       THEN list_transform(range(0, len(toks) - 2),
+                              i -> toks[CAST(i + 1 AS INT)] || ' ' ||
+                                   toks[CAST(i + 2 AS INT)] || ' ' ||
+                                   toks[CAST(i + 3 AS INT)])
+                       ELSE [array_to_string(toks, ' ')] END AS shs
+              FROM tk),
+            sh AS (SELECT DISTINCT doc_id, u.s AS sh
+                   FROM shl, UNNEST(shs) AS u(s)),
+            ps AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs
+                   FROM sh GROUP BY sh),
+            capped AS (SELECT sh.doc_id, sh.sh FROM sh
+                       JOIN ps ON ps.sh = sh.sh WHERE ps.n_docs <= 50),
+            sz AS (SELECT doc_id, COUNT(*) AS n_sh
+                   FROM capped GROUP BY doc_id),
+            shared AS (
+              SELECT a.doc_id AS contained, b.doc_id AS container,
+                     COUNT(*) AS shared
+              FROM capped a JOIN capped b
+                ON a.sh = b.sh AND a.doc_id <> b.doc_id
+              GROUP BY 1, 2)
+            SELECT s.contained, s.container, s.shared,
+                   z.n_sh AS n_contained,
+                   ROUND(s.shared * 1.0 / z.n_sh, 6) AS containment
+            FROM shared s JOIN sz z ON z.doc_id = s.contained
+            WHERE ROUND(s.shared * 1.0 / z.n_sh, 6) >= 0.9
+            ORDER BY s.contained, s.container
+        """,
+        "bpe_pair_stats": """
+            WITH tk AS (
+              SELECT u.tok AS word
+              FROM documents,
+                   UNNEST(list_filter(regexp_split_to_array(lower(text),
+                          '[^a-z0-9]+'), x -> x <> '')) AS u(tok)),
+            wf AS (SELECT word, COUNT(*) AS n_words FROM tk GROUP BY word),
+            px AS (
+              SELECT word, n_words,
+                     substr(word, CAST(i AS INT), 2) AS pair
+              FROM wf, UNNEST(range(1, length(word))) AS t(i))
+            SELECT pair, COUNT(DISTINCT word) AS n_vocab,
+                   CAST(SUM(n_words) AS BIGINT) AS total_count
+            FROM px GROUP BY pair ORDER BY pair
         """,
         "salsa_hub_auth": _salsa_sql(
             """SELECT 'n' || CAST(o_custkey % 50 AS VARCHAR) AS src,
