@@ -1812,7 +1812,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         pages = pages.select("url", title.alias("title"), body.alias("text"))
         return (
             soft404_signals(pages)
-            .select("url", "title_error", "body_error", "body_tiny", "soft404")
+            .select(
+                "url",
+                "title_strong",
+                "title_error",
+                "body_error",
+                "body_tiny",
+                "soft404",
+            )
             .orderBy("url")
         )
 
@@ -1834,9 +1841,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def cache_ttl_recrawl(spark, sf):
         """RFC 9111 freshness -> recrawl TTL: Cache-Control values
-        synthesized over every precedence branch (no-cache beats s-maxage
-        beats max-age beats default), due_bucket = ttl/900 is the
-        scheduler's coarse refresh queue key."""
+        synthesized over every precedence branch (no-cache/private beat
+        s-maxage beat max-age beat default; must-revalidate does NOT
+        zero freshness), due_bucket = ttl/900 is the scheduler's coarse
+        refresh queue key."""
         from cis455crawler_spark.functions.fetch import cache_ttl_seconds
 
         pages = _doc_urls(spark, sf)
@@ -1847,6 +1855,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .when(c == "6", F.lit("s-maxage=600, max-age=60"))
             .when(c == "7", F.lit("private, Max-Age=120"))
             .when(c == "8", F.lit(None).cast("string"))
+            .when(c == "9", F.lit("must-revalidate, max-age=300"))
             .otherwise(F.lit("public"))
         )
         ttl = cache_ttl_seconds(cc, default_ttl=86400)
@@ -2569,14 +2578,18 @@ def oracle_sql() -> dict[str, str]:
             s AS (
               SELECT url,
                      COALESCE(regexp_matches(title,
+                       '(?i)\b(404|not found)\b'), FALSE) AS title_strong,
+                     COALESCE(regexp_matches(title,
                        '(?i)\b(404|not found|error)\b'), FALSE) AS title_error,
                      COALESCE(regexp_matches(body,
                        '(?i)(page not found|does not exist|no longer available)'),
                        FALSE) AS body_error,
                      COALESCE(length(body) < 80, TRUE) AS body_tiny
               FROM p)
-            SELECT url, title_error, body_error, body_tiny,
-                   title_error OR (body_error AND body_tiny) AS soft404
+            SELECT url, title_strong, title_error, body_error, body_tiny,
+                   title_strong
+                   OR (title_error AND (body_error OR body_tiny))
+                   OR (body_error AND body_tiny) AS soft404
             FROM s ORDER BY url
         """,
         "url_template_mine": doc_urls
@@ -2584,7 +2597,7 @@ def oracle_sql() -> dict[str, str]:
             t AS (
               SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
                      regexp_replace(
-                       regexp_replace(url, '\b[0-9a-f]{8,}\b', '{x}', 'g'),
+                       regexp_replace(url, '\b[0-9a-fA-F]{8,}\b', '{x}', 'g'),
                        '[0-9]+', '{d}', 'g') AS template,
                      url
               FROM doc_urls),
@@ -2610,12 +2623,14 @@ def oracle_sql() -> dict[str, str]:
                           WHEN substr(md5(url),3,1) = '7'
                             THEN 'private, Max-Age=120'
                           WHEN substr(md5(url),3,1) = '8' THEN NULL
+                          WHEN substr(md5(url),3,1) = '9'
+                            THEN 'must-revalidate, max-age=300'
                           ELSE 'public' END AS cache_control
               FROM doc_urls),
             t AS (
               SELECT url, cache_control,
                      CASE WHEN COALESCE(regexp_matches(cache_control,
-                            '(?i)no-store|no-cache|must-revalidate'), FALSE)
+                            '(?i)no-store|no-cache|private'), FALSE)
                             THEN 0
                           WHEN regexp_extract(cache_control,
                             '(?i)s-maxage\s*=\s*([0-9]+)', 1) <> ''
@@ -2686,9 +2701,11 @@ def oracle_sql() -> dict[str, str]:
         "mirror_host_detect": """
             WITH p AS (
               SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
-                     md5(CASE WHEN doc_id % 3 = 0
-                              THEN 'shared-' || CAST(doc_id % 12 AS VARCHAR)
-                              ELSE text END) AS fp
+                     -- fingerprint_md5's normalization (lower+ws-collapse)
+                     md5(regexp_replace(lower(trim(
+                       CASE WHEN doc_id % 3 = 0
+                            THEN 'shared-' || CAST(doc_id % 12 AS VARCHAR)
+                            ELSE text END)), '\s+', ' ', 'g')) AS fp
               FROM documents),
             pr AS (SELECT DISTINCT host, fp FROM p),
             pp AS (SELECT fp, COUNT(DISTINCT host) AS n_hosts
@@ -2700,7 +2717,8 @@ def oracle_sql() -> dict[str, str]:
               FROM capped a JOIN capped b
                 ON a.fp = b.fp AND a.host < b.host
               GROUP BY 1, 2 HAVING COUNT(*) >= 2),
-            sz AS (SELECT host, COUNT(*) AS n_prints FROM pr GROUP BY host)
+            sz AS (SELECT host, COUNT(*) AS n_prints
+                   FROM capped GROUP BY host)
             SELECT host_a, host_b, shared,
                    sa.n_prints AS n_a, sb.n_prints AS n_b,
                    ROUND(shared * 1.0 / sa.n_prints, 6) AS overlap_a,
@@ -2735,7 +2753,8 @@ def oracle_sql() -> dict[str, str]:
                        ELSE [array_to_string(toks, ' ')] END AS shs
               FROM tk),
             sh AS (SELECT DISTINCT doc_id, u.s AS sh
-                   FROM shl, UNNEST(shs) AS u(s)),
+                   FROM shl, UNNEST(shs) AS u(s)
+                   WHERE u.s <> ''),
             ps AS (SELECT sh, COUNT(DISTINCT doc_id) AS n_docs
                    FROM sh GROUP BY sh),
             capped AS (SELECT sh.doc_id, sh.sh FROM sh

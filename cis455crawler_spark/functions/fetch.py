@@ -126,7 +126,7 @@ def route_fetch(
 
 # --- HTTP cache freshness (RFC 9111) -> recrawl TTL -----------------------
 
-CACHE_NOCACHE_RE = r"(?i)no-store|no-cache|must-revalidate"
+CACHE_NOCACHE_RE = r"(?i)no-store|no-cache|private"
 CACHE_SMAXAGE_RE = r"(?i)s-maxage\s*=\s*([0-9]+)"
 CACHE_MAXAGE_RE = r"(?i)max-age\s*=\s*([0-9]+)"
 
@@ -135,12 +135,20 @@ def cache_ttl_seconds(
     cache_control: Column | str, default_ttl: int = 86400
 ) -> Column:
     """Freshness lifetime (seconds) from a Cache-Control header value,
-    per RFC 9111 §4.2.1 precedence for a shared cache (a crawler is one):
+    per RFC 9111 precedence for a SHARED cache (a crawler is one):
 
-      no-store / no-cache / must-revalidate -> 0 (always revalidate)
-      s-maxage=N   (shared-cache override)  -> N
-      max-age=N                             -> N
-      no freshness directive / NULL header  -> default_ttl
+      no-store / no-cache / private -> 0 (no-store/no-cache: always
+          revalidate, §5.2.2.4/.5; private: a shared cache must not
+          reuse the response at all, §5.2.2.7 — TTL 0 schedules a fresh
+          fetch every visit)
+      s-maxage=N  (shared-cache override, §5.2.2.10) -> N
+      max-age=N   (§5.2.2.1)                         -> N
+      no freshness directive / NULL header           -> default_ttl
+
+    must-revalidate is deliberately NOT in the zero bucket: it does not
+    shorten freshness, it only forbids serving stale once the max-age
+    lifetime has passed (§5.2.2.2) — 'max-age=3600, must-revalidate' is
+    fresh for the full 3600 s.
 
     The regexes can't collide: "s-maxage" does not contain the substring
     "max-age" (no hyphen between max and age), so the plain max-age

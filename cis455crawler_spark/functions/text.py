@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+from pyspark.sql import types as _T
 
 # the reference's 25 hardcoded stopwords (Indexer.java:28-56)
 STOPWORDS = [
@@ -265,28 +266,25 @@ def shingles(tokens: Column, k: int = 3) -> Column:
     )
 
 
+@F.pandas_udf(_T.StringType())
+def _nfc_kernel(s):
+    import unicodedata
+
+    return s.map(
+        lambda x: x if x is None else unicodedata.normalize("NFC", x)
+    )
+
+
 def normalize_nfc(text: Column | str) -> Column:
     """Unicode NFC normalization — the canonical-composition pass every
     web-text pipeline runs before hashing/dedup (CCNet normalizes before
     hashing; HTML entity + mojibake cleanup feeds the same step). The JVM
     expression library has no normalizer, so this is the one text op that
-    drops to Python: an Arrow-batched pandas UDF calling
-    unicodedata.normalize('NFC', ...) — per-batch vectorized transfer, no
-    per-row Python in the plan around it. Compose with
+    drops to Python: an Arrow-batched pandas UDF (module-level, built
+    once) calling unicodedata.normalize('NFC', ...) — per-batch vectorized
+    transfer, no per-row Python in the plan around it. Compose with
     collapse_whitespace() (pure JVM) for the full cleanup."""
-    import pandas as pd  # noqa: F401  (signature typing)
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql import types as T
-
-    @pandas_udf(T.StringType())
-    def _nfc(s):
-        import unicodedata
-
-        return s.map(
-            lambda x: x if x is None else unicodedata.normalize("NFC", x)
-        )
-
-    return _nfc(_c(text))
+    return _nfc_kernel(_c(text))
 
 
 def collapse_whitespace(text: Column | str) -> Column:

@@ -28,15 +28,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import shingles, tokenize
+from ..functions.text import fingerprint_md5, shingles, tokenize
 
 
 def host_fingerprints(
     pages: DataFrame, host_col: str = "host", text_col: str = "text"
 ) -> DataFrame:
-    """(host, fp) distinct content fingerprints per host."""
+    """(host, fp) distinct content fingerprints per host — the shared
+    fingerprint_md5 (lowercase + whitespace-collapse normalization), so
+    mirrored pages differing only in case/whitespace still match and the
+    engine has ONE page-fingerprint definition (same key exact_dedup
+    uses)."""
     return pages.select(
-        F.col(host_col).alias("host"), F.md5(text_col).alias("fp")
+        F.col(host_col).alias("host"),
+        fingerprint_md5(F.col(text_col)).alias("fp"),
     ).distinct()
 
 
@@ -47,8 +52,13 @@ def mirror_host_pairs(
 ) -> DataFrame:
     """(host_a, host_b, shared, n_a, n_b, overlap_a, overlap_b) for host
     pairs sharing >= min_shared capped fingerprints; overlap_x = shared /
-    |prints(x)| (directional: a near-complete mirror of a subset host
-    shows overlap ~1.0 on the smaller side)."""
+    |capped prints(x)| (directional: a near-complete mirror of a subset
+    host shows overlap ~1.0 on the smaller side). Both the intersection
+    AND the normalizing sizes are over the CAPPED print sets — a host
+    whose pages are mostly boilerplate served everywhere should score
+    high overlap on its few informative mirrored pages, not be diluted
+    by prints the cap already ruled out as evidence (same choice as
+    containment_pairs below)."""
     per_print = prints.groupBy("fp").agg(
         F.countDistinct("host").alias("n_hosts")
     )
@@ -65,7 +75,7 @@ def mirror_host_pairs(
         .agg(F.count("*").alias("shared"))
         .filter(F.col("shared") >= min_shared)
     )
-    sizes = prints.groupBy("host").agg(F.count("*").alias("n_prints"))
+    sizes = capped.groupBy("host").agg(F.count("*").alias("n_prints"))
     return (
         # sizes is host-cardinality — millions of rows at web scale, so no
         # forced broadcast; AQE picks broadcast vs sort-merge from runtime
@@ -115,7 +125,10 @@ def containment_pairs(
         F.explode(
             F.array_distinct(shingles(tokenize(F.col(text_col)), k))
         ).alias("sh"),
-    )
+        # zero-token docs fall back to one "" shingle in shingles();
+        # without this filter every empty-extraction page would pair with
+        # every other at containment 1.0
+    ).filter(F.col("sh") != "")
     per_sh = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
     capped = sh.join(
         per_sh.filter(F.col("n_docs") <= max_docs_per_shingle), "sh"

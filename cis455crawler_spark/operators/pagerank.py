@@ -233,7 +233,10 @@ def hits(edges: DataFrame, iterations: int = 3, checkpoint_every: int = 1) -> Da
         auth = _l1_scatter(edges, hub, "src", "dst", "hub", "auth")
         hub = _l1_scatter(edges, auth, "dst", "src", "auth", "hub")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            auth = auth.localCheckpoint()  # cut the cross-iteration lineage
+            # checkpointing hub cuts the cross-iteration lineage for BOTH
+            # scores (auth derives from the previous checkpointed hub);
+            # eagerly checkpointing auth too would run a second full job
+            # per iteration whose result is never re-read
             hub = hub.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))
@@ -330,7 +333,7 @@ def salsa(
         )
         hub = _l1_scatter(edges, auth_div, "dst", "src", "auth", "hub")
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            auth = auth.localCheckpoint()
+            # hub's checkpoint covers auth's lineage too (see hits())
             hub = hub.localCheckpoint()
     nodes = (
         edges.select(F.col("src").alias("node"))

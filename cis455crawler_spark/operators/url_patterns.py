@@ -23,11 +23,11 @@ from ..functions.urls import host_of
 
 # hex runs MUST collapse before digit runs (a hex id contains digit runs
 # that would otherwise be eaten first). A 8+-char run over the hex
-# alphabet — including a pure-digit one — reads as an opaque id {x}:
-# requiring "at least one a-f letter" needs lookahead, which RE2 (the
-# DuckDB oracle engine) does not support, and a 8+-digit run is an opaque
-# id for template purposes anyway. Shorter digit runs -> {d}.
-_LONGHEX = r"\b[0-9a-f]{8,}\b"
+# alphabet — either case, including a pure-digit one — reads as an opaque
+# id {x}: requiring "at least one a-f letter" needs lookahead, which RE2
+# (the DuckDB oracle engine) does not support, and a 8+-digit run is an
+# opaque id for template purposes anyway. Shorter digit runs -> {d}.
+_LONGHEX = r"\b[0-9a-fA-F]{8,}\b"
 _DIGITS = r"[0-9]+"
 
 
@@ -55,7 +55,9 @@ def mine_url_templates(urls: DataFrame, url_col: str = "url") -> DataFrame:
         F.countDistinct("url").alias("host_urls")
     )
     return (
-        per_tpl.join(F.broadcast(per_host), "host")
+        # per_host is host-cardinality (10^7-10^8 hosts at web scale) —
+        # no forced broadcast; the join key is the group key, AQE decides
+        per_tpl.join(per_host, "host")
         .select(
             "host",
             "template",

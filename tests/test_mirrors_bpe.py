@@ -55,6 +55,10 @@ def test_containment_subset_detected(spark):
         Row(doc_id=1, text=long),
         Row(doc_id=2, text="one two three four five"),  # prefix subset
         Row(doc_id=3, text="totally different words here my friend ok"),
+        # zero-token docs must NOT pair with each other (the "" fallback
+        # shingle is filtered out)
+        Row(doc_id=4, text=""),
+        Row(doc_id=5, text="   "),
     ]
     out = {
         (r.contained, r.container): r.containment
