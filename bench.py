@@ -85,6 +85,19 @@ BENCH_QUERIES = [
     "postings_varint_size",
     "reciprocal_link_ratio",
     "pld_rollup_hosts",
+    # round-4 second continuation ops
+    "paragraph_dedup_corpus",
+    "line_dedup_docs",
+    "text_normalize_nfc",
+    "soft404_detect",
+    "url_template_mine",
+    "cache_ttl_recrawl",
+    "wand_block_maxscore",
+    "term_dict_frontcode",
+    "salsa_hub_auth",
+    "mirror_host_detect",
+    "containment_dups",
+    "bpe_pair_stats",
 ]
 
 
