@@ -98,6 +98,9 @@ BENCH_QUERIES = [
     "mirror_host_detect",
     "containment_dups",
     "bpe_pair_stats",
+    "redirect_chains",
+    "index_shard_plan16",
+    "term_cooccur_pmi",
 ]
 
 

@@ -203,3 +203,43 @@ def term_dict_frontcode_stats(
             6,
         ).alias("compression_ratio"),
     )
+
+
+def index_shard_plan(
+    term_stats: DataFrame, n_shards: int = 16
+) -> DataFrame:
+    """Index shard sizing report: hash-partition the term dictionary into
+    `n_shards` shards (md5-keyed — engine-portable and stable across
+    runs, unlike JVM-specific hashes) and roll up per-shard byte /
+    posting / term totals plus the balance ratio vs the mean shard.
+
+    This is the planning pass before writing a sharded index
+    (write.partitionBy(shard)): the balance column is the skew check —
+    hash sharding the TERM key balances term counts but a shard that
+    drew several stopword-grade terms can still carry outsized bytes,
+    which is why the roll-up reports bytes, not just term counts.
+    Input: postings_varint_stats() output (word, df, bytes_varint, ...).
+    One map-side-combinable groupBy + a broadcast 1-row mean."""
+    shard = F.pmod(
+        F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards),
+    ).cast("int")
+    per = (
+        term_stats.withColumn("shard", shard)
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_terms"),
+            F.sum("bytes_varint").alias("total_bytes"),
+            F.sum("df").alias("total_postings"),
+        )
+    )
+    mean = per.agg(F.avg("total_bytes").alias("_mean_bytes"))
+    return per.crossJoin(F.broadcast(mean)).select(
+        "shard",
+        "n_terms",
+        "total_bytes",
+        "total_postings",
+        F.round(F.col("total_bytes") / F.col("_mean_bytes"), 6).alias(
+            "balance"
+        ),
+    )
