@@ -2055,6 +2055,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["term_cooccur_pmi"] = term_cooccur_pmi
 
+    def kmv_distinct_hosts(spark, sf):
+        """KMV distinct-count sketch (Beyer SIGMOD'07) — the mergeable
+        cardinality estimator whose estimate is a deterministic function
+        of the input set, so it hash-verifies cross-engine (HLL cannot).
+        Salted two-phase top-k selection (the scheduler pop shape)."""
+        from cis455crawler_spark.operators.sketches import kmv_distinct
+
+        urls = _doc_urls(spark, sf).select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 7).cast("string")).alias(
+                "host"
+            ),
+            "url",
+        )
+        return kmv_distinct(urls, "host", "url", k=16).orderBy("host")
+
+    q["kmv_distinct_hosts"] = kmv_distinct_hosts
+
+    def cocitation_pairs_graph(spark, sf):
+        """Co-citation counts (Small JASIS'73) on a synthesized sparse
+        citation graph; hub sources above the out-degree cap are dropped
+        before pairing (the df-cap anti-explosion shape)."""
+        from cis455crawler_spark.operators.graph_signals import (
+            cocitation_pairs,
+        )
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 500).cast("string")).alias("src"),
+            F.concat(F.lit("m"), (F.col("o_orderkey") % 40).cast("string")).alias("dst"),
+        )
+        return cocitation_pairs(edges, max_outdeg=30, min_shared=2).orderBy(
+            "dst_a", "dst_b"
+        )
+
+    q["cocitation_pairs_graph"] = cocitation_pairs_graph
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2143,6 +2179,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_ngram",
         "robots_substring_filter",
         "ngram_jaccard_dups",
+        # eighth round-4 batch: two more triple-proven entries demoted so
+        # the KMV sketch / co-citation entries get driver rows. Text
+        # quality r2+r3 green with the gated curate_corpus_e2e composing
+        # the same columns; term top-100 r1-r3 green with the gated serve
+        # e2e / phrase / BM25 family re-exercising the search path.
+        "text_quality",
+        "term_search_top100",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2815,6 +2858,42 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "kmv_distinct_hosts": doc_urls
+        + """,
+            keyed AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 7 AS VARCHAR) AS grp,
+                              url AS key
+              FROM doc_urls),
+            uu AS (
+              SELECT grp, key,
+                     CAST('0x' || substr(md5(key), 1, 13) AS BIGINT)
+                       / 4503599627370496.0 AS u
+              FROM keyed),
+            r AS (
+              SELECT grp, u,
+                     ROW_NUMBER() OVER (PARTITION BY grp
+                                        ORDER BY u, key) AS rn
+              FROM uu),
+            kept AS (SELECT grp, u FROM r WHERE rn <= 16)
+            SELECT grp AS host, COUNT(*) AS n_kept, MAX(u) AS u_k,
+                   ROUND(CASE WHEN COUNT(*) < 16 THEN COUNT(*) * 1.0
+                              ELSE 15.0 / MAX(u) END, 3) AS kmv_estimate
+            FROM kept GROUP BY grp ORDER BY host
+        """,
+        "cocitation_pairs_graph": """
+            WITH e AS (
+              SELECT DISTINCT 'n' || CAST(o_custkey % 500 AS VARCHAR) AS src,
+                              'm' || CAST(o_orderkey % 40 AS VARCHAR) AS dst
+              FROM orders),
+            od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+            capped AS (SELECT e.src, e.dst FROM e
+                       JOIN od ON od.src = e.src WHERE od.outdeg <= 30)
+            SELECT a.dst AS dst_a, b.dst AS dst_b, COUNT(*) AS cocited
+            FROM capped a JOIN capped b
+              ON a.src = b.src AND a.dst < b.dst
+            GROUP BY 1, 2 HAVING COUNT(*) >= 2
+            ORDER BY dst_a, dst_b
+        """,
         "index_shard_plan16": f"""
             WITH tokens AS ({_TOKENS_SQL}),
             pairs AS (SELECT DISTINCT word, doc_id FROM tokens),

@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "redirect_chains",
     "index_shard_plan16",
     "term_cooccur_pmi",
+    "kmv_distinct_hosts",
+    "cocitation_pairs_graph",
 ]
 
 

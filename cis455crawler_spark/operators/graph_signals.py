@@ -50,3 +50,38 @@ def reciprocal_link_stats(
             ).alias("recip_ratio"),
         )
     )
+
+
+def cocitation_pairs(
+    edges: DataFrame, max_outdeg: int = 50, min_shared: int = 2
+) -> DataFrame:
+    """Co-citation counts (Small, JASIS 1973): pairs of pages cited BY
+    the same page, the classic relatedness signal complementing the
+    link-walk ranks (HITS/SALSA see endorsement; co-citation sees
+    topical association — two pages repeatedly cited together are about
+    the same thing even if they never link to each other).
+
+    (dst_a, dst_b, cocited) with dst_a < dst_b, counting distinct citing
+    pages. Scale guard: a directory/hub page citing 10^4 targets emits
+    10^8 pairs and co-cites everything — not association evidence. Citing
+    pages with out-degree > max_outdeg are dropped BEFORE pairing (the
+    mirror/containment df-cap shape), bounding per-src fan-out at
+    max_outdeg^2. Bibliographic coupling (Kessler 1963) is this operator
+    on the transposed edge set — swap src/dst at the call site."""
+    e = edges.select("src", "dst").distinct()
+    od = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    capped = e.join(od.filter(F.col("outdeg") <= max_outdeg), "src").select(
+        "src", "dst"
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.src") == F.col("b.src"))
+            & (F.col("a.dst") < F.col("b.dst")),
+        )
+        .groupBy(F.col("a.dst").alias("dst_a"), F.col("b.dst").alias("dst_b"))
+        .agg(F.count("*").alias("cocited"))
+        .filter(F.col("cocited") >= min_shared)
+    )

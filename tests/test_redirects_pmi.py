@@ -80,3 +80,70 @@ def test_cooccurrence_pmi_designed(spark):
     # only (a,b): co-occur in docs 1,2; N=4 total docs
     want_pmi = round(math.log(2 * 4 / (4 * 2)), 6)  # = ln(1) = 0
     assert out == {("a", "b"): (2, 4, 2, want_pmi)}
+
+
+def _kmv_py(groups, k=16):
+    import hashlib
+
+    out = {}
+    for g, keys in groups.items():
+        us = sorted(
+            int(hashlib.md5(x.encode()).hexdigest()[:13], 16) / float(16**13)
+            for x in set(keys)
+        )
+        kept = us[:k]
+        est = len(kept) if len(kept) < k else (k - 1) / kept[-1]
+        out[g] = (len(kept), round(est, 3))
+    return out
+
+
+def test_kmv_matches_python_and_salt_invariant(spark):
+    from cis455crawler_spark.operators.sketches import kmv_distinct
+
+    rows = [
+        ("big", f"url-{i}") for i in range(200)
+    ] + [
+        ("small", f"u{i}") for i in range(5)
+    ] + [
+        ("big", "url-0"),  # duplicate key must not perturb the sketch
+    ]
+    df = spark.createDataFrame(rows, "host string, url string")
+    want = _kmv_py(
+        {
+            "big": [f"url-{i}" for i in range(200)],
+            "small": [f"u{i}" for i in range(5)],
+        }
+    )
+    for salt in (1, 4, 32):
+        got = {
+            r.host: (r.n_kept, r.kmv_estimate)
+            for r in kmv_distinct(
+                df, "host", "url", k=16, salt_buckets=salt
+            ).collect()
+        }
+        assert got == want, salt
+    # small group: sketch is exact
+    assert want["small"] == (5, 5.0)
+    # big group: estimate within 50% of truth at k=16
+    assert 100 < want["big"][1] < 400
+
+
+def test_cocitation_cap_and_counts(spark):
+    from cis455crawler_spark.operators.graph_signals import cocitation_pairs
+
+    edges = (
+        [("s1", "a"), ("s1", "b"), ("s2", "a"), ("s2", "b"), ("s2", "c")]
+        # hub citing 5 targets with cap 4 -> its pairs must not appear
+        + [("hub", t) for t in ("a", "b", "c", "d", "e")]
+        + [("s3", "a"), ("s3", "b")]
+    )
+    out = {
+        (r.dst_a, r.dst_b): r.cocited
+        for r in cocitation_pairs(
+            spark.createDataFrame(edges, "src string, dst string"),
+            max_outdeg=4,
+            min_shared=2,
+        ).collect()
+    }
+    # (a,b) co-cited by s1, s2, s3 (hub excluded); nothing else reaches 2
+    assert out == {("a", "b"): 3}
