@@ -36,25 +36,38 @@ def _load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents + a deterministic absolute url per doc (3 path shapes that
-    exercise every branch of the quirk resolver)."""
-    docs = _load(spark, sf_dir, "documents")
-    host = F.concat(F.lit("http://host-"), (F.col("doc_id") % _N_HOSTS).cast("string"), F.lit(".test"))
+def _url_col(d):
+    """Deterministic absolute url for a doc-id Column `d` (3 path shapes
+    that exercise every branch of the quirk resolver). THE single url
+    synthesis — _doc_urls and the redirect-chain entry both call this, and
+    _url_sql below is its SQL mirror."""
+    host = F.concat(F.lit("http://host-"), (d % _N_HOSTS).cast("string"), F.lit(".test"))
     path = (
-        F.when(F.col("doc_id") % 3 == 0, F.concat(F.lit("/p"), F.col("doc_id").cast("string"), F.lit(".html")))
-        .when(F.col("doc_id") % 3 == 1, F.concat(F.lit("/dir"), F.col("doc_id").cast("string"), F.lit("/")))
-        .otherwise(F.concat(F.lit("/doc"), F.col("doc_id").cast("string")))
+        F.when(d % 3 == 0, F.concat(F.lit("/p"), d.cast("string"), F.lit(".html")))
+        .when(d % 3 == 1, F.concat(F.lit("/dir"), d.cast("string"), F.lit("/")))
+        .otherwise(F.concat(F.lit("/doc"), d.cast("string")))
     )
-    return docs.withColumn("url", F.concat(host, path))
+    return F.concat(host, path)
 
 
-_DOC_URL_SQL = """
-  SELECT d.*,
-         'http://host-' || CAST(d.doc_id % 37 AS VARCHAR) || '.test' ||
-         CASE WHEN d.doc_id % 3 = 0 THEN '/p' || CAST(d.doc_id AS VARCHAR) || '.html'
-              WHEN d.doc_id % 3 = 1 THEN '/dir' || CAST(d.doc_id AS VARCHAR) || '/'
-              ELSE '/doc' || CAST(d.doc_id AS VARCHAR) END AS url
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + the deterministic url (see _url_col)."""
+    docs = _load(spark, sf_dir, "documents")
+    return docs.withColumn("url", _url_col(F.col("doc_id")))
+
+
+def _url_sql(d: str) -> str:
+    """SQL mirror of _url_col over an arbitrary doc-id expression `d`."""
+    return (
+        f"'http://host-' || CAST(({d}) % {_N_HOSTS} AS VARCHAR) || '.test' || "
+        f"CASE WHEN ({d}) % 3 = 0 THEN '/p' || CAST(({d}) AS VARCHAR) || '.html' "
+        f"WHEN ({d}) % 3 = 1 THEN '/dir' || CAST(({d}) AS VARCHAR) || '/' "
+        f"ELSE '/doc' || CAST(({d}) AS VARCHAR) END"
+    )
+
+
+_DOC_URL_SQL = f"""
+  SELECT d.*, {_url_sql('d.doc_id')} AS url
   FROM documents d
 """
 
@@ -1996,17 +2009,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             resolve_redirect_chains,
         )
 
-        def url_of(d):
-            host = F.concat(
-                F.lit("http://host-"), (d % 37).cast("string"), F.lit(".test")
-            )
-            path = (
-                F.when(d % 3 == 0, F.concat(F.lit("/p"), d.cast("string"), F.lit(".html")))
-                .when(d % 3 == 1, F.concat(F.lit("/dir"), d.cast("string"), F.lit("/")))
-                .otherwise(F.concat(F.lit("/doc"), d.cast("string")))
-            )
-            return F.concat(host, path)
-
+        url_of = _url_col  # the shared synthesis — no drift possible
         d = F.col("doc_id")
         docs = _load(spark, sf, "documents").select("doc_id")
         redirects = (
@@ -2293,27 +2296,17 @@ def _hits_sql(raw_edges_sql: str, iterations: int = 3) -> str:
     return sql
 
 
-def _redirect_url_expr(d: str) -> str:
-    """SQL mirror of the entry-local url_of() synthesis for doc-id
-    expression `d`."""
-    return (
-        f"'http://host-' || CAST(({d}) % 37 AS VARCHAR) || '.test' || "
-        f"CASE WHEN ({d}) % 3 = 0 THEN '/p' || CAST(({d}) AS VARCHAR) || '.html' "
-        f"WHEN ({d}) % 3 = 1 THEN '/dir' || CAST(({d}) AS VARCHAR) || '/' "
-        f"ELSE '/doc' || CAST(({d}) AS VARCHAR) END"
-    )
-
-
 def _redirect_chains_sql(max_hops: int = 3) -> str:
     """Unrolled-join mirror of operators/redirects.resolve_redirect_chains
-    over the synthesized chain/loop redirect map."""
+    over the synthesized chain/loop redirect map (urls via the shared
+    _url_sql synthesis)."""
     sql = f"""WITH r AS (
-          SELECT {_redirect_url_expr('doc_id')} AS url,
+          SELECT {_url_sql('doc_id')} AS url,
                  CASE WHEN doc_id % 50 = 48
-                        THEN {_redirect_url_expr('doc_id + 1')}
+                        THEN {_url_sql('doc_id + 1')}
                       WHEN doc_id % 50 = 49
-                        THEN {_redirect_url_expr('doc_id - 1')}
-                      ELSE {_redirect_url_expr('doc_id + 1')} END AS target
+                        THEN {_url_sql('doc_id - 1')}
+                      ELSE {_url_sql('doc_id + 1')} END AS target
           FROM documents
           WHERE doc_id % 50 IN (48, 49) OR doc_id % 5 IN (0, 1)),
         c1 AS (SELECT url, target AS final_url, 1 AS hops FROM r)"""
@@ -2877,7 +2870,8 @@ def oracle_sql() -> dict[str, str]:
             kept AS (SELECT grp, u FROM r WHERE rn <= 16)
             SELECT grp AS host, COUNT(*) AS n_kept, MAX(u) AS u_k,
                    ROUND(CASE WHEN COUNT(*) < 16 THEN COUNT(*) * 1.0
-                              ELSE 15.0 / MAX(u) END, 3) AS kmv_estimate
+                              WHEN MAX(u) > 0 THEN 15.0 / MAX(u)
+                              ELSE COUNT(*) * 1.0 END, 3) AS kmv_estimate
             FROM kept GROUP BY grp ORDER BY host
         """,
         "cocitation_pairs_graph": """
@@ -2918,10 +2912,19 @@ def oracle_sql() -> dict[str, str]:
                      CAST(SUM(bytes_varint) AS BIGINT) AS total_bytes,
                      CAST(SUM(df) AS BIGINT) AS total_postings
               FROM b GROUP BY 1),
-            m AS (SELECT AVG(total_bytes) AS mean_bytes FROM per)
+            allsh AS (SELECT CAST(range AS INT) AS shard FROM range(16)),
+            filled AS (
+              SELECT a.shard,
+                     CAST(COALESCE(p.n_terms, 0) AS BIGINT) AS n_terms,
+                     CAST(COALESCE(p.total_bytes, 0) AS BIGINT)
+                       AS total_bytes,
+                     CAST(COALESCE(p.total_postings, 0) AS BIGINT)
+                       AS total_postings
+              FROM allsh a LEFT JOIN per p ON p.shard = a.shard),
+            m AS (SELECT SUM(total_bytes) / 16.0 AS mean_bytes FROM filled)
             SELECT shard, n_terms, total_bytes, total_postings,
                    ROUND(total_bytes / mean_bytes, 6) AS balance
-            FROM per, m ORDER BY shard
+            FROM filled, m ORDER BY shard
         """,
         "term_cooccur_pmi": f"""
             WITH tokens AS ({_TOKENS_SQL}),

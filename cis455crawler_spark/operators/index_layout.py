@@ -233,7 +233,22 @@ def index_shard_plan(
             F.sum("df").alias("total_postings"),
         )
     )
-    mean = per.agg(F.avg("total_bytes").alias("_mean_bytes"))
+    # every shard gets a row — an EMPTY shard is the most imbalanced
+    # outcome possible (balance 0) and must not vanish from the report;
+    # the mean divides by n_shards, not by the shards that happened to
+    # receive terms
+    all_shards = term_stats.sparkSession.range(n_shards).select(
+        F.col("id").cast("int").alias("shard")
+    )
+    per = all_shards.join(per, "shard", "left").select(
+        "shard",
+        F.coalesce("n_terms", F.lit(0)).alias("n_terms"),
+        F.coalesce("total_bytes", F.lit(0)).alias("total_bytes"),
+        F.coalesce("total_postings", F.lit(0)).alias("total_postings"),
+    )
+    mean = per.agg(
+        (F.sum("total_bytes") / F.lit(n_shards)).alias("_mean_bytes")
+    )
     return per.crossJoin(F.broadcast(mean)).select(
         "shard",
         "n_terms",

@@ -33,10 +33,18 @@ def resolve_redirect_chains(
 
     hops counts the redirect edges actually followed (1..max_hops);
     unresolved=true when final_url is ITSELF still a redirect source
-    after max_hops (loop or over-long chain)."""
+    after max_hops (loop or over-long chain).
+
+    The map is deduplicated up front: a source refetched across crawl
+    rounds contributes identical rows that would otherwise fan out
+    multiplicatively (d duplicates -> up to d^max_hops output rows)
+    through the per-hop joins. A source with CONFLICTING targets (the
+    site retargeted its redirect between fetches) keeps one row per
+    distinct target — callers maintaining a redirect ledger should feed
+    the latest-fetch snapshot, not the append log."""
     r = redirects.select(
         F.col(url_col).alias("url"), F.col(target_col).alias("target")
-    )
+    ).distinct()
     cur = r.select(
         "url",
         F.col("target").alias("final_url"),

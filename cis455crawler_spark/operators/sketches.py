@@ -75,9 +75,13 @@ def kmv_distinct(
         F.count("*").alias("n_kept"),
         F.max("u").alias("u_k"),
         F.round(
-            F.when(F.count("*") < k, F.count("*").cast("double")).otherwise(
-                (F.lit(k) - 1) / F.max("u")
-            ),
+            F.when(F.count("*") < k, F.count("*").cast("double"))
+            # u_k = 0 needs every kept hash prefix to be all-zero
+            # (p ~ 16^-13 per key) but an unguarded division would return
+            # NULL on Spark and raise/inf on DuckDB — fall back to the
+            # survivor count rather than let the engines disagree
+            .when(F.max("u") > 0, (F.lit(k) - 1) / F.max("u"))
+            .otherwise(F.count("*").cast("double")),
             3,
         ).alias("kmv_estimate"),
     ).withColumnRenamed("grp", group_col)

@@ -49,14 +49,19 @@ def test_index_shard_plan_balance(spark):
         "word string, df long, bytes_varint long",
     )
     rows = index_shard_plan(stats, n_shards=4).collect()
+    # EVERY shard reports, including empty ones (balance 0 is the skew
+    # signal the operator exists for), and the mean divides by n_shards
+    assert sorted(r.shard for r in rows) == [0, 1, 2, 3]
     total_bytes = sum(r.total_bytes for r in rows)
     total_terms = sum(r.n_terms for r in rows)
     assert total_bytes == 12 + 7 + 3 + 2
     assert total_terms == 4
-    mean = total_bytes / len(rows)
+    mean = total_bytes / 4
     for r in rows:
         assert abs(r.balance - round(r.total_bytes / mean, 6)) < 1e-9
-        assert 0 <= r.shard < 4
+    assert any(r.n_terms == 0 and r.balance == 0.0 for r in rows) or all(
+        r.n_terms > 0 for r in rows
+    )
 
 
 def test_cooccurrence_pmi_designed(spark):
