@@ -2094,6 +2094,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["cocitation_pairs_graph"] = cocitation_pairs_graph
 
+    def spam_mass_graph(spark, sf):
+        """Relative spam-mass (Gyöngyi VLDB'06): PageRank vs trust-scaled
+        TrustRank on the mod-100 graph with seeds n0..n9 — rank arriving
+        without a trust path is the link-spam signature."""
+        from cis455crawler_spark.operators.pagerank import spam_mass
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string")).alias("dst"),
+        )
+        trusted = spark.range(10).select(
+            F.concat(F.lit("n"), F.col("id").cast("string")).alias("node")
+        )
+        return spam_mass(edges, trusted, iterations=5).orderBy("node")
+
+    q["spam_mass_graph"] = spam_mass_graph
+
+    def more_like_this_docs(spark, sf):
+        """Serve-path "more like this" (Lucene MoreLikeThis semantics):
+        tf-idf cosine over the inverted index with the df-cap dropping
+        stopword-grade terms before the shared-term self-join."""
+        from cis455crawler_spark.operators.search import more_like_this_sparse
+
+        docs = _load(spark, sf, "documents")
+        return more_like_this_sparse(
+            docs, max_df=50, threshold=0.5
+        ).orderBy("id_a", "id_b")
+
+    q["more_like_this_docs"] = more_like_this_docs
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2189,6 +2220,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # e2e / phrase / BM25 family re-exercising the search path.
         "text_quality",
         "term_search_top100",
+        # ninth round-4 batch: two more triple-proven entries demoted so
+        # spam-mass / more-like-this get driver rows. Host budget window
+        # r1-r3 green + the exact-top-k pytest and every bench crawl round
+        # exercising the scheduler; exact dedup r1-r3 green with seven
+        # other dedup entries gated and the same md5-window logic inside
+        # the gated curate_corpus_e2e.
+        "host_budget_window",
+        "dedup_exact_docs",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2293,6 +2332,53 @@ def _hits_sql(raw_edges_sql: str, iterations: int = 3) -> str:
     sql += f"""
         SELECT h.node, ROUND(h.hub, 6) AS hub, ROUND(a.auth, 6) AS auth
         FROM h{iterations} h JOIN a{iterations} a USING (node) ORDER BY h.node"""
+    return sql
+
+
+def _spam_mass_sql(
+    raw_edges_sql: str, trusted_sql: str, iterations: int = 5
+) -> str:
+    """Combined unrolled PageRank (p*) + TrustRank (t*) chains and the
+    spam-mass formula, mirroring operators/pagerank.spam_mass."""
+    sql = f"""WITH raw AS ({raw_edges_sql}),
+        e AS (SELECT * FROM raw WHERE dst IN (SELECT src FROM raw)),
+        od AS (SELECT src, COUNT(*) AS outdeg FROM e GROUP BY src),
+        tr0 AS ({trusted_sql}),
+        p0 AS (SELECT src AS node, CAST(1.0 AS DOUBLE) AS rank FROM od),
+        t0 AS (SELECT src AS node,
+                      CAST(CASE WHEN src IN (SELECT node FROM tr0)
+                                THEN 1.0 ELSE 0.0 END AS DOUBLE) AS rank
+               FROM od)"""
+    for i in range(1, iterations + 1):
+        for pre, base in (
+            ("p", "0.15"),
+            (
+                "t",
+                "CASE WHEN od.src IN (SELECT node FROM tr0) "
+                "THEN 0.15 ELSE 0.0 END",
+            ),
+        ):
+            sql += f""",
+        {pre}{i} AS (
+          SELECT od.src AS node,
+                 CAST({base}
+                      + 0.85 * COALESCE(inc.s, 0.0) AS DOUBLE) AS rank
+          FROM od LEFT JOIN (
+            SELECT e.dst AS dst, SUM(r.rank / od2.outdeg) AS s
+            FROM e JOIN {pre}{i - 1} r ON e.src = r.node
+                   JOIN od od2 ON e.src = od2.src
+            GROUP BY e.dst) inc ON od.src = inc.dst)"""
+    sql += f""",
+        counts AS (
+          SELECT COUNT(*) AS n_ranked,
+                 SUM(CASE WHEN src IN (SELECT node FROM tr0)
+                          THEN 1 ELSE 0 END) AS n_trusted
+          FROM od)
+        SELECT p.node, ROUND(p.rank, 6) AS pr, ROUND(t.rank, 6) AS tr,
+               ROUND((p.rank - t.rank * (n_ranked * 1.0 / n_trusted))
+                     / p.rank, 6) AS spam_mass
+        FROM p{iterations} p JOIN t{iterations} t ON t.node = p.node, counts
+        ORDER BY p.node"""
     return sql
 
 
@@ -2851,6 +2937,39 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "spam_mass_graph": _spam_mass_sql(
+            """SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
+                               'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst
+               FROM orders""",
+            "SELECT 'n' || CAST(range AS VARCHAR) AS node FROM range(10)",
+            5,
+        ),
+        "more_like_this_docs": f"""
+            {tokens},
+            tf AS (SELECT doc_id, word, COUNT(*) AS tf
+                   FROM tokens GROUP BY doc_id, word),
+            nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM tf),
+            dfq AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+            capped AS (
+              SELECT tf.doc_id, tf.word,
+                     tf.tf * LN(nd.n * 1.0 / dfq.df) AS w
+              FROM tf JOIN dfq ON dfq.word = tf.word, nd
+              WHERE dfq.df <= 50),
+            norms AS (SELECT doc_id, SQRT(SUM(w * w)) AS norm
+                      FROM capped GROUP BY doc_id),
+            dots AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     COUNT(*) AS shared_terms, SUM(a.w * b.w) AS dot
+              FROM capped a JOIN capped b
+                ON a.word = b.word AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+            SELECT id_a, id_b, shared_terms,
+                   ROUND(dot / (na.norm * nb.norm), 6) AS cosine
+            FROM dots JOIN norms na ON na.doc_id = id_a
+                      JOIN norms nb ON nb.doc_id = id_b
+            WHERE ROUND(dot / (na.norm * nb.norm), 6) >= 0.5
+            ORDER BY id_a, id_b
+        """,
         "kmv_distinct_hosts": doc_urls
         + """,
             keyed AS (

@@ -103,6 +103,8 @@ BENCH_QUERIES = [
     "term_cooccur_pmi",
     "kmv_distinct_hosts",
     "cocitation_pairs_graph",
+    "spam_mass_graph",
+    "more_like_this_docs",
 ]
 
 

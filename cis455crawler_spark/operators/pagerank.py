@@ -374,3 +374,59 @@ def salsa_py_oracle(
         th = sum(hub.values())
         hub = {n: (v / th if th > 0 else 0.0) for n, v in hub.items()}
     return {n: (hub[n], auth[n]) for n in nodes}
+
+
+def spam_mass(
+    edges: DataFrame, trusted: DataFrame, iterations: int = 5
+) -> DataFrame:
+    """Relative spam-mass estimation (Gyöngyi, Berkhin, Garcia-Molina,
+    Pedersen — VLDB 2006, "Link spam detection based on mass estimation"):
+    how much of a page's PageRank arrives via paths that do NOT originate
+    in the trusted core.
+
+        mass(p) = (PR(p) - scale * TR(p)) / PR(p)
+
+    where TR is TrustRank (teleport restricted to the trusted seeds) and
+    scale = |ranked| / |ranked ∩ trusted| re-normalizes TR's teleport
+    budget to PageRank's (TR distributes the same 0.15 base over far
+    fewer nodes). mass ~ 1: virtually no trust-path support — the
+    link-spam signature; mass <= 0: MORE trusted rank than global rank
+    (deep inside the trusted neighborhood). PR(p) >= 0.15 for every
+    ranked node (uniform base), so the division is safe by construction.
+
+    One extra join over the two rank tables plus a broadcast 1-row scale
+    — the rank computations themselves are the shared _power_iterate."""
+    pr = pagerank(edges, iterations).withColumnRenamed("rank", "pr")
+    tr = trustrank(edges, trusted, iterations).withColumnRenamed(
+        "rank", "tr"
+    )
+    t_nodes = (
+        trusted.select(F.col(trusted.columns[0]).alias("node"))
+        .distinct()
+        .withColumn("_t", F.lit(True))
+    )
+    counts = (
+        pr.join(F.broadcast(t_nodes), "node", "left")
+        .agg(
+            F.count("*").alias("_n_ranked"),
+            F.sum(F.when(F.col("_t"), 1).otherwise(0)).alias("_n_trusted"),
+        )
+    )
+    return (
+        pr.join(tr, "node")
+        .crossJoin(F.broadcast(counts))
+        .select(
+            "node",
+            F.round("pr", 6).alias("pr"),
+            F.round("tr", 6).alias("tr"),
+            F.round(
+                (
+                    F.col("pr")
+                    - F.col("tr")
+                    * (F.col("_n_ranked") / F.col("_n_trusted"))
+                )
+                / F.col("pr"),
+                6,
+            ).alias("spam_mass"),
+        )
+    )

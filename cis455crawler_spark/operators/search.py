@@ -144,3 +144,83 @@ def snippet(text_col, query: str, before: int = 20, after: int = 50):
         )
         parts.append(frag)
     return F.concat_ws("...", *[p for p in parts])
+
+
+def more_like_this_sparse(
+    docs,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_df: int = 50,
+    threshold: float = 0.5,
+):
+    """Related-document pairs by tf-idf cosine over the inverted index —
+    the serve path's "more like this" (Lucene's MoreLikeThis does exactly
+    this: tf-idf vectors, frequent terms dropped, cosine over shared
+    terms).
+
+        w(d,t)    = tf * ln(N / df)          (capped vocabulary only)
+        cos(a,b)  = Σ w(a,t)·w(b,t) / (‖a‖·‖b‖)
+
+    Terms with df > max_df carry ~zero idf AND explode the shared-term
+    self-join (a stopword-grade term pairs every doc with every doc) —
+    dropped before pairing, the same df-cap shape as the containment /
+    mirror passes; the norms are over the same capped vectors so the
+    cosine stays a true cosine of what was compared. One shared-term
+    join bounded by max_df^2 per term, two map-side-combinable aggs.
+
+    Returns (id_a, id_b, shared_terms, cosine) with id_a < id_b,
+    cosine >= threshold."""
+    from ..functions.text import remove_stopwords, tokenize
+
+    tf = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias(
+                "word"
+            ),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    n_docs = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    dfreq = tf.groupBy("word").agg(F.count("*").alias("df"))
+    capped = (
+        tf.join(dfreq.filter(F.col("df") <= max_df), "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = capped.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = capped.alias("a")
+    b = capped.alias("b")
+    dots = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(
+            F.count("*").alias("shared_terms"),
+            F.sum(F.col("a.w") * F.col("b.w")).alias("dot"),
+        )
+    )
+    na = norms.select(F.col("doc_id").alias("id_a"), F.col("norm").alias("norm_a"))
+    nb = norms.select(F.col("doc_id").alias("id_b"), F.col("norm").alias("norm_b"))
+    return (
+        dots.join(na, "id_a")
+        .join(nb, "id_b")
+        .withColumn(
+            "cosine",
+            F.round(F.col("dot") / (F.col("norm_a") * F.col("norm_b")), 6),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "shared_terms", "cosine")
+    )

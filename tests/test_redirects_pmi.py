@@ -152,3 +152,58 @@ def test_cocitation_cap_and_counts(spark):
     }
     # (a,b) co-cited by s1, s2, s3 (hub excluded); nothing else reaches 2
     assert out == {("a", "b"): 3}
+
+
+def test_spam_mass_designed_graph(spark):
+    from cis455crawler_spark.operators.pagerank import spam_mass
+
+    # trusted core: t1 <-> t2; spam farm: s1 <-> s2 (no inbound trust
+    # path); bridge page b fed by t1
+    edges = [
+        ("t1", "t2"), ("t2", "t1"), ("t1", "b"), ("b", "t1"),
+        ("s1", "s2"), ("s2", "s1"),
+    ]
+    trusted = spark.createDataFrame([("t1",), ("t2",)], "node string")
+    out = {
+        r.node: (r.pr, r.tr, r.spam_mass)
+        for r in spam_mass(
+            spark.createDataFrame(edges, "src string, dst string"),
+            trusted,
+            iterations=5,
+        ).collect()
+    }
+    # spam farm keeps global PageRank but gets ZERO TrustRank -> mass 1.0
+    assert out["s1"][1] == 0.0 and out["s1"][2] == 1.0
+    assert out["s2"][2] == 1.0
+    # trusted pages have trust-scaled rank >= their share -> mass <= 0
+    assert out["t1"][2] < 0.5
+    # the bridge gets trust flow-through -> far below the spam farm
+    assert out["b"][2] < out["s1"][2]
+
+
+def test_more_like_this_sparse(spark):
+    from pyspark.sql import Row
+
+    from cis455crawler_spark.operators.search import more_like_this_sparse
+
+    rows = [
+        Row(doc_id=1, text="quantum flux capacitor resonance chamber"),
+        Row(doc_id=2, text="quantum flux capacitor resonance module"),
+        Row(doc_id=3, text="gardening tips tomato watering schedule"),
+        # 'common' appears in every doc -> df cap must drop it
+        Row(doc_id=4, text="common common common"),
+    ]
+    docs = spark.createDataFrame(
+        [Row(doc_id=r.doc_id, text=r.text + " common") for r in rows]
+    )
+    out = {
+        (r.id_a, r.id_b): r.cosine
+        for r in more_like_this_sparse(
+            docs, max_df=3, threshold=0.5
+        ).collect()
+    }
+    # only the near-identical pair survives; doc 4 (all-capped) pairs with
+    # nothing, and 'common' (df=4 > 3) contributes to no dot product.
+    # The value is EXACTLY 0.5: 4 shared terms at weight ln2 against one
+    # unique df=1 term each at ln4 = 2*ln2 -> 4ln2^2 / (sqrt(8)ln2)^2.
+    assert out == {(1, 2): 0.5}
