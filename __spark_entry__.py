@@ -2125,6 +2125,30 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["more_like_this_docs"] = more_like_this_docs
 
+    def ndcg_eval(spark, sf):
+        """NDCG@10 (Järvelin&Kekäläinen TOIS'02) over synthesized ranked
+        lists: 20 queries, sequential serve ranks, md5-derived graded
+        relevance 0-3 — the offline judge for the serve path's rankings.
+        Windows are per-query (bounded lists), never corpus-keyed."""
+        from cis455crawler_spark.operators.eval import ndcg_at_k
+
+        d = _load(spark, sf, "documents")
+        did = F.col("doc_id")
+        results = d.select(
+            (did % 20).cast("int").alias("query_id"),
+            "doc_id",
+            (F.floor(did / 20) + 1).cast("int").alias("rank"),
+            (
+                F.conv(
+                    F.substring(F.md5(did.cast("string")), 1, 1), 16, 10
+                ).cast("int")
+                % 4
+            ).alias("relevance"),
+        )
+        return ndcg_at_k(results, k=10).orderBy("query_id")
+
+    q["ndcg_eval"] = ndcg_eval
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2228,6 +2252,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gated curate_corpus_e2e.
         "host_budget_window",
         "dedup_exact_docs",
+        # tenth round-4 batch: one more demoted so NDCG gets a driver row.
+        # Frame sampling has its r3 driver row, the gated multimodal_meta
+        # twin exercising the same mapInPandas decode plumbing, and the
+        # codec pytest suite.
+        "frame_sample_counts",
     ]
     head = {k: v for k, v in q.items() if k not in tail}
     head.update({k: q[k] for k in tail})
@@ -2937,6 +2966,41 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "ndcg_eval": """
+            WITH res AS (
+              SELECT CAST(doc_id % 20 AS INT) AS query_id, doc_id,
+                     CAST(doc_id // 20 + 1 AS INT) AS rank,
+                     CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                              1, 1) AS BIGINT) % 4 AS INT)
+                       AS relevance
+              FROM documents),
+            sc AS (
+              SELECT query_id, POWER(2.0, relevance) - 1.0 AS g,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rank, doc_id) AS apos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY relevance DESC, doc_id)
+                       AS ipos
+              FROM res)
+            SELECT query_id, COUNT(*) AS n_results,
+                   ROUND(SUM(CASE WHEN apos <= 10
+                                  THEN g / log2(apos + 1) ELSE 0 END), 6)
+                     AS dcg,
+                   ROUND(SUM(CASE WHEN ipos <= 10
+                                  THEN g / log2(ipos + 1) ELSE 0 END), 6)
+                     AS idcg,
+                   ROUND(CASE WHEN SUM(CASE WHEN ipos <= 10
+                                            THEN g / log2(ipos + 1)
+                                            ELSE 0 END) > 0
+                              THEN SUM(CASE WHEN apos <= 10
+                                            THEN g / log2(apos + 1)
+                                            ELSE 0 END)
+                                   / SUM(CASE WHEN ipos <= 10
+                                              THEN g / log2(ipos + 1)
+                                              ELSE 0 END)
+                              ELSE 0.0 END, 6) AS ndcg
+            FROM sc GROUP BY query_id ORDER BY query_id
+        """,
         "spam_mass_graph": _spam_mass_sql(
             """SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
                                'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst

@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "cocitation_pairs_graph",
     "spam_mass_graph",
     "more_like_this_docs",
+    "ndcg_eval",
 ]
 
 

@@ -207,3 +207,32 @@ def test_more_like_this_sparse(spark):
     # The value is EXACTLY 0.5: 4 shared terms at weight ln2 against one
     # unique df=1 term each at ln4 = 2*ln2 -> 4ln2^2 / (sqrt(8)ln2)^2.
     assert out == {(1, 2): 0.5}
+
+
+def test_ndcg_at_k_designed(spark):
+    import math
+
+    from cis455crawler_spark.operators.eval import ndcg_at_k
+
+    rows = [
+        # q1: perfect ordering (rel descends with rank) -> ndcg 1.0
+        (1, 101, 1, 3), (1, 102, 2, 2), (1, 103, 3, 0),
+        # q2: inverted ordering -> ndcg < 1
+        (2, 201, 1, 0), (2, 202, 2, 3),
+        # q3: all irrelevant -> idcg 0 -> ndcg defined as 0.0
+        (3, 301, 1, 0), (3, 302, 2, 0),
+    ]
+    out = {
+        r.query_id: (r.n_results, r.dcg, r.idcg, r.ndcg)
+        for r in ndcg_at_k(
+            spark.createDataFrame(
+                rows, "query_id int, doc_id long, rank int, relevance int"
+            ),
+            k=10,
+        ).collect()
+    }
+    assert out[1][3] == 1.0
+    dcg2 = (2**0 - 1) / math.log2(2) + (2**3 - 1) / math.log2(3)
+    idcg2 = (2**3 - 1) / math.log2(2) + (2**0 - 1) / math.log2(3)
+    assert abs(out[2][3] - round(dcg2 / idcg2, 6)) < 1e-9
+    assert out[3] == (2, 0.0, 0.0, 0.0)
