@@ -2149,6 +2149,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["ndcg_eval"] = ndcg_eval
 
+    def robots_delay_budget(spark, sf):
+        """Crawl-delay -> politeness budget through the REAL distributed
+        robots parse (build_robots_df's Arrow kernel) over synthesized
+        robots.txt bodies covering every delay branch: agent-specific
+        wins, the <=0-falls-back-to-* quirk, absent -> 0 -> unlimited
+        budget. The oracle derives the expected outputs from the synthesis
+        spec independently — parse and spec must agree."""
+        from cis455crawler_spark.functions.robots import build_robots_df
+        from cis455crawler_spark.operators.scheduler import host_budget
+
+        docs = _load(spark, sf, "documents")
+        hosts = docs.select(
+            F.concat(F.lit("h"), (F.col("doc_id") % 23).cast("string")).alias(
+                "host"
+            )
+        ).distinct()
+        c = F.substring(F.md5("host"), 1, 1)
+        body = (
+            F.when(
+                c.isin("0", "1", "2", "3"),
+                F.lit("User-agent: *\nCrawl-delay: 5\nDisallow: /tmp\n"),
+            )
+            .when(
+                c.isin("4", "5"),
+                F.lit(
+                    "User-agent: cis455crawler\nCrawl-delay: 9\n\n"
+                    "User-agent: *\nCrawl-delay: 3\n"
+                ),
+            )
+            .when(
+                c == "6",
+                F.lit(
+                    "User-agent: cis455crawler\nCrawl-delay: 0\n\n"
+                    "User-agent: *\nCrawl-delay: 7\n"
+                ),
+            )
+            .when(
+                c == "7",
+                F.lit("User-agent: *\nDisallow: /\nSitemap: http://x/s.xml\n"),
+            )
+            .otherwise(F.lit("User-agent: *\n"))
+        )
+        pages = hosts.select(
+            F.concat(F.lit("http://"), F.col("host"), F.lit("/robots.txt")).alias(
+                "url"
+            ),
+            body.alias("html"),
+        )
+        rules = build_robots_df(spark, pages)
+        return rules.select(
+            "host",
+            "crawl_delay",
+            # a NULL rule array means "no rules" -> 0 (and keeps the
+            # column int rather than nullable-float in the Arrow gate)
+            F.coalesce(F.size("disallow"), F.lit(0)).alias("n_disallow"),
+            F.coalesce(F.size("sitemaps"), F.lit(0)).alias("n_sitemaps"),
+            host_budget(F.col("crawl_delay"), 3600).alias("budget"),
+        ).orderBy("host")
+
+    q["robots_delay_budget"] = robots_delay_budget
+
+    def degree_assortativity_graph(spark, sf):
+        """Newman PRL'02 degree correlation over the synthesized link
+        graph — Pearson from exact integer sums (never a built-in corr
+        whose streaming summation differs across engines)."""
+        from cis455crawler_spark.operators.graph_signals import (
+            degree_assortativity,
+        )
+
+        o = _load(spark, sf, "orders")
+        edges = o.select(
+            F.concat(F.lit("n"), (F.col("o_custkey") % 100).cast("string")).alias("src"),
+            F.concat(F.lit("n"), (F.col("o_orderkey") % 100).cast("string")).alias("dst"),
+        )
+        return degree_assortativity(edges)
+
+    q["degree_assortativity_graph"] = degree_assortativity_graph
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2252,6 +2330,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the gated curate_corpus_e2e.
         "host_budget_window",
         "dedup_exact_docs",
+        # eleventh round-4 batch: two more demoted so the robots-delay
+        # pipeline and assortativity get driver rows. dup_span_stats has
+        # its r2+r3 rows, the round-4 aggregate+join fix pinned by pytest,
+        # and decontaminate (same span machinery) strict-swept; ann_ivf
+        # has r2+r3 rows with the quantized twin gated and the IVF
+        # recall/centroid pytest suite.
+        "dup_span_stats",
+        "ann_ivf_topk",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -2966,6 +3052,57 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "robots_delay_budget": """
+            WITH hosts AS (
+              SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host
+              FROM documents),
+            c AS (SELECT host, substr(md5(host), 1, 1) AS c FROM hosts),
+            spec AS (
+              SELECT host,
+                     CAST(CASE WHEN c IN ('0','1','2','3') THEN 5
+                               WHEN c IN ('4','5') THEN 9
+                               WHEN c = '6' THEN 7  -- quirk: 0 -> fall back to *
+                               ELSE 0 END AS INT) AS crawl_delay,
+                     CAST(CASE WHEN c IN ('0','1','2','3') THEN 1
+                               WHEN c = '7' THEN 1
+                               ELSE 0 END AS INT) AS n_disallow,
+                     CAST(CASE WHEN c = '7' THEN 1 ELSE 0 END AS INT)
+                       AS n_sitemaps
+              FROM c)
+            SELECT host, crawl_delay, n_disallow, n_sitemaps,
+                   CASE WHEN crawl_delay > 0
+                        THEN CAST(GREATEST(1, FLOOR(3600.0 / crawl_delay))
+                                  AS INT)
+                        ELSE NULL END AS budget
+            FROM spec ORDER BY host
+        """,
+        "degree_assortativity_graph": """
+            WITH e AS (
+              SELECT DISTINCT 'n' || CAST(o_custkey % 100 AS VARCHAR) AS src,
+                              'n' || CAST(o_orderkey % 100 AS VARCHAR) AS dst
+              FROM orders),
+            od AS (SELECT src, COUNT(*) AS x FROM e GROUP BY src),
+            idg AS (SELECT dst, COUNT(*) AS y FROM e GROUP BY dst),
+            xy AS (SELECT od.x, idg.y FROM e
+                   JOIN od ON od.src = e.src JOIN idg ON idg.dst = e.dst),
+            s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                         CAST(SUM(x) AS BIGINT) AS sx,
+                         CAST(SUM(y) AS BIGINT) AS sy,
+                         CAST(SUM(x * y) AS BIGINT) AS sxy,
+                         CAST(SUM(x * x) AS BIGINT) AS sxx,
+                         CAST(SUM(y * y) AS BIGINT) AS syy
+                  FROM xy)
+            SELECT n AS n_edges,
+                   ROUND(sx * 1.0 / n, 6) AS mean_out,
+                   ROUND(sy * 1.0 / n, 6) AS mean_in,
+                   ROUND(CASE WHEN SQRT((n * sxx - sx * sx)
+                                        * (n * syy - sy * sy)) > 0
+                              THEN (n * sxy - sx * sy)
+                                   / SQRT((n * sxx - sx * sx)
+                                          * (n * syy - sy * sy))
+                              ELSE 0.0 END, 6) AS assortativity
+            FROM s
+        """,
         "ndcg_eval": """
             WITH res AS (
               SELECT CAST(doc_id % 20 AS INT) AS query_id, doc_id,

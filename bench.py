@@ -106,6 +106,8 @@ BENCH_QUERIES = [
     "spam_mass_graph",
     "more_like_this_docs",
     "ndcg_eval",
+    "robots_delay_budget",
+    "degree_assortativity_graph",
 ]
 
 

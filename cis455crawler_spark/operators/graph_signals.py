@@ -85,3 +85,44 @@ def cocitation_pairs(
         .agg(F.count("*").alias("cocited"))
         .filter(F.col("cocited") >= min_shared)
     )
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """Degree correlation across edges (Newman, PRL 2002): the Pearson
+    correlation between the out-degree of an edge's source and the
+    in-degree of its target. The web graph is famously DISassortative
+    (hubs point at low-degree pages, r < 0); a crawled subgraph whose r
+    drifts positive is a classic link-farm / trap-neighborhood smell, so
+    this is a one-row health metric over the whole link graph.
+
+    Numerical shape matters for the cross-engine oracle: Pearson is
+    computed from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² — all
+    64-bit longs, map-side combinable) and only then combined in one
+    double expression, identical on every engine — never from a built-in
+    corr() whose streaming summation differs between engines. Returns one
+    row (n_edges, mean_out, mean_in, assortativity)."""
+    e = edges.select("src", "dst").distinct()
+    od = e.groupBy("src").agg(F.count("*").alias("x"))
+    idg = e.groupBy("dst").agg(F.count("*").alias("y"))
+    xy = e.join(od, "src").join(idg, "dst")
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return s.select(
+        F.col("n").alias("n_edges"),
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_out"),
+        F.round(F.col("sy") / F.col("n"), 6).alias("mean_in"),
+        F.round(
+            F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+        ).alias("assortativity"),
+    )

@@ -236,3 +236,42 @@ def test_ndcg_at_k_designed(spark):
     idcg2 = (2**3 - 1) / math.log2(2) + (2**0 - 1) / math.log2(3)
     assert abs(out[2][3] - round(dcg2 / idcg2, 6)) < 1e-9
     assert out[3] == (2, 0.0, 0.0, 0.0)
+
+
+def test_degree_assortativity_designed(spark):
+    from cis455crawler_spark.operators.graph_signals import (
+        degree_assortativity,
+    )
+
+    # star graph: hub h -> a,b,c (outdeg 3 -> indeg 1 each) plus a -> b
+    edges = [("h", "a"), ("h", "b"), ("h", "c"), ("a", "b")]
+    r = degree_assortativity(
+        spark.createDataFrame(edges, "src string, dst string")
+    ).collect()[0]
+    xs = [3, 3, 3, 1]           # outdeg(src) per edge
+    ys = [1, 2, 1, 2]           # indeg(dst) per edge
+    n = 4
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    num = n * sxy - sx * sy
+    den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+    assert r.n_edges == 4
+    assert abs(r.assortativity - round(num / den, 6)) < 1e-9
+    # the hub points at the low-indegree pages -> disassortative (r < 0)
+    assert r.assortativity < 0
+
+
+def test_degree_assortativity_uniform_graph_zero(spark):
+    from cis455crawler_spark.operators.graph_signals import (
+        degree_assortativity,
+    )
+
+    # 2-cycle: every edge has outdeg 1 -> indeg 1; zero variance -> the
+    # guarded denominator must return 0.0, not NaN
+    r = degree_assortativity(
+        spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string"
+        )
+    ).collect()[0]
+    assert r.assortativity == 0.0
