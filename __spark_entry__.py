@@ -2227,6 +2227,83 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["degree_assortativity_graph"] = degree_assortativity_graph
 
+    def weighted_sample_docs(spark, sf):
+        """Systematic weighted sampling (exact-integer wheel): k=100
+        pointers over doc weights 1..7; heavy docs can repeat, all
+        arithmetic integral DIV (reproducible on any engine — libm-pow
+        priority keys are not)."""
+        from cis455crawler_spark.operators.sampling import (
+            systematic_weighted_sample,
+        )
+
+        docs = _load(spark, sf, "documents")
+        d = docs.select(
+            "doc_id", ((F.col("doc_id") % 7) + 1).alias("weight")
+        )
+        return systematic_weighted_sample(
+            d, k=100, id_col="doc_id", weight_col="weight"
+        ).orderBy("id")
+
+    q["weighted_sample_docs"] = weighted_sample_docs
+
+    def script_mix_docs(spark, sf):
+        """Unicode script profile + dominant script: Cyrillic/CJK/Greek
+        runs injected by md5-switch, per-script regexp_count classes
+        shared verbatim with the RE2 oracle, struct-max tie-break."""
+        from cis455crawler_spark.functions.text import (
+            dominant_script,
+            script_counts,
+        )
+
+        docs = _load(spark, sf, "documents")
+        c = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        injected = (
+            F.when(
+                c.isin("0", "1", "2", "3"),
+                F.concat(F.col("text"), F.lit(" пример текст по-русски")),
+            )
+            .when(
+                c.isin("4", "5"),
+                F.concat(F.col("text"), F.lit(" 例子漢字測試")),
+            )
+            .when(
+                c == "6",
+                F.concat(F.col("text"), F.lit(" δοκιμή κείμενο")),
+            )
+            .otherwise(F.col("text"))
+        )
+        counts = script_counts(injected)
+        return docs.select(
+            "doc_id",
+            counts["latin"].alias("n_latin"),
+            counts["cyrillic"].alias("n_cyrillic"),
+            counts["greek"].alias("n_greek"),
+            counts["cjk"].alias("n_cjk"),
+            dominant_script(injected).alias("dominant"),
+        ).orderBy("doc_id")
+
+    q["script_mix_docs"] = script_mix_docs
+
+    def budget_allocation_hosts(spark, sf):
+        """Hamilton largest-remainder apportionment of a 1000-slot crawl
+        budget across 40 hosts — exact-total guarantee, two-phase global
+        remainder rank (no single-task window)."""
+        from cis455crawler_spark.operators.scheduler import (
+            allocate_budget_hamilton,
+        )
+
+        cust = _load(spark, sf, "customer")
+        demands = (
+            cust.groupBy(
+                F.concat(
+                    F.lit("h"), (F.col("c_custkey") % 40).cast("string")
+                ).alias("host")
+            ).agg(F.count("*").alias("demand"))
+        )
+        return allocate_budget_hamilton(demands, 1000).orderBy("host")
+
+    q["budget_allocation_hosts"] = budget_allocation_hosts
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2338,6 +2415,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # recall/centroid pytest suite.
         "dup_span_stats",
         "ann_ivf_topk",
+        # twelfth round-4 batch: three more triple-proven entries demoted
+        # so weighted sampling / script mix / budget allocation get driver
+        # rows. MinHash r1-r3 green (brute-force-oracle proven) with seven
+        # dedup entries still gated; tfidf r1-r3 green with bm25/WAND/
+        # serve sharing the token+postings machinery and the byte-identity
+        # pytest; clusters r2+r3 green with the large/small-star designed
+        # pytest suite.
+        "minhash_lsh_dups",
+        "tfidf_postings",
+        "dedup_clusters",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -3052,6 +3139,79 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "weighted_sample_docs": """
+            WITH w AS (SELECT doc_id AS id, doc_id % 7 + 1 AS w
+                       FROM documents),
+            c AS (SELECT id, w, SUM(w) OVER (ORDER BY id) AS cum FROM w),
+            t AS (SELECT SUM(w) AS d FROM w),
+            s AS (
+              SELECT id, CAST(w AS BIGINT) AS weight,
+                     CAST(cum AS BIGINT) AS cum,
+                     CAST((cum * 100) // d - ((cum - w) * 100) // d
+                          AS BIGINT) AS n_copies
+              FROM c, t)
+            SELECT id, weight, cum, n_copies FROM s
+            WHERE n_copies >= 1 ORDER BY id
+        """,
+        "script_mix_docs": """
+            WITH inj AS (
+              SELECT doc_id,
+                     CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('0','1','2','3')
+                            THEN text || ' пример текст по-русски'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            IN ('4','5')
+                            THEN text || ' 例子漢字測試'
+                          WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                            = '6'
+                            THEN text || ' δοκιμή κείμενο'
+                          ELSE text END AS t
+              FROM documents),
+            cnt AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(t, '[A-Za-z]', 0)) AS INT)
+                       AS n_latin,
+                     CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]', 0)) AS INT)
+                       AS n_cyrillic,
+                     CAST(len(regexp_extract_all(t, '[Ͱ-Ͽ]', 0)) AS INT)
+                       AS n_greek,
+                     CAST(len(regexp_extract_all(t, '[一-鿿]', 0)) AS INT)
+                       AS n_cjk
+              FROM inj)
+            SELECT doc_id, n_latin, n_cyrillic, n_greek, n_cjk,
+                   CASE WHEN GREATEST(n_latin, n_cyrillic, n_greek, n_cjk)
+                             > 0
+                        THEN (SELECT name FROM (VALUES
+                                (cnt.n_latin, 'latin'),
+                                (cnt.n_cyrillic, 'cyrillic'),
+                                (cnt.n_greek, 'greek'),
+                                (cnt.n_cjk, 'cjk')) v(c, name)
+                              ORDER BY v.c DESC, v.name DESC LIMIT 1)
+                        ELSE 'none' END AS dominant
+            FROM cnt ORDER BY doc_id
+        """,
+        "budget_allocation_hosts": """
+            WITH d AS (
+              SELECT 'h' || CAST(c_custkey % 40 AS VARCHAR) AS host,
+                     COUNT(*) AS demand
+              FROM customer GROUP BY 1),
+            t AS (SELECT SUM(demand) AS dd FROM d),
+            q AS (SELECT host, CAST(demand AS BIGINT) AS demand,
+                         CAST((demand * 1000) // dd AS BIGINT) AS base,
+                         CAST((demand * 1000) % dd AS BIGINT) AS rem
+                  FROM d, t),
+            l AS (SELECT 1000 - SUM(base) AS lft FROM q),
+            r AS (SELECT *, ROW_NUMBER()
+                              OVER (ORDER BY rem DESC, host ASC) AS rnk
+                  FROM q)
+            SELECT host, demand, base,
+                   CAST(CASE WHEN rnk <= (SELECT lft FROM l)
+                             THEN 1 ELSE 0 END AS BIGINT) AS extra,
+                   CAST(base + CASE WHEN rnk <= (SELECT lft FROM l)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                     AS allocation
+            FROM r ORDER BY host
+        """,
         "robots_delay_budget": """
             WITH hosts AS (
               SELECT DISTINCT 'h' || CAST(doc_id % 23 AS VARCHAR) AS host

@@ -108,6 +108,9 @@ BENCH_QUERIES = [
     "ndcg_eval",
     "robots_delay_budget",
     "degree_assortativity_graph",
+    "weighted_sample_docs",
+    "script_mix_docs",
+    "budget_allocation_hosts",
 ]
 
 

@@ -290,3 +290,39 @@ def normalize_nfc(text: Column | str) -> Column:
 def collapse_whitespace(text: Column | str) -> Column:
     """Collapse runs of whitespace to single spaces and trim — pure JVM."""
     return F.trim(F.regexp_replace(_c(text), r"\s+", " "))
+
+
+# Unicode script classes (BMP ranges; the classes RE2 and Java regex both
+# express identically, so one table serves the engine and the SQL oracle)
+SCRIPT_CLASSES = {
+    "latin": "[A-Za-z]",
+    "cyrillic": "[Ѐ-ӿ]",
+    "greek": "[Ͱ-Ͽ]",
+    "cjk": "[一-鿿]",
+}
+
+
+def script_counts(text: Column | str) -> dict[str, Column]:
+    """Per-script character counts — the writing-system profile used to
+    (a) route documents to script-specific tokenizers/normalizers and
+    (b) flag mixed-script spam (Cyrillic homoglyphs inside Latin words is
+    a classic cloaking trick). Pure JVM regexp_count per class."""
+    t = _c(text)
+    return {
+        name: F.regexp_count(t, F.lit(pat))
+        for name, pat in SCRIPT_CLASSES.items()
+    }
+
+
+def dominant_script(text: Column | str) -> Column:
+    """Script with the highest character count; ties break to the
+    lexicographically LARGEST script name (struct-max semantics — the
+    same deterministic rule on every engine); 'none' when no script
+    character occurs at all."""
+    counts = script_counts(text)
+    pairs = [
+        F.struct(c.alias("cnt"), F.lit(name).alias("name"))
+        for name, c in counts.items()
+    ]
+    best = F.array_max(F.array(*pairs))
+    return F.when(best["cnt"] > 0, best["name"]).otherwise(F.lit("none"))

@@ -85,3 +85,80 @@ def pop_host_batches(
     )
     deferred = cut1.drop(*internal).unionByName(cut2.drop(*internal))
     return scheduled, deferred
+
+
+def allocate_budget_hamilton(
+    demands: DataFrame,
+    total_budget: int,
+    host_col: str = "host",
+    demand_col: str = "demand",
+    rank_buckets: int = 64,
+) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a global crawl
+    budget across hosts: each host first gets floor(B * d / D) slots,
+    then the leftover L = B - Σfloor goes to the L hosts with the largest
+    remainders (B*d mod D), ties to the lexicographically smaller host.
+    The classic property: every allocation is within 1 of the exact
+    proportional quota, and the total is EXACTLY B — which per-host
+    rounding cannot guarantee. All integer arithmetic (requires
+    B * max_demand < 2^63; ANSI mode makes an overflow loud).
+
+    The only global structure is the remainder RANKING, and a global
+    row_number window would put every host in one task. Two-phase global
+    rank instead (the engine's standard shape): bucket by remainder range
+    (bucket = rem * NB DIV D — ORDER-ALIGNED with the rank), rank within
+    bucket by (rem DESC, host ASC), add the broadcast count of all rows
+    in higher buckets. Identical to the single-window answer for any
+    bucket count (pytest-pinned), ~uniform bucket sizes for ~uniform
+    remainders.
+
+    Returns (host, demand, base, extra, allocation) — Σallocation = B."""
+    b = int(total_budget)
+    d = demands.select(
+        F.col(host_col).alias("host"),
+        F.col(demand_col).cast("long").alias("demand"),
+    ).filter(F.col("demand") > 0)
+    tot = d.agg(F.sum("demand").alias("_dd"))
+    q = d.crossJoin(F.broadcast(tot)).selectExpr(
+        "host",
+        "demand",
+        f"(demand * CAST({b} AS BIGINT)) DIV _dd AS base",
+        f"(demand * CAST({b} AS BIGINT)) % _dd AS rem",
+        "_dd",
+    )
+    q = q.withColumn(
+        "_bkt",
+        F.expr(f"(rem * CAST({int(rank_buckets)} AS BIGINT)) DIV _dd"),
+    )
+    w = Window.partitionBy("_bkt").orderBy(F.desc("rem"), F.asc("host"))
+    ranked = q.withColumn("_rnk_local", F.row_number().over(w))
+    # tiny rollup: rows per bucket -> for each bucket, how many rows sit in
+    # STRICTLY HIGHER buckets (higher bucket = higher remainder)
+    per_bkt = ranked.groupBy("_bkt").agg(F.count("*").alias("_n"))
+    w_off = (
+        Window.orderBy(F.desc("_bkt"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = per_bkt.withColumn(
+        "_above", F.coalesce(F.sum("_n").over(w_off), F.lit(0))
+    ).select("_bkt", "_above")
+    leftover = q.agg(
+        (F.lit(b) - F.sum("base")).cast("long").alias("_left")
+    )
+    return (
+        ranked.join(F.broadcast(offsets), "_bkt")
+        .crossJoin(F.broadcast(leftover))
+        .select(
+            "host",
+            "demand",
+            "base",
+            F.when(
+                F.col("_above") + F.col("_rnk_local") <= F.col("_left"),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("extra"),
+        )
+        .withColumn("allocation", F.col("base") + F.col("extra"))
+    )

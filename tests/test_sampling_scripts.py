@@ -1,0 +1,90 @@
+"""Systematic weighted sampling, script-mix profile, Hamilton budgets."""
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cis455crawler_spark.functions.text import dominant_script, script_counts
+from cis455crawler_spark.operators.sampling import systematic_weighted_sample
+from cis455crawler_spark.operators.scheduler import allocate_budget_hamilton
+
+
+def _sys_py(weights, k):
+    d = sum(w for _, w in weights)
+    out, cum = {}, 0
+    for i, w in sorted(weights):
+        lo, cum = cum, cum + w
+        n = (cum * k) // d - (lo * k) // d
+        if n:
+            out[i] = (w, cum, n)
+    return out
+
+
+def test_systematic_sample_matches_python(spark):
+    weights = [(i, (i % 5) + 1) for i in range(1, 301)] + [(1000, 500)]
+    df = spark.createDataFrame(weights, "doc_id long, weight long")
+    want = _sys_py(weights, k=50)
+    got = {
+        r.id: (r.weight, r.cum, r.n_copies)
+        for r in systematic_weighted_sample(
+            df, k=50, id_col="doc_id", weight_col="weight"
+        ).collect()
+    }
+    assert got == want
+    # pointers are conserved: multiplicities sum to exactly k
+    assert sum(n for _, _, n in got.values()) == 50
+    # the heavy item (500 of ~1400 total weight) repeats
+    assert got[1000][2] >= 15
+
+
+def test_systematic_sample_zero_weight_dropped(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 10), (3, 10)], "doc_id long, weight long"
+    )
+    got = systematic_weighted_sample(df, k=4).collect()
+    assert sum(r.n_copies for r in got) == 4
+    assert all(r.id != 1 for r in got)
+
+
+def test_script_counts_and_dominant(spark):
+    rows = [
+        Row(i=0, s="hello world"),
+        Row(i=1, s="привет мир hello"),  # cyrillic 9 > latin 5
+        Row(i=2, s="漢字"),
+        Row(i=3, s="δοκιμή"),
+        Row(i=4, s="1234 !!"),  # no script chars -> none
+        Row(i=5, s="ab яя"),  # tie 2-2 -> largest name wins ('latin')
+    ]
+    df = spark.createDataFrame(rows)
+    c = script_counts(F.col("s"))
+    out = {
+        r.i: (r.lat, r.cyr, r.cjk, r.grk, r.dom)
+        for r in df.select(
+            "i",
+            c["latin"].alias("lat"),
+            c["cyrillic"].alias("cyr"),
+            c["cjk"].alias("cjk"),
+            c["greek"].alias("grk"),
+            dominant_script(F.col("s")).alias("dom"),
+        ).collect()
+    }
+    assert out[0] == (10, 0, 0, 0, "latin")
+    assert out[1][1] == 9 and out[1][4] == "cyrillic"
+    assert out[2] == (0, 0, 2, 0, "cjk")
+    assert out[3] == (0, 0, 0, 6, "greek")
+    assert out[4][4] == "none"
+    assert out[5][4] == "latin"  # 'latin' > 'cyrillic' lexicographically
+
+
+def test_hamilton_allocation_exact_total_and_quota(spark):
+    demands = [("a", 7), ("b", 13), ("c", 29), ("d", 1), ("e", 50)]
+    df = spark.createDataFrame(demands, "host string, demand long")
+    for buckets in (1, 4, 64):
+        rows = allocate_budget_hamilton(
+            df, total_budget=97, rank_buckets=buckets
+        ).collect()
+        alloc = {r.host: r.allocation for r in rows}
+        assert sum(alloc.values()) == 97, buckets
+        total_d = sum(d for _, d in demands)
+        for h, d in demands:
+            quota = 97 * d / total_d
+            assert quota - 1 < alloc[h] < quota + 1, (buckets, h)
