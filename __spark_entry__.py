@@ -2127,13 +2127,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ndcg_eval(spark, sf):
         """NDCG@10 (Järvelin&Kekäläinen TOIS'02) over synthesized ranked
-        lists: 20 queries, sequential serve ranks, md5-derived graded
-        relevance 0-3 — the offline judge for the serve path's rankings.
-        Windows are per-query (bounded lists), never corpus-keyed."""
+        lists: 20 queries, sequential serve ranks CAPPED at 50 per query
+        (result lists are serve-path top-k outputs, bounded by
+        construction — the cap keeps the fixture's per-query windows
+        bounded at ANY corpus scale instead of growing with N/20),
+        md5-derived graded relevance 0-3."""
         from cis455crawler_spark.operators.eval import ndcg_at_k
 
         d = _load(spark, sf, "documents")
         did = F.col("doc_id")
+        d = d.filter(F.floor(did / 20) + 1 <= 50)
         results = d.select(
             (did % 20).cast("int").alias("query_id"),
             "doc_id",
@@ -3251,17 +3254,25 @@ def oracle_sql() -> dict[str, str]:
                          CAST(SUM(x * y) AS BIGINT) AS sxy,
                          CAST(SUM(x * x) AS BIGINT) AS sxx,
                          CAST(SUM(y * y) AS BIGINT) AS syy
-                  FROM xy)
-            SELECT n AS n_edges,
-                   ROUND(sx * 1.0 / n, 6) AS mean_out,
-                   ROUND(sy * 1.0 / n, 6) AS mean_in,
+                  FROM xy),
+            -- cast each sum to double BEFORE the cross products (n*sxx
+            -- overflows BIGINT on moderate graphs; mirrors the engine)
+            d2 AS (SELECT CAST(n AS DOUBLE) AS n, CAST(sx AS DOUBLE) AS sx,
+                          CAST(sy AS DOUBLE) AS sy,
+                          CAST(sxy AS DOUBLE) AS sxy,
+                          CAST(sxx AS DOUBLE) AS sxx,
+                          CAST(syy AS DOUBLE) AS syy
+                   FROM s)
+            SELECT CAST(n AS BIGINT) AS n_edges,
+                   ROUND(sx / n, 6) AS mean_out,
+                   ROUND(sy / n, 6) AS mean_in,
                    ROUND(CASE WHEN SQRT((n * sxx - sx * sx)
                                         * (n * syy - sy * sy)) > 0
                               THEN (n * sxy - sx * sy)
                                    / SQRT((n * sxx - sx * sx)
                                           * (n * syy - sy * sy))
                               ELSE 0.0 END, 6) AS assortativity
-            FROM s
+            FROM d2
         """,
         "ndcg_eval": """
             WITH res AS (
@@ -3270,7 +3281,8 @@ def oracle_sql() -> dict[str, str]:
                      CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
                                               1, 1) AS BIGINT) % 4 AS INT)
                        AS relevance
-              FROM documents),
+              FROM documents
+              WHERE doc_id // 20 + 1 <= 50),
             sc AS (
               SELECT query_id, POWER(2.0, relevance) - 1.0 AS g,
                      ROW_NUMBER() OVER (PARTITION BY query_id

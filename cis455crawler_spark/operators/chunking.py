@@ -93,6 +93,39 @@ def bucket_offsets(counts: DataFrame) -> DataFrame:
     )
 
 
+def global_cumsum(
+    base: DataFrame, inclusive: bool = False
+) -> DataFrame:
+    """Two-phase corpus-scale cumulative sum — the shared scaffolding of
+    pack_token_spans and systematic_weighted_sample (operators/sampling).
+
+    `base` must carry (id, bucket, n) with bucket MONOTONE in id (range
+    bucketing). Returns base + a `cum` column: the sum of n over all rows
+    with smaller id (exclusive, the packing "start") or up to and
+    including this row (inclusive, the sampling wheel position).
+    Per-bucket windows + bucket_offsets' tiny broadcast rollup — never a
+    global window. The input is materialized once with a LAZY
+    localCheckpoint (two consumers; blocks freed by the context cleaner —
+    no in-operator cache leak)."""
+    base = base.localCheckpoint(eager=False)
+    upper = Window.currentRow if inclusive else -1
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, upper)
+    )
+    local = base.withColumn(
+        "_local", F.coalesce(F.sum("n").over(w_local), F.lit(0))
+    )
+    offsets = bucket_offsets(base.select("bucket", "n"))
+    return local.join(F.broadcast(offsets), "bucket").select(
+        "id",
+        "bucket",
+        "n",
+        (F.col("_local") + F.col("base")).alias("cum"),
+    )
+
+
 def pack_token_spans(
     docs: DataFrame,
     seq_len: int = 2048,
@@ -116,27 +149,14 @@ def pack_token_spans(
     if bucket_col is None:
         bucket_col = (F.col(doc_col) / 64).cast("long")
     base = docs.select(
-        F.col(doc_col).alias("doc_id"),
+        F.col(doc_col).alias("id"),
         bucket_col.alias("bucket"),
         F.size(tokenize(F.col(text_col))).alias("n"),
     ).filter(F.col("n") > 0)
-    # two consumers (per-bucket cumsum + the bucket rollup) must not each
-    # re-run the corpus tokenize pass: lazy localCheckpoint materializes the
-    # tiny (doc_id,bucket,n) frame once and truncates lineage; its blocks are
-    # freed by the context cleaner when the result is dropped (no explicit
-    # unpersist for callers to forget — the ADVICE-r2 in-operator-cache leak)
-    base = base.localCheckpoint(eager=False)
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = base.withColumn("_local", F.coalesce(F.sum("n").over(w_local), F.lit(0)))
-    offsets = bucket_offsets(base.select("bucket", "n"))
-    placed = local.join(F.broadcast(offsets), "bucket").select(
-        "doc_id",
+    placed = global_cumsum(base, inclusive=False).select(
+        F.col("id").alias("doc_id"),
         F.col("n").alias("n_tokens"),
-        (F.col("_local") + F.col("base")).alias("start"),
+        F.col("cum").alias("start"),
     )
     first_seq = F.floor(F.col("start") / seq_len)
     last_seq = F.floor((F.col("start") + F.col("n_tokens") - 1) / seq_len)

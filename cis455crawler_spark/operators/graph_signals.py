@@ -97,10 +97,12 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
 
     Numerical shape matters for the cross-engine oracle: Pearson is
     computed from EXACT integer sums (n, Σx, Σy, Σxy, Σx², Σy² — all
-    64-bit longs, map-side combinable) and only then combined in one
-    double expression, identical on every engine — never from a built-in
-    corr() whose streaming summation differs between engines. Returns one
-    row (n_edges, mean_out, mean_in, assortativity)."""
+    64-bit longs, map-side combinable), each CAST TO DOUBLE before any
+    cross-sum product — n*sxx is already past 2^63 for quite moderate
+    graphs, and under ANSI mode a long product overflow kills the job.
+    The double products are the same IEEE ops on every engine — never a
+    built-in corr() whose streaming summation differs between engines.
+    Returns one row (n_edges, mean_out, mean_in, assortativity)."""
     e = edges.select("src", "dst").distinct()
     od = e.groupBy("src").agg(F.count("*").alias("x"))
     idg = e.groupBy("dst").agg(F.count("*").alias("y"))
@@ -113,11 +115,11 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("sxx"),
         F.sum(F.col("y") * F.col("y")).alias("syy"),
     )
-    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxy", "sxx", "syy")
     )
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
     return s.select(
         F.col("n").alias("n_edges"),
         F.round(F.col("sx") / F.col("n"), 6).alias("mean_out"),

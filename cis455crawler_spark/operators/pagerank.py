@@ -317,27 +317,31 @@ def salsa(
         auth_i(v) = L1norm( sum over u->v of hub_{i-1}(u) / outdeg(u) )
         hub_i(u)  = L1norm( sum over u->v of auth_i(v)    / indeg(v)  )
 
-    Same sparse shape as hits(): degree tables are node-sized dimensions
-    (AQE broadcasts them onto the score side), each half-step is one keyed
-    join + partial/final agg + broadcast 1-row total, localCheckpoint cuts
-    cross-iteration lineage. Scores divide BEFORE the scatter, so the
-    scatter itself is _l1_scatter unchanged."""
+    Same sparse shape as hits(), except the degrees RIDE THE EDGE TABLE:
+    both degree columns are folded onto the (deduplicated) edges once up
+    front, and each _l1_scatter half-step divides by the rider column
+    inside its aggregate (div_col) — no per-iteration degree joins
+    (measured: 9.9 s -> 6.3 s warm on the sf0.1 entry). The folded table
+    is materialized with a LAZY localCheckpoint, not cache(): cache()
+    pins an edge-sized InMemoryRelation in the session CacheManager until
+    an unpersist nobody calls (the ADVICE-r2 in-operator-cache leak,
+    see chunking.py), while checkpoint blocks are freed by the context
+    cleaner when the result is dropped."""
     if iterations < 1:
         raise ValueError("salsa() needs iterations >= 1")
-    edges = edges.select("src", "dst").distinct().cache()
+    edges = edges.select("src", "dst").distinct()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     indeg = edges.groupBy("dst").agg(F.count("*").alias("indeg"))
-    # fold BOTH degrees onto the edge table ONCE (cached) — each half-step
-    # then divides by the rider column inside its aggregate instead of
-    # joining scores to a degree table every iteration (measured 9.9 s ->
-    # ~hits-parity on the sf0.1 entry; 2 joins * iterations saved)
+    # every edge survives these inner joins (its src HAS out-degree, its
+    # dst HAS in-degree), so `weighted` IS the distinct edge set and every
+    # downstream consumer reads it — one materialization, no second copy
     weighted = (
-        edges.join(outdeg, "src").join(indeg, "dst").select(
-            "src", "dst", "outdeg", "indeg"
-        )
-    ).cache()
+        edges.join(outdeg, "src").join(indeg, "dst")
+        .select("src", "dst", "outdeg", "indeg")
+        .localCheckpoint(eager=False)
+    )
     hub = (
-        edges.select(F.col("src").alias("node"))
+        weighted.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("hub", F.lit(1.0))
     )
@@ -352,8 +356,8 @@ def salsa(
             # hub's checkpoint covers auth's lineage too (see hits())
             hub = hub.localCheckpoint()
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        weighted.select(F.col("src").alias("node"))
+        .union(weighted.select(F.col("dst").alias("node")))
         .distinct()
     )
     return (

@@ -27,10 +27,10 @@ guessed past.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .chunking import bucket_offsets
+from .chunking import global_cumsum
 
 
 def systematic_weighted_sample(
@@ -50,20 +50,14 @@ def systematic_weighted_sample(
     base = df.select(
         F.col(id_col).alias("id"),
         bucket_col.alias("bucket"),
-        F.col(weight_col).cast("long").alias("w"),
-    ).filter(F.col("w") > 0)
-    base = base.localCheckpoint(eager=False)
-    w_local = (
-        Window.partitionBy("bucket")
-        .orderBy("id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        F.col(weight_col).cast("long").alias("n"),
+    ).filter(F.col("n") > 0)
+    placed = global_cumsum(base, inclusive=True).select(
+        "id", F.col("n").alias("w"), "cum"
     )
-    local = base.withColumn("_cum_local", F.sum("w").over(w_local))
-    offsets = bucket_offsets(base.select("bucket", F.col("w").alias("n")))
-    placed = local.join(F.broadcast(offsets), "bucket").select(
-        "id", "w", (F.col("_cum_local") + F.col("base")).alias("cum")
-    )
-    total = base.agg(F.sum("w").alias("_d"))
+    # D = the last wheel position — read from the checkpointed cumsum
+    # rather than re-aggregating the source lineage
+    total = placed.agg(F.max("cum").alias("_d"))
     # DIV (integral division), never '/': float division rounds past
     # 2^53 and the whole point of the wheel formula is exactness
     kk = int(k)
