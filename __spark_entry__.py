@@ -2307,6 +2307,84 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["budget_allocation_hosts"] = budget_allocation_hosts
 
+    def robots_compliance_audit(spark, sf):
+        """Store-vs-robots drift audit: re-validate every stored URL
+        against current robots through the engine's crawl_allowed
+        (F.aggregate early-exit scan) — per-host deny rates. Host classes
+        exercise every quirk: ordered multi-rule scan, '*'-entry
+        short-circuit ALLOW, empty/NULL-disallow DENY, no-record allow."""
+        from cis455crawler_spark.functions.robots import crawl_allowed
+
+        d = _doc_urls(spark, sf).withColumn("h", F.col("doc_id") % _N_HOSTS)
+        k = F.col("h") % 5
+        disallow = (
+            F.when(k == 0, F.array(F.lit("doc"), F.lit("/dir")))
+            .when(k == 1, F.array(F.lit("*ignored*"), F.lit("/p")))
+            .when(k == 2, F.array().cast("array<string>"))
+            .otherwise(F.lit(None).cast("array<string>"))
+        )
+        has_robots = k != 4
+        allowed = crawl_allowed(F.col("url"), has_robots, disallow)
+        return (
+            d.select("h", allowed.alias("allowed"))
+            .groupBy("h")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.sum(F.when(~F.col("allowed"), 1).otherwise(0)).alias(
+                    "n_denied"
+                ),
+                F.round(
+                    F.sum(F.when(~F.col("allowed"), 1).otherwise(0))
+                    / F.count("*"),
+                    6,
+                ).alias("deny_rate"),
+            )
+            .orderBy("h")
+        )
+
+    q["robots_compliance_audit"] = robots_compliance_audit
+
+    def snapshot_diff_hosts(spark, sf):
+        """Two-generation snapshot diff: full-outer join on url,
+        classify added / removed / changed / unchanged via content
+        fingerprints, roll up counts + affected hosts per class — the
+        inter-crawl change report the recrawl scheduler consumes."""
+        base = _load(spark, sf, "documents")
+        d = F.col("doc_id")
+        g1 = base.select(
+            _url_col(d).alias("url"), F.md5("text").alias("fp1")
+        )
+        g2_kept = base.filter(~(d % 11 == 0)).select(
+            _url_col(d).alias("url"),
+            F.md5(
+                F.when(d % 7 == 0, F.concat(F.col("text"), F.lit(" v2")))
+                .otherwise(F.col("text"))
+            ).alias("fp2"),
+        )
+        g2_new = base.filter(d % 13 == 0).select(
+            _url_col(d + 10000).alias("url"),
+            F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp2"),
+        )
+        g2 = g2_kept.unionByName(g2_new)
+        j = g1.join(g2, "url", "full_outer")
+        status = (
+            F.when(F.col("fp1").isNull(), F.lit("added"))
+            .when(F.col("fp2").isNull(), F.lit("removed"))
+            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+        )
+        return (
+            j.select(status.alias("status"), host_of("url").alias("host"))
+            .groupBy("status")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.countDistinct("host").alias("n_hosts"),
+            )
+            .orderBy("status")
+        )
+
+    q["snapshot_diff_hosts"] = snapshot_diff_hosts
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2428,6 +2506,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_dups",
         "tfidf_postings",
         "dedup_clusters",
+        # thirteenth round-4 batch: two more triple-proven entries demoted
+        # so the robots-compliance audit and snapshot diff get driver
+        # rows. q1 r1-r3 green (plain groupBy-agg semantics shared by the
+        # whole demoted relational suite); seen_anti_join r1-r3 green with
+        # the cuckoo twin swept, the bloom-identity pytest, and entry()'s
+        # smoke running the same anti-join every round.
+        "q1_pricing_summary",
+        "seen_anti_join",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -3142,6 +3228,60 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "robots_compliance_audit": doc_urls
+        + """,
+            cls AS (
+              SELECT (doc_id % 37) AS h, (doc_id % 37) % 5 AS k, url
+              FROM doc_urls),
+            v AS (
+              SELECT h,
+                     -- mirror of crawl_allowed's quirk semantics per class:
+                     -- k=0 ordered substring scan; k=1 first entry holds
+                     -- '*' -> short-circuit ALLOW; k=2 empty + k=3 NULL
+                     -- disallow with a robots record -> DENY; k=4 no
+                     -- record -> allow
+                     CASE WHEN k = 0 THEN NOT (contains(url, 'doc')
+                                               OR contains(url, '/dir'))
+                          WHEN k = 1 THEN TRUE
+                          WHEN k = 2 THEN FALSE
+                          WHEN k = 3 THEN FALSE
+                          ELSE TRUE END AS allowed
+              FROM cls)
+            SELECT h, COUNT(*) AS n_urls,
+                   CAST(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_denied,
+                   ROUND(SUM(CASE WHEN NOT allowed THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS deny_rate
+            FROM v GROUP BY h ORDER BY h
+        """,
+        "snapshot_diff_hosts": f"""
+            WITH g1 AS (
+              SELECT {_url_sql('doc_id')} AS url, md5(text) AS fp1
+              FROM documents),
+            g2 AS (
+              SELECT {_url_sql('doc_id')} AS url,
+                     md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2'
+                              ELSE text END) AS fp2
+              FROM documents WHERE NOT (doc_id % 11 = 0)
+              UNION ALL
+              SELECT {_url_sql('doc_id + 10000')} AS url,
+                     md5(text || ' new') AS fp2
+              FROM documents WHERE doc_id % 13 = 0),
+            j AS (
+              SELECT COALESCE(g1.url, g2.url) AS url, fp1, fp2
+              FROM g1 FULL OUTER JOIN g2 ON g2.url = g1.url),
+            c AS (
+              SELECT CASE WHEN fp1 IS NULL THEN 'added'
+                          WHEN fp2 IS NULL THEN 'removed'
+                          WHEN fp1 <> fp2 THEN 'changed'
+                          ELSE 'unchanged' END AS status,
+                     -- host_of: after 'http://', cut at the first '/'
+                     string_split(substr(url, 8), '/')[1] AS host
+              FROM j)
+            SELECT status, COUNT(*) AS n_urls,
+                   COUNT(DISTINCT host) AS n_hosts
+            FROM c GROUP BY status ORDER BY status
+        """,
         "weighted_sample_docs": """
             WITH w AS (SELECT doc_id AS id, doc_id % 7 + 1 AS w
                        FROM documents),

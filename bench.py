@@ -111,6 +111,8 @@ BENCH_QUERIES = [
     "weighted_sample_docs",
     "script_mix_docs",
     "budget_allocation_hosts",
+    "robots_compliance_audit",
+    "snapshot_diff_hosts",
 ]
 
 

@@ -88,3 +88,40 @@ def test_hamilton_allocation_exact_total_and_quota(spark):
         for h, d in demands:
             quota = 97 * d / total_d
             assert quota - 1 < alloc[h] < quota + 1, (buckets, h)
+
+
+def test_snapshot_diff_classification(spark):
+    from pyspark.sql import Row
+
+    g1 = spark.createDataFrame(
+        [
+            Row(url="http://a/1", fp1="x"),
+            Row(url="http://a/2", fp1="y"),
+            Row(url="http://b/3", fp1="z"),
+        ]
+    )
+    g2 = spark.createDataFrame(
+        [
+            Row(url="http://a/1", fp2="x"),   # unchanged
+            Row(url="http://a/2", fp2="Y2"),  # changed
+            Row(url="http://c/4", fp2="n"),   # added
+        ]                                      # b/3 removed
+    )
+    from pyspark.sql import functions as F2
+
+    j = g1.join(g2, "url", "full_outer")
+    status = (
+        F2.when(F2.col("fp1").isNull(), "added")
+        .when(F2.col("fp2").isNull(), "removed")
+        .when(F2.col("fp1") != F2.col("fp2"), "changed")
+        .otherwise("unchanged")
+    )
+    out = {
+        r.url: r.s for r in j.select("url", status.alias("s")).collect()
+    }
+    assert out == {
+        "http://a/1": "unchanged",
+        "http://a/2": "changed",
+        "http://b/3": "removed",
+        "http://c/4": "added",
+    }
