@@ -62,9 +62,16 @@ def mirror_host_pairs(
     per_print = prints.groupBy("fp").agg(
         F.countDistinct("host").alias("n_hosts")
     )
-    capped = prints.join(
-        per_print.filter(F.col("n_hosts") <= max_hosts_per_print), "fp"
-    ).select("host", "fp")
+    capped = (
+        prints.join(
+            per_print.filter(F.col("n_hosts") <= max_hosts_per_print), "fp"
+        )
+        .select("host", "fp")
+        # three consumers (self-join both sides + sizes) — materialize the
+        # capped prints once, lazily; blocks are freed by the context
+        # cleaner (the chunking.py no-cache-leak pattern)
+        .localCheckpoint(eager=False)
+    )
     a = capped.alias("a")
     b = capped.alias("b")
     pairs = (
@@ -130,9 +137,13 @@ def containment_pairs(
         # every other at containment 1.0
     ).filter(F.col("sh") != "")
     per_sh = sh.groupBy("sh").agg(F.countDistinct("doc_id").alias("n_docs"))
-    capped = sh.join(
-        per_sh.filter(F.col("n_docs") <= max_docs_per_shingle), "sh"
-    ).select("doc_id", "sh")
+    capped = (
+        sh.join(per_sh.filter(F.col("n_docs") <= max_docs_per_shingle), "sh")
+        .select("doc_id", "sh")
+        # three consumers (self-join both sides + sizes): without this the
+        # shingle explode + df-cap join lineage re-runs per consumer
+        .localCheckpoint(eager=False)
+    )
     sizes = capped.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     a = capped.alias("a")
     b = capped.alias("b")

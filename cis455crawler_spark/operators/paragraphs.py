@@ -82,7 +82,9 @@ def paragraph_dedup_stats(
     where kept_md5 is md5 of the surviving paragraphs re-joined with
     newlines in original order (NULL when every paragraph was dropped).
     """
-    with_h = paras.withColumn("h", F.md5("para"))
+    # two consumers (doc-frequency count + the kept join): materialize
+    # the hashed paragraphs once, lazily (no in-operator cache leak)
+    with_h = paras.withColumn("h", F.md5("para")).localCheckpoint(eager=False)
     doc_freq = with_h.groupBy("h").agg(
         F.countDistinct(id_col).alias("para_df")
     )

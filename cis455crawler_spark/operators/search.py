@@ -192,6 +192,8 @@ def more_like_this_sparse(
             "word",
             (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
         )
+        # three consumers (norms + self-join both sides)
+        .localCheckpoint(eager=False)
     )
     norms = capped.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
