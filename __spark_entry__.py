@@ -2385,6 +2385,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["snapshot_diff_hosts"] = snapshot_diff_hosts
 
+    def event_burstiness_types(spark, sf):
+        """Daily burstiness per event type (Kleinberg-reduction burst
+        flag): max_daily/avg_daily with a struct-max peak day — outage /
+        trap-discovery window detection over the metrics stream."""
+        from cis455crawler_spark.operators.temporal import event_burstiness
+
+        ev = _load(spark, sf, "events")
+        return event_burstiness(ev).orderBy("event_type")
+
+    q["event_burstiness_types"] = event_burstiness_types
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2514,6 +2525,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # smoke running the same anti-join every round.
         "q1_pricing_summary",
         "seen_anti_join",
+        # fourteenth round-4 batch: one more demoted so event burstiness
+        # gets a driver row. The LSH near-dup entry has its r3 row, the
+        # brute-force oracle construction, and the banded-hyperplane
+        # pytest recall suite.
+        "embedding_near_dups_lsh",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -3228,6 +3244,29 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "event_burstiness_types": """
+            WITH daily AS (
+              SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')
+                       AS day,
+                     COUNT(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                           ORDER BY cnt DESC, day DESC)
+                          AS rk
+              FROM daily)
+            SELECT d.event_type, COUNT(*) AS n_days,
+                   CAST(SUM(d.cnt) AS BIGINT) AS total,
+                   ROUND(SUM(d.cnt) * 1.0 / COUNT(*), 6) AS avg_daily,
+                   CAST(MAX(d.cnt) AS BIGINT) AS max_daily,
+                   ROUND(MAX(d.cnt) / (SUM(d.cnt) * 1.0 / COUNT(*)), 6)
+                     AS burstiness,
+                   MIN(p.day) AS peak_day
+            FROM daily d
+            JOIN (SELECT event_type, day FROM r WHERE rk = 1) p
+              ON p.event_type = d.event_type
+            GROUP BY d.event_type ORDER BY d.event_type
+        """,
         "robots_compliance_audit": doc_urls
         + """,
             cls AS (

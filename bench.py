@@ -113,6 +113,7 @@ BENCH_QUERIES = [
     "budget_allocation_hosts",
     "robots_compliance_audit",
     "snapshot_diff_hosts",
+    "event_burstiness_types",
 ]
 
 

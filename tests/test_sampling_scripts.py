@@ -125,3 +125,31 @@ def test_snapshot_diff_classification(spark):
         "http://b/3": "removed",
         "http://c/4": "added",
     }
+
+
+def test_event_burstiness_designed(spark):
+    import datetime
+
+    from pyspark.sql import Row
+
+    from cis455crawler_spark.operators.temporal import event_burstiness
+
+    def t(d, h):
+        return datetime.datetime(2024, 1, d, h)
+
+    rows = (
+        # 'steady': 2 events/day for 3 days -> burstiness 1.0
+        [Row(event_type="steady", ts=t(d, h)) for d in (1, 2, 3) for h in (1, 2)]
+        # 'bursty': 1,1,4 across three days -> max 4 / avg 2 = 2.0
+        + [Row(event_type="bursty", ts=t(1, 1)), Row(event_type="bursty", ts=t(2, 1))]
+        + [Row(event_type="bursty", ts=t(3, h)) for h in (1, 2, 3, 4)]
+        # 'tied': 1 event on two days -> tie, peak = LATEST day
+        + [Row(event_type="tied", ts=t(5, 1)), Row(event_type="tied", ts=t(9, 1))]
+    )
+    out = {
+        r.event_type: (r.n_days, r.total, r.max_daily, r.burstiness, r.peak_day)
+        for r in event_burstiness(spark.createDataFrame(rows)).collect()
+    }
+    assert out["steady"] == (3, 6, 2, 1.0, "2024-01-03")
+    assert out["bursty"] == (3, 6, 4, 2.0, "2024-01-03")
+    assert out["tied"] == (2, 2, 1, 1.0, "2024-01-09")
