@@ -2396,6 +2396,34 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["event_burstiness_types"] = event_burstiness_types
 
+    def data_mix_report(spark, sf):
+        """Training-data mix "data card": per (source, lang) doc/token
+        counts, mean quality, and quality-gate pass rate — the per-slice
+        report a corpus release ships with (and the input to mix
+        reweighting). One map-side-combinable groupBy."""
+        from cis455crawler_spark.functions.text import (
+            quality_score,
+            token_count,
+        )
+
+        d = _load(spark, sf, "documents")
+        q = quality_score(F.col("text"))
+        return (
+            d.groupBy("source", "lang")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.sum(token_count(F.col("text"))).alias("n_tokens"),
+                F.round(F.avg(q), 6).alias("avg_quality"),
+                F.round(
+                    F.sum(F.when(q >= 0.5, 1).otherwise(0)) / F.count("*"),
+                    6,
+                ).alias("pass_rate"),
+            )
+            .orderBy("source", "lang")
+        )
+
+    q["data_mix_report"] = data_mix_report
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2530,6 +2558,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute-force oracle construction, and the banded-hyperplane
         # pytest recall suite.
         "embedding_near_dups_lsh",
+        # fifteenth round-4 batch: one more demoted so the data-mix report
+        # gets a driver row. Curation e2e has r2+r3 rows and the gated
+        # training_pipeline_e2e supersedes it as the composition flagship
+        # (same quality/dedup stages plus chunk/pack).
+        "curate_corpus_e2e",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -3244,6 +3277,36 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "data_mix_report": rf"""
+            WITH base AS (
+              SELECT source, lang,
+                     CASE WHEN len(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                          END AS n_tok,
+                     CASE WHEN len(text) > 0 THEN
+                            CAST(len(regexp_replace(text, '[^A-Za-z0-9 ]',
+                                                    '', 'g')) AS DOUBLE)
+                            / len(text)
+                          ELSE 0.0 END AS ratio,
+                     list_filter(regexp_split_to_array(lower(text),
+                                 '[^a-z0-9]+'), x -> x <> '') AS toks
+              FROM documents),
+            scored AS (
+              SELECT source, lang, n_tok,
+                     ROUND(((CASE WHEN n_tok BETWEEN 10 AND 100000
+                                  THEN 1.0 ELSE 0.0 END)
+                            + ratio
+                            + (CASE WHEN len(list_intersect(
+                                     list_distinct(toks), [{_SW_LIST}])) > 0
+                                    THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS q
+              FROM base)
+            SELECT source, lang, COUNT(*) AS n_docs,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+                   ROUND(AVG(q), 6) AS avg_quality,
+                   ROUND(SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END) * 1.0
+                         / COUNT(*), 6) AS pass_rate
+            FROM scored GROUP BY source, lang ORDER BY source, lang
+        """,
         "event_burstiness_types": """
             WITH daily AS (
               SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d')

@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "robots_compliance_audit",
     "snapshot_diff_hosts",
     "event_burstiness_types",
+    "data_mix_report",
 ]
 
 
