@@ -2345,10 +2345,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["robots_compliance_audit"] = robots_compliance_audit
 
     def snapshot_diff_hosts(spark, sf):
-        """Two-generation snapshot diff: full-outer join on url,
+        """Two-generation snapshot diff (sources/tables.snapshot_diff):
         classify added / removed / changed / unchanged via content
         fingerprints, roll up counts + affected hosts per class — the
-        inter-crawl change report the recrawl scheduler consumes."""
+        inter-crawl change report the recrawl scheduler consumes. The
+        planted 'added' urls live on a dedicated host OUTSIDE the
+        _url_col family so they can never collide with a real document's
+        url at any corpus size."""
+        from cis455crawler_spark.sources.tables import snapshot_diff
+
         base = _load(spark, sf, "documents")
         d = F.col("doc_id")
         g1 = base.select(
@@ -2362,19 +2367,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ).alias("fp2"),
         )
         g2_new = base.filter(d % 13 == 0).select(
-            _url_col(d + 10000).alias("url"),
+            F.concat(
+                F.lit("http://new-host.test/p"), d.cast("string")
+            ).alias("url"),
             F.md5(F.concat(F.col("text"), F.lit(" new"))).alias("fp2"),
         )
         g2 = g2_kept.unionByName(g2_new)
-        j = g1.join(g2, "url", "full_outer")
-        status = (
-            F.when(F.col("fp1").isNull(), F.lit("added"))
-            .when(F.col("fp2").isNull(), F.lit("removed"))
-            .when(F.col("fp1") != F.col("fp2"), F.lit("changed"))
-            .otherwise(F.lit("unchanged"))
-        )
         return (
-            j.select(status.alias("status"), host_of("url").alias("host"))
+            snapshot_diff(g1, g2)
+            .select("status", host_of("url").alias("host"))
             .groupBy("status")
             .agg(
                 F.count("*").alias("n_urls"),
@@ -2407,15 +2408,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
         d = _load(spark, sf, "documents")
-        q = quality_score(F.col("text"))
+        qual = quality_score(F.col("text"))
         return (
             d.groupBy("source", "lang")
             .agg(
                 F.count("*").alias("n_docs"),
                 F.sum(token_count(F.col("text"))).alias("n_tokens"),
-                F.round(F.avg(q), 6).alias("avg_quality"),
+                F.round(F.avg(qual), 6).alias("avg_quality"),
                 F.round(
-                    F.sum(F.when(q >= 0.5, 1).otherwise(0)) / F.count("*"),
+                    F.sum(F.when(qual >= 0.5, 1).otherwise(0))
+                    / F.count("*"),
                     6,
                 ).alias("pass_rate"),
             )
@@ -3366,7 +3368,8 @@ def oracle_sql() -> dict[str, str]:
                               ELSE text END) AS fp2
               FROM documents WHERE NOT (doc_id % 11 = 0)
               UNION ALL
-              SELECT {_url_sql('doc_id + 10000')} AS url,
+              SELECT 'http://new-host.test/p' || CAST(doc_id AS VARCHAR)
+                       AS url,
                      md5(text || ' new') AS fp2
               FROM documents WHERE doc_id % 13 = 0),
             j AS (

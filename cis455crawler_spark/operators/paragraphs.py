@@ -82,8 +82,10 @@ def paragraph_dedup_stats(
     where kept_md5 is md5 of the surviving paragraphs re-joined with
     newlines in original order (NULL when every paragraph was dropped).
     """
-    # two consumers (doc-frequency count + the kept join): materialize
-    # the hashed paragraphs once, lazily (no in-operator cache leak)
+    # THREE consumers (doc-frequency count, the kept join, per-doc totals):
+    # materialize the hashed paragraphs once, lazily (no cache leak), and
+    # compute ALL of them from this frame so the upstream paragraph explode
+    # never re-runs
     with_h = paras.withColumn("h", F.md5("para")).localCheckpoint(eager=False)
     doc_freq = with_h.groupBy("h").agg(
         F.countDistinct(id_col).alias("para_df")
@@ -101,7 +103,7 @@ def paragraph_dedup_stats(
             )
         ).alias("kept_md5"),
     )
-    totals = paras.groupBy(id_col).agg(F.count("*").alias("n_para"))
+    totals = with_h.groupBy(id_col).agg(F.count("*").alias("n_para"))
     return (
         totals.join(kept_stats, id_col, "left")
         .select(

@@ -401,3 +401,25 @@ class SnapshotStore:
         if df is None:
             return
         self.replace_with(table, df, partition_cols)
+
+
+def snapshot_diff(g1, g2, key_col: str = "url", fp1_col: str = "fp1", fp2_col: str = "fp2"):
+    """Classify the delta between two snapshot generations by key +
+    content fingerprint: full-outer join on the key, then
+
+        added     key only in g2        removed    key only in g1
+        changed   fingerprints differ   unchanged  fingerprints equal
+
+    The inter-crawl change report (the recrawl scheduler's input). Both
+    inputs must be key-unique (one fingerprint per key per generation) —
+    duplicate keys multiply full-outer rows and mis-classify."""
+    from pyspark.sql import functions as F
+
+    j = g1.join(g2, key_col, "full_outer")
+    status = (
+        F.when(F.col(fp1_col).isNull(), F.lit("added"))
+        .when(F.col(fp2_col).isNull(), F.lit("removed"))
+        .when(F.col(fp1_col) != F.col(fp2_col), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(F.col(key_col), status.alias("status"))

@@ -107,18 +107,9 @@ def test_snapshot_diff_classification(spark):
             Row(url="http://c/4", fp2="n"),   # added
         ]                                      # b/3 removed
     )
-    from pyspark.sql import functions as F2
+    from cis455crawler_spark.sources.tables import snapshot_diff
 
-    j = g1.join(g2, "url", "full_outer")
-    status = (
-        F2.when(F2.col("fp1").isNull(), "added")
-        .when(F2.col("fp2").isNull(), "removed")
-        .when(F2.col("fp1") != F2.col("fp2"), "changed")
-        .otherwise("unchanged")
-    )
-    out = {
-        r.url: r.s for r in j.select("url", status.alias("s")).collect()
-    }
+    out = {r.url: r.status for r in snapshot_diff(g1, g2).collect()}
     assert out == {
         "http://a/1": "unchanged",
         "http://a/2": "changed",
