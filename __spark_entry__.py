@@ -2426,6 +2426,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["data_mix_report"] = data_mix_report
 
+    def url_structure_stats(spark, sf):
+        """Per-host URL structural profile (path depth / length): the
+        depth-aware frontier-policy metric — deep-path hosts correlate
+        with calendar/faceted traps. Pure JVM regexp + one rollup."""
+        from cis455crawler_spark.functions.urls import path_depth, path_of
+
+        d = _doc_urls(spark, sf)
+        p = path_of(F.col("url"))
+        return (
+            d.select(
+                host_of("url").alias("host"),
+                path_depth("url").alias("dep"),
+                F.length(p).alias("plen"),
+            )
+            .groupBy("host")
+            .agg(
+                F.count("*").alias("n_urls"),
+                F.round(F.avg("dep"), 6).alias("avg_depth"),
+                F.max("dep").alias("max_depth"),
+                F.round(F.avg("plen"), 6).alias("avg_path_len"),
+            )
+            .orderBy("host")
+        )
+
+    q["url_structure_stats"] = url_structure_stats
+
+    def anchor_consensus_graph(spark, sf):
+        """Anchor-text consensus per link target: struct-max canonical
+        label (highest count, deterministic tie-break) with an
+        anchor-spam cap — the page label the serve path falls back to."""
+        from cis455crawler_spark.operators.anchors import anchor_consensus
+
+        o = _load(spark, sf, "orders")
+        pairs = o.select(
+            F.concat(F.lit("d"), (F.col("o_orderkey") % 50).cast("string")).alias("dst"),
+            F.concat(F.lit("a"), (F.col("o_custkey") % 7).cast("string")).alias("anchor"),
+        )
+        return anchor_consensus(pairs).orderBy("dst")
+
+    q["anchor_consensus_graph"] = anchor_consensus_graph
+
     # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
     # gate at 50 entries, so the 13 entries registered after round 3's
     # continuation (BM25, phrase search, chunking, packing, training e2e,
@@ -2565,6 +2606,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training_pipeline_e2e supersedes it as the composition flagship
         # (same quality/dedup stages plus chunk/pack).
         "curate_corpus_e2e",
+        # sixteenth round-4 batch: two more demoted so url-structure and
+        # anchor-consensus get driver rows. meta_title_rank has its r3 row
+        # with the gated serve e2e carrying the same title/meta weights
+        # and the byte-level meta pytest; multimodal_meta has its r3 row
+        # and the extensive codec pytest suite (PPM/PNG/WAV + JPEG/MP4/MP3
+        # header parses).
+        "meta_title_rank",
+        "multimodal_meta",
         # tenth round-4 batch: one more demoted so NDCG gets a driver row.
         # Frame sampling has its r3 driver row, the gated multimodal_meta
         # twin exercising the same mapInPandas decode plumbing, and the
@@ -3279,6 +3328,47 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY bucket ORDER BY bucket
         """,
         "redirect_chains": _redirect_chains_sql(),
+        "url_structure_stats": doc_urls
+        + r""",
+            p AS (
+              SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
+                     regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', '')
+                       AS path
+              FROM doc_urls),
+            m AS (
+              SELECT host, CAST(length(path) AS INT) AS plen,
+                     CAST(CASE WHEN length(path) = 0 THEN 0
+                          ELSE length(path)
+                               - length(replace(path, '/', '')) END AS INT)
+                       AS dep
+              FROM p)
+            SELECT host, COUNT(*) AS n_urls,
+                   ROUND(AVG(dep), 6) AS avg_depth,
+                   MAX(dep) AS max_depth,
+                   ROUND(AVG(plen), 6) AS avg_path_len
+            FROM m GROUP BY host ORDER BY host
+        """,
+        "anchor_consensus_graph": """
+            WITH p AS (
+              SELECT 'd' || CAST(o_orderkey % 50 AS VARCHAR) AS dst,
+                     'a' || CAST(o_custkey % 7 AS VARCHAR) AS anchor
+              FROM orders),
+            c AS (SELECT dst, anchor, COUNT(*) AS cnt
+                  FROM p GROUP BY 1, 2),
+            nd AS (SELECT dst, COUNT(*) AS n_anchor_texts
+                   FROM c GROUP BY dst),
+            r AS (SELECT c.*,
+                         ROW_NUMBER() OVER (PARTITION BY c.dst
+                                            ORDER BY cnt DESC, anchor DESC)
+                           AS rk,
+                         SUM(cnt) OVER (PARTITION BY c.dst) AS total
+                  FROM c)
+            SELECT r.dst, nd.n_anchor_texts, r.anchor AS top_anchor,
+                   CAST(r.cnt AS BIGINT) AS top_count,
+                   ROUND(r.cnt * 1.0 / r.total, 6) AS share
+            FROM r JOIN nd ON nd.dst = r.dst
+            WHERE rk = 1 ORDER BY r.dst
+        """,
         "data_mix_report": rf"""
             WITH base AS (
               SELECT source, lang,

@@ -115,6 +115,8 @@ BENCH_QUERIES = [
     "snapshot_diff_hosts",
     "event_burstiness_types",
     "data_mix_report",
+    "url_structure_stats",
+    "anchor_consensus_graph",
 ]
 
 

@@ -255,3 +255,18 @@ def registered_domain(
         .when(F.array_contains(sufs, last2), F.when(n >= 3, last3).otherwise(h))
         .otherwise(last2)
     )
+
+
+def path_of(url: Column | str) -> Column:
+    """Everything after the authority ('' when the url ends at the host) —
+    the path+query portion url-structure analytics operate on."""
+    return F.regexp_replace(_c(url), r"^[a-z][a-z0-9+.-]*://[^/]*", "")
+
+
+def path_depth(url: Column | str) -> Column:
+    """Number of '/'-separated path segments ('/a/b/c' -> 3, '' -> 0) —
+    deep-path URLs correlate with calendar/faceted traps and get demoted
+    by depth-aware frontier policies (the max_depth crawl knob's metric)."""
+    p = path_of(url)
+    slashes = F.length(p) - F.length(F.regexp_replace(p, "/", ""))
+    return F.when(F.length(p) == 0, F.lit(0)).otherwise(slashes).cast("int")

@@ -146,3 +146,40 @@ def anchor_boosted_rank(
     ).withColumn(
         "rank", F.col("rank") + F.lit(w_anchor) * F.col("is_anchor")
     )
+
+
+def anchor_consensus(
+    pairs: DataFrame, max_anchors_per_dst: int = 10000
+) -> DataFrame:
+    """Most-common anchor text per link target — the label the web gives
+    a page (feeds ranking and snippet fallback; anchor-text consensus is
+    the classic relevance signal the postings above index per-term, here
+    collapsed to one canonical label per page).
+
+    (dst, n_anchor_texts, top_anchor, top_count, share). Struct-max picks
+    the winner (highest count, tie -> lexicographically larger anchor) —
+    the same deterministic rule on every engine, no window over dst. A
+    target with more distinct anchor texts than `max_anchors_per_dst` is
+    anchor-spammed; its rows are dropped before the rollup (df-cap
+    shape)."""
+    counts = pairs.groupBy("dst", "anchor").agg(F.count("*").alias("cnt"))
+    per_dst = counts.groupBy("dst").agg(
+        F.count("*").alias("n_anchor_texts")
+    )
+    ok = per_dst.filter(F.col("n_anchor_texts") <= max_anchors_per_dst)
+    top = (
+        counts.join(ok, "dst")
+        .groupBy("dst")
+        .agg(
+            F.first("n_anchor_texts").alias("n_anchor_texts"),
+            F.max(F.struct(F.col("cnt"), F.col("anchor"))).alias("_m"),
+            F.sum("cnt").alias("_total"),
+        )
+    )
+    return top.select(
+        "dst",
+        "n_anchor_texts",
+        F.col("_m.anchor").alias("top_anchor"),
+        F.col("_m.cnt").alias("top_count"),
+        F.round(F.col("_m.cnt") / F.col("_total"), 6).alias("share"),
+    )

@@ -144,3 +144,43 @@ def test_event_burstiness_designed(spark):
     assert out["steady"] == (3, 6, 2, 1.0, "2024-01-03")
     assert out["bursty"] == (3, 6, 4, 2.0, "2024-01-03")
     assert out["tied"] == (2, 2, 1, 1.0, "2024-01-09")
+
+
+def test_path_depth_and_anchor_consensus(spark):
+    from pyspark.sql import Row
+    from pyspark.sql import functions as F2
+
+    from cis455crawler_spark.functions.urls import path_depth
+    from cis455crawler_spark.operators.anchors import anchor_consensus
+
+    urls = [
+        ("http://h.test", 0),
+        ("http://h.test/", 1),
+        ("http://h.test/a/b/c", 3),
+        ("http://h.test/dir5/", 2),
+        ("http://h.test/p?x=/y", 2),  # '/' inside the query counts (path+query metric)
+    ]
+    got = {
+        r.u: r.d
+        for r in spark.createDataFrame(urls, "u string, want int")
+        .select("u", path_depth("u").alias("d"))
+        .collect()
+    }
+    assert got == {u: w for u, w in urls}
+
+    pairs = (
+        [("t1", "home")] * 3
+        + [("t1", "main")] * 2
+        + [("t2", "x"), ("t2", "y")]  # tie 1-1 -> larger anchor wins
+        + [("spammy", f"a{i}") for i in range(5)]
+    )
+    out = {
+        r.dst: (r.n_anchor_texts, r.top_anchor, r.top_count, r.share)
+        for r in anchor_consensus(
+            spark.createDataFrame(pairs, "dst string, anchor string"),
+            max_anchors_per_dst=4,
+        ).collect()
+    }
+    assert out["t1"] == (2, "home", 3, 0.6)
+    assert out["t2"] == (2, "y", 1, 0.5)
+    assert "spammy" not in out  # 5 distinct anchors > cap 4 -> dropped
