@@ -6,16 +6,12 @@ All shuffle-aware shapes: candidate generation via band/bucket equi-joins
 JVM column math — zero Python UDFs anywhere in this module (numpy appears
 only driver-side to derive hash-family constants).
 
-Cache lifetime: the self-joined intermediates here (`banded`, `blocks`,
-`sh`, `tagged`) are .cache()d because both join sides read them; the cached
-blocks live until the returned DataFrame is consumed. In a LONG-LIVED
-session, callers should unpersist after their action, e.g.::
-
-    pairs = ngram_jaccard_pairs(docs).collect()
-    spark.catalog.clearCache()   # or track and unpersist the specific DFs
-
-One-shot jobs (bench.py, the driver gate, pytest sessions) can ignore this —
-executor storage eviction handles it.
+Materialization lifetime: the self-joined intermediates here (`banded`,
+`blocks`, `sh`, `tagged`, `cand`) are localCheckpoint(eager=False)d because
+both join sides read them — computed once on first action, and the blocks
+are freed by the ContextCleaner when the DataFrame is garbage-collected
+(the mirrors.py / chunking.py no-cache-leak pattern). Long-lived sessions
+need no manual unpersist; there is no `.cache()` in this module.
 """
 
 from __future__ import annotations
@@ -28,15 +24,17 @@ from ..functions.text import fingerprint64, shingles, tokenize
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Keep the min-id representative per normalized-text fingerprint —
-    a hash groupBy, map-side combinable."""
+    """Keep the min-id representative per normalized-text fingerprint.
+
+    groupBy(fp).min(id) + join-back, NEVER a fingerprint-keyed window: a hot
+    fingerprint (empty docs, boilerplate error shells — guaranteed at 10^10
+    docs) would land its whole duplicate set in ONE window task. The groupBy
+    min is map-side combinable (the hot key collapses per partition before
+    the shuffle) and the join-back keys on (fp, id) so even the residue
+    spreads; requires id_col unique, which exact dedup already assumes."""
     fp = df.withColumn("fp", fingerprint64(F.col(text_col)))
-    w = Window.partitionBy("fp").orderBy(id_col)
-    return (
-        fp.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn", "fp")
-    )
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
+    return fp.join(keep, ["fp", id_col], "left_semi").select(*df.columns)
 
 
 _MERSENNE31 = (1 << 31) - 1
@@ -142,7 +140,7 @@ def minhash_lsh_pairs(
                 ]
             )
         ).alias("band", "bucket"),
-    ).cache()  # both sides of the self-join read this, not recompute it
+    ).localCheckpoint(eager=False)  # both self-join sides read this once, lazily
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -247,7 +245,7 @@ def simhash_near_pairs(sim_df: DataFrame, max_hamming: int = 3) -> DataFrame:
                 ]
             )
         ).alias("block", "key"),
-    ).cache()  # self-joined below — compute the 64 bit-sums once
+    ).localCheckpoint(eager=False)  # self-joined below — the 64 bit-sums compute once
     l, r = blocks.alias("l"), blocks.alias("r")
     cands = (
         l.join(
@@ -327,7 +325,7 @@ def exact_jaccard_verify(cand: DataFrame, sh: DataFrame, threshold: float) -> Da
     # without the cache the candidate-generation self-join evaluates twice.
     # Candidate pairs are small by construction (that is the generator's job),
     # so caching them is cheap at any scale.
-    cand = cand.cache()
+    cand = cand.localCheckpoint(eager=False)
     ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -360,7 +358,7 @@ def ngram_jaccard_pairs(
     exact verification by array_intersect over each document's full shingle
     set. Exact answer, no signatures."""
     # cached: read by candidate generation and the set collection
-    sh = _shingle_lists(df, text_col, id_col, k).cache()
+    sh = _shingle_lists(df, text_col, id_col, k).localCheckpoint(eager=False)
     return exact_jaccard_verify(ngram_candidate_pairs(sh, threshold), sh, threshold)
 
 
@@ -389,7 +387,7 @@ def minhash_verified_dups(
     # signature build and the exact verification (the two most expensive
     # map-side consumers) — re-deriving shingles inside minhash_signatures
     # would run the regex tokenization twice per corpus
-    sh = _shingle_lists(df, text_col, id_col, shingle_k).cache()
+    sh = _shingle_lists(df, text_col, id_col, shingle_k).localCheckpoint(eager=False)
     sigs = minhash_signatures_from_shingles(sh, num_hashes, seed)
     cand = minhash_lsh_pairs(sigs, bands, rows_per_band)
     return exact_jaccard_verify(cand, sh, threshold)
@@ -445,7 +443,7 @@ def embedding_near_dups(
         F.col(vec_col).alias("v"),
         norm.alias("nrm"),
         F.posexplode(sigs).alias("table", "bucket"),
-    ).cache()  # both self-join sides read this, not recompute n_tables sigs
+    ).localCheckpoint(eager=False)  # both self-join sides read this, not recompute n_tables sigs
     l, r = tagged.alias("l"), tagged.alias("r")
     return (
         l.join(

@@ -5,7 +5,7 @@ The reference's whole map/spool/sort/reduce pipeline
 one shuffle-bounded DataFrame DAG:
 
     docs -> tokenize -> explode -> groupBy(doc,word).count        [O-A1]
-         -> window max tf per doc, df per word                    [O-A2]
+         -> window max tf per doc; groupBy(word)+join for df      [O-A2]
          -> rank columns                                          [O-A3]
          -> groupBy(word).agg(sort_array(collect_list(...)))      [O-A4]
 
@@ -65,11 +65,14 @@ def postings(
         *(["_meta"] if meta_col else []),
     ).agg(F.count("*").alias("tf"))
 
+    # max_tf: doc-keyed window is safe (a doc's vocabulary is bounded).
+    # df: NEVER a word-keyed window — a hot term outside the stoplist would
+    # put its whole postings list in one window task at corpus scale. The
+    # groupBy has map-side partial aggregation (hot key collapses per
+    # partition) and AQE skew-join splits any residue in the join-back.
     w_doc = Window.partitionBy("doc_id")
-    w_word = Window.partitionBy("word")
-    out = tf.withColumn("max_tf", F.max("tf").over(w_doc)).withColumn(
-        "df", F.count("*").over(w_word)
-    )
+    df_by_word = tf.groupBy("word").agg(F.count("*").alias("df"))
+    out = tf.withColumn("max_tf", F.max("tf").over(w_doc)).join(df_by_word, "word")
     # titleValues/metaValues membership is TOKEN membership in the reference
     # mapper (Indexer.java:190-205 keeps word sets), not substring containment
     is_title = (
@@ -117,7 +120,7 @@ def bm25_postings(
         score(w,d)= idf * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
 
     Shuffle shape matches postings(): one groupBy(doc,word) for tf, then a
-    doc_id window for dl and a word window for df — no extra joins. The two
+    doc_id window for dl and a skew-proof groupBy(word)+join for df. The two
     corpus scalars (N docs, avg doc length) ride in on a broadcast 1-row
     crossJoin (the crawl plan's stats-fusion pattern), keeping this a single
     DAG with no driver-side collect. NOTE the scalar aggregate re-derives the
@@ -129,12 +132,12 @@ def bm25_postings(
         F.explode(remove_stopwords(tokenize(F.col(text_col)))).alias("word"),
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    # dl via the doc window (bounded per doc); df via groupBy + join-back —
+    # a word-keyed window would serialize a hot term into one task (see
+    # postings() above and index_layout.py's module docstring).
     w_doc = Window.partitionBy("doc_id")
-    w_word = Window.partitionBy("word")
-    out = (
-        tf.withColumn("dl", F.sum("tf").over(w_doc))
-        .withColumn("df", F.count("*").over(w_word))
-    )
+    df_by_word = tf.groupBy("word").agg(F.count("*").alias("df"))
+    out = tf.withColumn("dl", F.sum("tf").over(w_doc)).join(df_by_word, "word")
     # corpus scalars: 1 row, broadcast crossJoin keeps the plan collect-free
     corpus = out.groupBy().agg(
         F.countDistinct("doc_id").alias("n_docs"),

@@ -2,7 +2,8 @@
 
 Two paths:
   * brute-force cosine top-k — exact baseline, pure JVM column math
-    (F.zip_with dot product + window top-k). O(n*q) but fully distributed;
+    (F.zip_with dot product + salted two-phase top-k). O(n*q) but fully
+    distributed — no per-query window ever sorts the corpus in one task;
     right answer for verification and small query sets.
   * IVF (inverted-file) top-k — the scale path: k-means-lite centroids
     (deterministic seeded sample, driver-side Lloyd iterations on a sample),
@@ -26,6 +27,38 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
+def _topk_two_phase(
+    df: DataFrame,
+    part_col: str,
+    order_cols: list,
+    k: int,
+    rn_name: str,
+    salt_key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Salted two-phase top-k per `part_col` — the scheduler.pop_host_batches
+    / sketches.kmv_distinct pattern, reused so NO single task ever sorts the
+    corpus for one query: phase 1 ranks within (part, salt) buckets and keeps
+    each bucket's top-k (tasks bounded at corpus/buckets), phase 2 ranks the
+    <= salt_buckets*k survivors per part (bounded input). Lossless for any
+    deterministic total order — a row outside its bucket's top-k cannot be in
+    the part's global top-k. The salt hashes `salt_key` (the unique row key),
+    never the score, so score ties spread across buckets."""
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(salt_key), F.lit(salt_buckets))
+    )
+    w1 = Window.partitionBy(part_col, "_salt").orderBy(*order_cols)
+    ph1 = salted.withColumn("_rn1", F.row_number().over(w1)).filter(
+        F.col("_rn1") <= k
+    )
+    w2 = Window.partitionBy(part_col).orderBy(*order_cols)
+    return (
+        ph1.withColumn(rn_name, F.row_number().over(w2))
+        .filter(F.col(rn_name) <= k)
+        .drop("_salt", "_rn1")
+    )
+
+
 def cosine_topk_bruteforce(
     vectors: DataFrame,
     queries: DataFrame,
@@ -46,12 +79,11 @@ def cosine_topk_bruteforce(
     scored = v.crossJoin(F.broadcast(q)).withColumn(
         "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-    )
+    # salted two-phase: a plain per-query window would sort the WHOLE corpus
+    # in one task per query — the exact baseline still must not straggle
+    return _topk_two_phase(
+        scored, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
+    ).select("q_id", "vec_id", "cosine", "rn")
 
 
 def train_centroids(
@@ -250,12 +282,10 @@ def cosine_topk_ivf(
     scored = v.join(probe_df, "cell").withColumn(
         "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-    )
+    # probed cells can still be large (hot cluster): two-phase the rank too
+    return _topk_two_phase(
+        scored, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
+    ).select("q_id", "vec_id", "cosine", "rn")
 
 
 def quantize_embeddings(
@@ -340,12 +370,11 @@ def cosine_topk_quantized(
         )
         .select("q_id", "vec_id", "approx")
     )
-    w = Window.partitionBy("q_id").orderBy(F.desc("approx"), "vec_id")
-    cand = (
-        approx.withColumn("crn", F.row_number().over(w))
-        .filter(F.col("crn") <= rerank * k)
-        .select("q_id", "vec_id")
-    )
+    # candidate pass ranks the corpus per query: salted two-phase so the int8
+    # scan's 4x saving isn't thrown away on a one-task-per-query global sort
+    cand = _topk_two_phase(
+        approx, "q_id", [F.desc("approx"), "vec_id"], rerank * k, "crn", "vec_id"
+    ).select("q_id", "vec_id")
     v = (
         vectors.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
         .withColumn("nv", _norm(F.col("v")))
@@ -361,12 +390,11 @@ def cosine_topk_quantized(
         .join(F.broadcast(q), "q_id")
         .withColumn("cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq")))
     )
-    w2 = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-    return (
-        exact.withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-        .select("q_id", "vec_id", "cosine", "rn")
-    )
+    # survivor set is rerank*k per query (bounded) — a plain window is fine,
+    # but reuse the helper so every top-k in this module has one shape
+    return _topk_two_phase(
+        exact, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
+    ).select("q_id", "vec_id", "cosine", "rn")
 
 
 def semantic_dedup(

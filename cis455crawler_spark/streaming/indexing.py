@@ -106,9 +106,11 @@ def merge_doc_stats(
 def rank_from_stats(stats: DataFrame, bug_compatible: bool = True) -> DataFrame:
     """The reference's rank over the maintained stats table — identical
     arithmetic to operators/indexer.postings (Indexer.java:212-232,
-    including the int-division idf quirk); df is the one corpus-global
-    window recomputed at read time."""
-    out = stats.withColumn("df", F.count("*").over(Window.partitionBy("word")))
+    including the int-division idf quirk); df is recomputed at read time via
+    a skew-proof groupBy(word)+join (never a word-keyed window — a hot term
+    would serialize its postings list into one task at corpus scale)."""
+    df_by_word = stats.groupBy("word").agg(F.count("*").alias("df"))
+    out = stats.join(df_by_word, "word")
     if bug_compatible:
         tf_prime = 0.5 + 0.5 * F.col("tf") / F.col("max_tf")
         idf = F.log(F.floor(F.lit(IDF_CORPUS) / F.col("df")).cast("double"))
