@@ -3337,10 +3337,12 @@ def oracle_sql() -> dict[str, str]:
               FROM doc_urls),
             m AS (
               SELECT host, CAST(length(path) AS INT) AS plen,
-                     CAST(CASE WHEN length(path) = 0 THEN 0
-                          ELSE length(path)
-                               - length(replace(path, '/', '')) END AS INT)
-                       AS dep
+                     -- canonical depth: NON-EMPTY segments, query/fragment
+                     -- stripped (mirrors functions/urls.path_depth)
+                     CAST(len(list_filter(
+                            string_split(string_split(
+                              string_split(path, '?')[1], '#')[1], '/'),
+                            x -> x <> '')) AS INT) AS dep
               FROM p)
             SELECT host, COUNT(*) AS n_urls,
                    ROUND(AVG(dep), 6) AS avg_depth,

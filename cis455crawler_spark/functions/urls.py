@@ -264,9 +264,14 @@ def path_of(url: Column | str) -> Column:
 
 
 def path_depth(url: Column | str) -> Column:
-    """Number of '/'-separated path segments ('/a/b/c' -> 3, '' -> 0) —
-    deep-path URLs correlate with calendar/faceted traps and get demoted
-    by depth-aware frontier policies (the max_depth crawl knob's metric)."""
-    p = path_of(url)
-    slashes = F.length(p) - F.length(F.regexp_replace(p, "/", ""))
-    return F.when(F.length(p) == 0, F.lit(0)).otherwise(slashes).cast("int")
+    """Number of NON-EMPTY path segments after the authority, query and
+    fragment stripped ('/a/b/c' -> 3, '/dir5/' -> 1, '/p?x=/y' -> 1,
+    '' -> 0) — THE canonical depth metric shared by the trap signals
+    (operators/traps.py) and the URL-structure profile; deep-path URLs
+    correlate with calendar/faceted traps and get demoted by depth-aware
+    frontier policies (the max_depth crawl knob's metric)."""
+    # authority strip excludes '?'/'#' so a query directly after the host
+    # ('http://h?a=/b') still yields depth 0 (path_of's '[^/]*' would not)
+    p = F.regexp_replace(_c(url), r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    p = F.substring_index(F.substring_index(p, "?", 1), "#", 1)
+    return F.size(F.filter(F.split(p, "/"), lambda x: x != F.lit("")))

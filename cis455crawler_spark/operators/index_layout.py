@@ -173,7 +173,14 @@ def term_dict_frontcode_stats(
 
     LCP is computed engine-side with no Python: slice both char arrays to
     the shorter length (so no null padding), zip_with equality, and take
-    the first mismatch position — array ops inside codegen."""
+    the first mismatch position — array ops inside codegen.
+
+    Byte sizing assumes an ASCII vocabulary (1 char == 1 byte), which this
+    engine's tokenizer guarantees ([a-z0-9] tokens only). For a non-ASCII
+    dictionary both the lengths and the LCP would have to move to the
+    UTF-8 byte level (octet_length + byte-array LCP) — char-level numbers
+    UNDER-count multibyte terms; do not reuse this as a byte estimator
+    outside the engine's own token stream."""
     t = terms.select(F.col(term_col).alias("word")).distinct()
     t = t.withColumn("bucket", F.substring("word", 1, bucket_chars))
     w = Window.partitionBy("bucket").orderBy("word")

@@ -439,14 +439,23 @@ def spam_mass(
             "node",
             F.round("pr", 6).alias("pr"),
             F.round("tr", 6).alias("tr"),
-            F.round(
-                (
-                    F.col("pr")
-                    - F.col("tr")
-                    * (F.col("_n_ranked") / F.col("_n_trusted"))
-                )
-                / F.col("pr"),
-                6,
-            ).alias("spam_mass"),
+            # _n_trusted can be 0 when every trusted seed is a pure sink
+            # (remove_sink_edges drops it from the ranked set): spam_mass is
+            # undefined without a trust signal — report 0 (nothing demoted)
+            # rather than NULL rows that silently diverge between engines
+            F.when(
+                F.col("_n_trusted") > 0,
+                F.round(
+                    (
+                        F.col("pr")
+                        - F.col("tr")
+                        * (F.col("_n_ranked") / F.col("_n_trusted"))
+                    )
+                    / F.col("pr"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("spam_mass"),
         )
     )

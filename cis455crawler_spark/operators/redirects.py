@@ -42,6 +42,11 @@ def resolve_redirect_chains(
     site retargeted its redirect between fetches) keeps one row per
     distinct target — callers maintaining a redirect ledger should feed
     the latest-fetch snapshot, not the append log."""
+    if max_hops < 1:
+        # the unroll below always follows the first hop; silently exceeding
+        # a requested 0-hop bound is worse than refusing it (salsa()'s
+        # iterations guard is the precedent)
+        raise ValueError(f"max_hops must be >= 1, got {max_hops}")
     r = redirects.select(
         F.col(url_col).alias("url"), F.col(target_col).alias("target")
     ).distinct()

@@ -35,20 +35,9 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cis455crawler_spark.functions.urls import host_of
+from cis455crawler_spark.functions.urls import host_of, path_depth
 
-
-def path_depth(url: Column | str) -> Column:
-    """Number of non-empty path segments after the authority.
-
-    'http://h/a/b/c?d=1' -> 3; trailing slashes and the query string do not
-    count. Pure JVM: strip scheme+authority with one regexp, strip the
-    query, split on '/', count non-empty segments.
-    """
-    u = F.col(url) if isinstance(url, str) else url
-    path = F.regexp_replace(u, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
-    path = F.substring_index(F.substring_index(path, "?", 1), "#", 1)
-    return F.size(F.filter(F.split(path, "/"), lambda x: x != F.lit("")))
+__all__ = ["path_depth", "has_query", "trap_host_stats", "trap_filter_frontier"]
 
 
 def has_query(url: Column | str) -> Column:

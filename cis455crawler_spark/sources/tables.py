@@ -412,14 +412,20 @@ def snapshot_diff(g1, g2, key_col: str = "url", fp1_col: str = "fp1", fp2_col: s
 
     The inter-crawl change report (the recrawl scheduler's input). Both
     inputs must be key-unique (one fingerprint per key per generation) —
-    duplicate keys multiply full-outer rows and mis-classify."""
+    duplicate keys multiply full-outer rows and mis-classify. Fingerprints
+    MAY be NULL (e.g. a fetch that stored no digest): presence is tracked
+    by explicit per-side flags, never by fp NULL-ness, and fingerprint
+    comparison is null-safe (NULL vs NULL -> unchanged, NULL vs value ->
+    changed)."""
     from pyspark.sql import functions as F
 
-    j = g1.join(g2, key_col, "full_outer")
+    a = g1.select(F.col(key_col), F.col(fp1_col)).withColumn("_in1", F.lit(True))
+    b = g2.select(F.col(key_col), F.col(fp2_col)).withColumn("_in2", F.lit(True))
+    j = a.join(b, key_col, "full_outer")
     status = (
-        F.when(F.col(fp1_col).isNull(), F.lit("added"))
-        .when(F.col(fp2_col).isNull(), F.lit("removed"))
-        .when(F.col(fp1_col) != F.col(fp2_col), F.lit("changed"))
+        F.when(F.col("_in1").isNull(), F.lit("added"))
+        .when(F.col("_in2").isNull(), F.lit("removed"))
+        .when(~F.col(fp1_col).eqNullSafe(F.col(fp2_col)), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
     return j.select(F.col(key_col), status.alias("status"))

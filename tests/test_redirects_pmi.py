@@ -40,6 +40,12 @@ def test_redirect_chains_designed(spark):
     assert out["long1"] == ("long4", 3, True)
     assert out["long2"] == ("T", 3, False)
 
+    # max_hops < 1 must refuse, not quietly follow one hop (ADVICE r4)
+    import pytest
+
+    with pytest.raises(ValueError, match="max_hops"):
+        resolve_redirect_chains(redirects, max_hops=0)
+
 
 def test_index_shard_plan_balance(spark):
     from cis455crawler_spark.operators.index_layout import index_shard_plan
@@ -179,6 +185,22 @@ def test_spam_mass_designed_graph(spark):
     assert out["t1"][2] < 0.5
     # the bridge gets trust flow-through -> far below the spam farm
     assert out["b"][2] < out["s1"][2]
+
+    # trusted seeds that are pure sinks vanish from the ranked set
+    # (remove_sink_edges): _n_trusted = 0 must yield spam_mass 0.0
+    # everywhere, never NULL (ADVICE r4 zero guard)
+    sink_trusted = spark.createDataFrame([("z",)], "node string")
+    outz = {
+        r.node: r.spam_mass
+        for r in spam_mass(
+            spark.createDataFrame(
+                [("a", "z"), ("a", "b"), ("b", "a")], "src string, dst string"
+            ),
+            sink_trusted,
+            iterations=3,
+        ).collect()
+    }
+    assert outz and all(v == 0.0 for v in outz.values()), outz
 
 
 def test_more_like_this_sparse(spark):

@@ -117,6 +117,24 @@ def test_snapshot_diff_classification(spark):
         "http://c/4": "added",
     }
 
+    # NULL fingerprints are legal values, not absence markers (ADVICE r4):
+    # presence comes from per-side flags, comparison is null-safe
+    g1n = spark.createDataFrame(
+        [Row(url="u1", fp1=None), Row(url="u2", fp1=None), Row(url="u3", fp1="v")],
+        "url string, fp1 string",
+    )
+    g2n = spark.createDataFrame(
+        [Row(url="u1", fp2=None), Row(url="u2", fp2="w"), Row(url="u4", fp2=None)],
+        "url string, fp2 string",
+    )
+    outn = {r.url: r.status for r in snapshot_diff(g1n, g2n).collect()}
+    assert outn == {
+        "u1": "unchanged",  # NULL vs NULL
+        "u2": "changed",    # NULL vs value
+        "u3": "removed",    # present in g1 only, despite... fp present
+        "u4": "added",      # present in g2 only with NULL fp
+    }
+
 
 def test_event_burstiness_designed(spark):
     import datetime
@@ -155,10 +173,10 @@ def test_path_depth_and_anchor_consensus(spark):
 
     urls = [
         ("http://h.test", 0),
-        ("http://h.test/", 1),
+        ("http://h.test/", 0),  # trailing slash is not a segment
         ("http://h.test/a/b/c", 3),
-        ("http://h.test/dir5/", 2),
-        ("http://h.test/p?x=/y", 2),  # '/' inside the query counts (path+query metric)
+        ("http://h.test/dir5/", 1),
+        ("http://h.test/p?x=/y", 1),  # query stripped (canonical segment metric)
     ]
     got = {
         r.u: r.d
