@@ -95,6 +95,72 @@ def resolve_href(page_url: Column | str, href: Column | str) -> Column:
     return F.when(h.startswith("http"), F.when(junk, F.lit(None)).otherwise(h)).otherwise(rel)
 
 
+def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
+    """RFC 3986-style href resolution — the CrawlConfig(resolve_mode=
+    "standard") alternative to the reference-parity quirk resolver above.
+
+    The quirk resolver drops EVERY absolute href (':' check fires on the
+    scheme), so a quirk-mode crawl can never leave its seed hosts — fine for
+    reference parity, useless for an open-web frontier. This resolver keeps
+    the web graph connected, pure JVM columns throughout:
+
+      * absolute http(s):// hrefs     -> kept verbatim (fragment stripped)
+      * other schemes (mailto:, javascript:, ftp:, data:, tel:)  -> NULL
+      * protocol-relative '//h/p'     -> page scheme + href
+      * root-relative '/p'            -> scheme + host(page) + href
+      * query-only '?x=1'             -> page path with the new query
+      * fragment-only / empty         -> NULL (same-document reference)
+      * relative 'a/b'                -> against the page's base directory
+
+    Dot segments ('/./', 'seg/../', leading '/../') are collapsed with a
+    bounded 8-deep unroll — deeper chains survive un-normalized (still
+    valid, just distinct, URLs; canonicalize_url handles alias collapse).
+    The host keeps its port exactly like host_of (quirk O-X2), so seen-set
+    hashing is consistent across both resolve modes."""
+    u = _c(page_url)
+    h = F.substring_index(F.trim(_c(href)), "#", 1)
+    proto = protocol_of(u)
+    hostp = host_of(u)
+    page_path = F.substring_index(path_of(u), "?", 1)
+    base_dir = F.when(page_path == "", F.lit("/")).otherwise(
+        F.regexp_replace(page_path, "[^/]*$", "")
+    )
+    raw_path = F.when(h.startswith("/"), h).otherwise(F.concat(base_dir, h))
+    pth = F.substring_index(raw_path, "?", 1)
+    qry = F.when(
+        raw_path.contains("?"),
+        F.concat(F.lit("?"), F.substr(raw_path, F.instr(raw_path, "?") + 1)),
+    ).otherwise(F.lit(""))
+    norm = pth
+    for _ in range(8):
+        norm = F.regexp_replace(norm, r"/\.(?=/|$)", "")  # /./ and trailing /.
+        norm = F.regexp_replace(norm, r"/(?!\.\./)[^/]+/\.\.(?=/|$)", "")
+    norm = F.regexp_replace(norm, r"^(/\.\.)+(?=/|$)", "")  # clamp at root
+    norm = F.when(norm == "", F.lit("/")).otherwise(norm)
+    same_host = F.concat(proto, hostp, norm, qry)
+    has_scheme = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    return (
+        F.when(h == "", F.lit(None).cast("string"))
+        .when(
+            h.startswith("//"), F.concat(F.substring_index(proto, "//", 1), h)
+        )
+        .when(
+            has_scheme,
+            F.when(h.rlike("^https?://"), h).otherwise(F.lit(None).cast("string")),
+        )
+        .when(
+            h.startswith("?"),
+            F.concat(
+                proto,
+                hostp,
+                F.when(page_path == "", F.lit("/")).otherwise(page_path),
+                h,
+            ),
+        )
+        .otherwise(same_host)
+    )
+
+
 # -- beyond the reference: frontier-scale URL canonicalization ---------------
 
 # NOTE: bare 'ref' is deliberately NOT in the default scrub list (ADVICE r3):

@@ -103,13 +103,35 @@ class CrawlConfig:
     # with the seen set on a recrawl generation.
     max_urls_per_host: int | None = None
     # opt-in frontier ordering (beyond reference): "bfs" (default — the
-    # reference-parity url-ascending determinization) or "indegree" — a
+    # reference-parity url-ascending determinization), "indegree" — a
     # host-keyed priority queue popping the most-linked-to candidates first
     # (OPIC-lite: every discovered link deposits one unit of cash on its
     # target; deferred candidates keep accumulating across rounds), the
-    # classic importance-first crawl ordering. Changes WHICH urls beat the
-    # politeness budget each round, so the BFS-parity gate requires "bfs".
+    # classic importance-first crawl ordering — or "trust" — trust-weighted
+    # OPIC (TrustRank demotion in the pop): each link mention deposits its
+    # SOURCE HOST's TrustRank score (host graph accumulated in the
+    # host_edges ledger, teleport mass on the round-0 seed hosts, recomputed
+    # per round with `trust_iterations` power steps), so spam-farm mentions
+    # deposit ~0 and their targets sort behind trust-endorsed urls within
+    # the same host's politeness budget. Both change WHICH urls beat the
+    # budget each round, so the BFS-parity gate requires "bfs". Do not flip
+    # between indegree and trust mid-crawl (the frontier's cash column
+    # changes type/meaning).
     priority: str = "bfs"
+    trust_iterations: int = 3  # power steps per round in priority="trust"
+    # priority="trust" teleport set: None (default) = the round-0 seed
+    # hosts; pass an explicit host list when only a curated subset of the
+    # seeds is trusted (the Gyöngyi TrustRank setup — seeds crawl, but only
+    # vetted hosts radiate trust)
+    trusted_hosts: list[str] | None = None
+    # href resolution: "quirk" (default — the reference's non-RFC resolver,
+    # which DROPS every absolute href, so a crawl never leaves its seed
+    # hosts; the parity gate requires it) or "standard" — RFC 3986-style
+    # resolution (functions/urls.resolve_href_standard) that keeps the web
+    # graph connected: absolute/protocol-relative/root-relative hrefs all
+    # resolve, non-http schemes drop. The open-web mode every non-parity
+    # deployment should run.
+    resolve_mode: str = "quirk"
     # opt-in content-seen test (beyond reference — Mercator's duplicate-body
     # suppression; the reference dedups URLs only, so mirror sites parse
     # once per URL): fetched bodies routed to "parse" first check their
@@ -140,10 +162,34 @@ class CrawlConfig:
     # None (default) = never compact parsed; parsed_latest() is correct
     # either way, this only bounds file counts.
     compact_parsed_every: int | None = None
+    # opt-in Mercator trap containment (beyond reference): hosts whose
+    # accumulated fetch log shows the infinite-URL/finite-content signature
+    # (distinct urls / distinct body digests >= ratio) or absurd path depth
+    # stop admitting candidates entirely — dropped at the dedup gate, NOT
+    # marked seen (re-mentions drop again while the host stays flagged;
+    # metric `trap_dropped`). Evidence accumulates in the narrow trap_log
+    # append table (url, md5(html)) from the round the knob turns on;
+    # toggling mid-crawl simply starts with less history. Default off —
+    # the parity gate admits every host like the reference.
+    trap_filter: bool = False
+    trap_ratio_threshold: float = 5.0
+    trap_depth_threshold: int = 12
+    # opt-in soft-404 demotion (beyond reference): hosts whose parsed pages
+    # are mostly error shells (soft404_signals verdict over >= min_pages
+    # observations at >= rate_threshold) get their politeness budget clamped
+    # to 1 url/round — demoted, not banned (the rate can recover; clamped
+    # candidates defer like any politeness overflow). Observations accumulate
+    # in the soft404_log append table (host, verdict) per parsed page.
+    # Default off for parity.
+    demote_soft404: bool = False
+    soft404_min_pages: int = 3
+    soft404_rate_threshold: float = 0.5
 
     def __post_init__(self) -> None:
-        if self.priority not in ("bfs", "indegree"):
+        if self.priority not in ("bfs", "indegree", "trust"):
             raise ValueError(f"unknown priority mode {self.priority!r}")
+        if self.resolve_mode not in ("quirk", "standard"):
+            raise ValueError(f"unknown resolve mode {self.resolve_mode!r}")
         if self.expected_total_urls:
             from ..operators.dedup import bloom_bits_for
 
@@ -212,9 +258,18 @@ def init_crawl(
     cfg: CrawlConfig,
     extra_seed_df: DataFrame | None = None,
 ) -> None:
-    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311)."""
+    """Round-0 snapshot: frontier = seed list (MasterServlet.java:305-311).
+    seed_hosts (the trust teleport set for priority="trust") always commits —
+    it is tiny and lets the knob toggle on mid-crawl."""
     frontier0 = _seed_frontier(spark, seeds, extra_seed_df)
-    store.commit_round(0, replaces={"frontier": frontier0}, extra={"phase": "init"})
+    store.commit_round(
+        0,
+        replaces={
+            "frontier": frontier0,
+            "seed_hosts": frontier0.select(host_of(F.col("url")).alias("host")).distinct(),
+        },
+        extra={"phase": "init"},
+    )
 
 
 def run_round(
@@ -278,12 +333,16 @@ def run_round(
     ]
 
     # candidate set: frontier distinct on url (min depth), minus seen.
-    # indegree mode additionally accumulates each url's link-mention cash
-    # (sum survives the distinct; deferred rows carry their balance forward)
-    use_pri = cfg.priority == "indegree"
+    # indegree/trust modes additionally accumulate each url's link-mention
+    # cash (one unit per mention / the source host's trust per mention —
+    # sum survives the distinct; deferred rows carry their balance forward)
+    use_pri = cfg.priority in ("indegree", "trust")
     if use_pri and "inlinks" not in frontier.columns:
         # round-0 seeds / a frontier table written before the toggle
-        frontier = frontier.withColumn("inlinks", F.lit(1).cast("long"))
+        frontier = frontier.withColumn(
+            "inlinks",
+            F.lit(0.0) if cfg.priority == "trust" else F.lit(1).cast("long"),
+        )
     agg_exprs = [F.min("depth").alias("depth")] + (
         [F.sum("inlinks").alias("inlinks")] if use_pri else []
     )
@@ -336,6 +395,34 @@ def run_round(
     fresh_cand = anti_join_seen(
         raw, seen, bloom_sidecar=bloom_sidecar, num_buckets=cfg.num_buckets
     )
+
+    # opt-in Mercator trap containment: flagged hosts (infinite-URL/finite-
+    # content signature or absurd depth over the accumulated trap_log) stop
+    # admitting candidates — broadcast anti-join on host (the flag list is
+    # hosts, not URLs). Dropped urls are NOT marked seen: re-mentions drop
+    # again for as long as the host stays flagged, and admit again if the
+    # host's ratio recovers.
+    pre_trap = None
+    if cfg.trap_filter:
+        pre_trap = fresh_cand.cache()
+        tlog = store.read("trap_log")
+        if tlog is not None:
+            from ..operators.traps import trap_host_stats
+
+            trap_hosts = (
+                trap_host_stats(
+                    tlog,
+                    url_col="url",
+                    fp_col="digest",
+                    ratio_threshold=cfg.trap_ratio_threshold,
+                    depth_threshold=cfg.trap_depth_threshold,
+                )
+                .filter(F.col("is_trap") == 1)
+                .select("host")
+            )
+            fresh_cand = pre_trap.join(F.broadcast(trap_hosts), "host", "left_anti")
+        else:
+            fresh_cand = pre_trap
 
     # per-host admission quota (opt-in trap containment): remaining budget =
     # cap minus the host's seen-set size at round start; the salted
@@ -396,6 +483,39 @@ def run_round(
         "budget", host_budget(F.col("crawl_delay"), cfg.round_duration_s)
     )
 
+    # opt-in soft-404 demotion: hosts serving mostly error shells (per the
+    # accumulated soft404_log verdicts) get their politeness budget clamped
+    # to 1 url/round — demoted, not banned (overflow defers like any
+    # politeness overflow and the rate can recover). The flag list is a
+    # per-host aggregate of a narrow log: tiny, broadcast.
+    flagged404 = None
+    if cfg.demote_soft404:
+        slog = store.read("soft404_log")
+        if slog is not None:
+            flagged404 = (
+                slog.groupBy("host")
+                .agg(
+                    F.count(F.lit(1)).alias("_n"),
+                    F.sum("soft404").alias("_s"),
+                )
+                .filter(
+                    (F.col("_n") >= cfg.soft404_min_pages)
+                    & (F.col("_s") / F.col("_n") >= cfg.soft404_rate_threshold)
+                )
+                .select("host", F.lit(True).alias("_demote"))
+                .cache()  # consumed by the clamp join and the stats count
+            )
+            ok = (
+                ok.join(F.broadcast(flagged404), "host", "left")
+                .withColumn(
+                    "budget",
+                    F.when(F.col("_demote"), F.lit(1).cast("int")).otherwise(
+                        F.col("budget")
+                    ),
+                )
+                .drop("_demote")
+            )
+
     # politeness pop (salted two-phase window); per-bucket lineage counts
     # observed inline (num_buckets sum-when exprs — scalar observations are
     # the price of folding the groupBy(bucket).collect job away)
@@ -442,16 +562,19 @@ def run_round(
         ),
     )
 
+    # body digest: content_dedup's content-seen key AND trap_filter's
+    # finite-content evidence share one md5 pass over the parse-routed bodies
+    if cfg.content_dedup or cfg.trap_filter:
+        routed = routed.withColumn(
+            "digest", F.when(F.col("action") == "parse", F.md5(F.col("html")))
+        )
+
     # content-seen test (opt-in, Mercator-style): parse-routed bodies whose
     # digest is already claimed — by an earlier round (content_seen table)
     # or by a lexicographically-smaller URL in THIS batch (window, rn>1) —
     # become 'content_dup': still seen, never parsed/linked/persisted.
     if cfg.content_dedup:
         from pyspark.sql import Window
-
-        routed = routed.withColumn(
-            "digest", F.when(F.col("action") == "parse", F.md5(F.col("html")))
-        )
         cs = store.read("content_seen")
         if cs is not None:
             # plain shuffle join on digest; at seen-table scale this gets the
@@ -489,6 +612,10 @@ def run_round(
         )
 
     is_parse = F.col("action") == "parse"
+    if cfg.resolve_mode == "standard":
+        from ..functions.urls import resolve_href_standard as _resolve
+    else:
+        _resolve = resolve_href
     parsed = (
         routed.withColumn("_p", parse_page_udf(F.when(is_parse, F.col("html"))))
         .withColumn(
@@ -498,7 +625,7 @@ def run_round(
             # contributes nothing
             F.when(F.col("action") == "not_modified", F.col("stored_links")).otherwise(
                 F.filter(
-                    F.transform(F.col("_p.hrefs"), lambda h: resolve_href(F.col("url"), h)),
+                    F.transform(F.col("_p.hrefs"), lambda h: _resolve(F.col("url"), h)),
                     lambda x: x.isNotNull(),
                 )
             ),
@@ -548,20 +675,62 @@ def run_round(
         new_seen = batch_seen.unionByName(redirect_targets).cache()
 
     # discovered links -> next frontier (dedup within batch, anti-join seen+batch)
-    link_aggs = [F.min("depth").alias("depth")] + (
-        # one unit of cash per link MENTION (a page linking twice votes twice
-        # — the reference's extractor keeps duplicate hrefs, O-X4 doc order)
-        [F.count(F.lit(1)).alias("inlinks")] if use_pri else []
-    )
-    link_stream = parsed.select(
-        F.explode("out_links").alias("url"), (F.col("depth") + 1).alias("depth")
-    )
+    # cash per link MENTION (a page linking twice votes twice — the
+    # reference's extractor keeps duplicate hrefs, O-X4 doc order):
+    #   indegree  1 unit per mention
+    #   trust     the source host's TrustRank over the accumulated host_edges
+    #             ledger (teleport on seed_hosts) — spam mentions deposit ~0
+    link_aggs = [F.min("depth").alias("depth")]
+    if cfg.priority == "indegree":
+        link_aggs.append(F.count(F.lit(1)).alias("inlinks"))
+    elif cfg.priority == "trust":
+        link_aggs.append(F.sum("_dep").alias("inlinks"))
+    mention_cols = [
+        F.explode("out_links").alias("url"),
+        (F.col("depth") + 1).alias("depth"),
+    ] + ([F.col("host").alias("_src_host")] if cfg.priority == "trust" else [])
+    link_stream = parsed.select(*mention_cols)
     if cfg.follow_redirects:
         link_stream = link_stream.unionByName(
             parsed.filter(F.col("action") == "redirect").select(
                 location_of("url").alias("url"),
                 (F.col("depth") + 1).alias("depth"),
+                *([F.col("host").alias("_src_host")] if cfg.priority == "trust" else []),
             )
+        )
+    if cfg.priority == "trust":
+        # host-level TrustRank: the host graph is orders of magnitude smaller
+        # than the URL graph (ledger holds DISTINCT host pairs per round) and
+        # the result is a broadcast-sized host table; trust_iterations power
+        # steps of iterative broadcast joins per round. Empty ledger (round 1,
+        # or the knob just toggled on) -> every deposit 0.0 -> the pop's
+        # (priority DESC, url ASC) order degenerates to plain BFS.
+        hedges = store.read("host_edges")
+        if cfg.trusted_hosts is not None:
+            seed_hosts = spark.createDataFrame(
+                [(h,) for h in cfg.trusted_hosts], "host string"
+            )
+        else:
+            seed_hosts = store.read("seed_hosts")
+        trust = None
+        if hedges is not None and seed_hosts is not None:
+            from ..operators.pagerank import trustrank
+
+            trust = trustrank(
+                hedges.select("src", "dst").distinct(),
+                seed_hosts,
+                iterations=cfg.trust_iterations,
+            ).select(
+                F.col("node").alias("_src_host"), F.col("rank").alias("_trust")
+            )
+        if trust is not None:
+            link_stream = link_stream.join(F.broadcast(trust), "_src_host", "left")
+        else:
+            link_stream = link_stream.withColumn(
+                "_trust", F.lit(None).cast("double")
+            )
+        link_stream = link_stream.select(
+            "url", "depth", F.coalesce(F.col("_trust"), F.lit(0.0)).alias("_dep")
         )
     if cfg.max_depth is not None:
         link_stream = link_stream.filter(F.col("depth") <= cfg.max_depth)
@@ -617,6 +786,28 @@ def run_round(
             .groupBy("host")
             .agg(F.sum("n").alias("n"))
         )
+    if cfg.trap_filter:
+        # narrow per-parse evidence rows (url unique per generation, so the
+        # host rollup's countDistinct(url) is exact); digests accumulate
+        # across generations — content signatures stay valid on a recrawl
+        appends_extra["trap_log"] = parsed.filter(is_parse).select("url", "digest")
+    if cfg.demote_soft404:
+        from ..operators.soft404 import soft404_signals
+
+        appends_extra["soft404_log"] = soft404_signals(
+            parsed.filter(is_parse).select("host", "title", "text")
+        ).select("host", F.col("soft404").cast("int").alias("soft404"))
+    if cfg.priority == "trust":
+        # this round's DISTINCT host pairs (parse + 304-reused adjacency) —
+        # the ledger the next round's TrustRank runs over
+        appends_extra["host_edges"] = (
+            parsed.filter(F.col("action").isin("parse", "not_modified"))
+            .select(
+                F.col("host").alias("src"), F.explode("out_links").alias("_dst")
+            )
+            .select("src", host_of(F.col("_dst")).alias("dst"))
+            .distinct()
+        )
     if cfg.content_dedup:
         # the digests that actually parsed this round — each unique in-batch
         # (rn=1) and previously unknown, so the table stays a digest-keyed
@@ -664,6 +855,14 @@ def run_round(
         stats_df = stats_df.crossJoin(
             pre_quota.agg(F.count(F.lit(1)).alias("n_pre_quota"))
         )
+    if pre_trap is not None:
+        stats_df = stats_df.crossJoin(
+            pre_trap.agg(F.count(F.lit(1)).alias("n_pre_trap"))
+        )
+    if flagged404 is not None:
+        stats_df = stats_df.crossJoin(
+            flagged404.agg(F.count(F.lit(1)).alias("n_s404_hosts"))
+        )
     stats = {
         k: (v if v is not None else 0)
         for k, v in stats_df.collect()[0].asDict().items()
@@ -676,13 +875,17 @@ def run_round(
     acts = {a: stats[a] for a in action_names}
     fetch_hits = sum(n for a, n in acts.items() if a != "miss")
 
+    # the first post-dedup gate's input defines what "deduped" means:
+    # candidates dropped by trap/quota gates are NOT dedups
+    first_gate = (
+        stats["n_pre_trap"]
+        if pre_trap is not None
+        else (stats["n_pre_quota"] if pre_quota is not None else fresh)
+    )
     metrics = {
         "round": round_no,
         "urls_in": urls_in,
-        # with the quota gate on, candidates dropped there are NOT dedups —
-        # count dedup against the pre-quota candidate set
-        "deduped": urls_in
-        - (stats["n_pre_quota"] if pre_quota is not None else fresh),
+        "deduped": urls_in - first_gate,
         "robots_denied": n_denied,
         "politeness_deferred": (fresh - n_denied) - n_sched,
         "scheduled": n_sched,
@@ -697,6 +900,12 @@ def run_round(
     }
     if pre_quota is not None:
         metrics["quota_dropped"] = stats["n_pre_quota"] - fresh
+    if pre_trap is not None:
+        metrics["trap_dropped"] = stats["n_pre_trap"] - (
+            stats["n_pre_quota"] if pre_quota is not None else fresh
+        )
+    if flagged404 is not None:
+        metrics["soft404_hosts"] = stats["n_s404_hosts"]
     if cfg.content_dedup:
         metrics["content_dup"] = acts.get("content_dup", 0)
     if cfg.use_bloom:
@@ -735,6 +944,10 @@ def run_round(
     if pre_quota is not None:
         pre_quota.unpersist()
         host_counts.unpersist()
+    if pre_trap is not None:
+        pre_trap.unpersist()
+    if flagged404 is not None:
+        flagged404.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by
         # the context cleaner once the caller drops the reference
@@ -830,7 +1043,13 @@ def run_crawl(
         )
         store.commit_round(
             store.current_round() + 1,
-            replaces={"frontier": frontier0, "seen": empty_seen},
+            replaces={
+                "frontier": frontier0,
+                "seen": empty_seen,
+                "seed_hosts": frontier0.select(
+                    host_of(F.col("url")).alias("host")
+                ).distinct(),
+            },
             extra={"phase": "recrawl"},
         )
         # stale bitmaps / host rollups / body digests describe the previous

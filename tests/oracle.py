@@ -108,6 +108,43 @@ def o_resolve(page_url: str, href: str) -> str | None:
     return page_url + "/" + href
 
 
+def o_path_depth(url: str) -> int:
+    """Mirror of functions/urls.path_depth: non-empty path segments,
+    query/fragment stripped."""
+    path = re.sub(r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "", url)
+    path = path.split("?", 1)[0].split("#", 1)[0]
+    return len([s for s in path.split("/") if s])
+
+
+def o_resolve_standard(page_url: str, href: str) -> str | None:
+    """Mirror of functions/urls.resolve_href_standard (RFC 3986-style),
+    same branch order and the same bounded dot-segment unroll."""
+    h = href.strip().split("#", 1)[0]
+    if h == "":
+        return None
+    proto = "https://" if page_url.startswith("https") else "http://"
+    host = o_host(page_url)
+    if h.startswith("//"):
+        return proto.split("//")[0] + h
+    if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", h):
+        return h if re.match(r"^https?://", h) else None
+    page_path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", page_url).split("?", 1)[0]
+    if h.startswith("?"):
+        return proto + host + (page_path if page_path else "/") + h
+    base_dir = "/" if page_path == "" else re.sub(r"[^/]*$", "", page_path)
+    raw = h if h.startswith("/") else base_dir + h
+    pth = raw.split("?", 1)[0]
+    qry = ("?" + raw.split("?", 1)[1]) if "?" in raw else ""
+    norm = pth
+    for _ in range(8):
+        norm = re.sub(r"/\.(?=/|$)", "", norm)
+        norm = re.sub(r"/(?!\.\./)[^/]+/\.\.(?=/|$)", "", norm)
+    norm = re.sub(r"^(/\.\.)+(?=/|$)", "", norm)
+    if norm == "":
+        norm = "/"
+    return proto + host + norm + qry
+
+
 def o_parse_robots(body: str) -> dict:
     disallow: dict = {}
     delays: dict = {}
@@ -182,6 +219,13 @@ def oracle_crawl(
     content_dedup: bool = False,  # Mercator content-seen test (engine opt-in)
     follow_redirects: bool = False,  # Location as discovered link (engine opt-in)
     max_depth: int | None = None,  # BFS depth cap (engine opt-in)
+    resolve_fn=None,  # (page_url, href) -> url|None; None = quirk o_resolve
+    trap_filter: bool = False,  # Mercator trap containment (engine opt-in)
+    trap_ratio_threshold: float = 5.0,
+    trap_depth_threshold: int = 12,
+    soft404_urls: set | None = None,  # ground-truth soft-404 urls -> demotion on
+    soft404_min_pages: int = 3,
+    soft404_rate_threshold: float = 0.5,
 ) -> OracleResult:
     robots_by_host: dict[str, dict] = {}
     raw_robots_by_host: dict[str, str] = {}
@@ -196,6 +240,10 @@ def oracle_crawl(
     total_sched = 0
     seen_hosts: dict[str, int] = {}  # per-host seen-set size (quota gate)
     content_seen: set[str] = set()  # body digests (content_dedup mode)
+    _resolve = resolve_fn or o_resolve
+    trap_log: list[tuple[str, str]] = []  # (url, body digest) per parse
+    s404_pages: dict[str, int] = {}  # per-host parsed-page count
+    s404_hits: dict[str, int] = {}  # per-host soft-404 verdicts
 
     def _mark_seen(u: str) -> None:
         h = o_sha1(u)
@@ -208,6 +256,26 @@ def oracle_crawl(
         cand = {u: d for u, d in frontier.items() if o_sha1(u) not in res.seen}
         res.frontiers.append(set(frontier))
         urls_in = len(frontier)
+
+        # trap containment: hosts whose accumulated (url, digest) log shows
+        # the infinite-URL/finite-content ratio or absurd depth stop
+        # admitting candidates (engine: trap gate before quota, drops are
+        # NOT marked seen)
+        if trap_filter and trap_log:
+            by_h: dict[str, tuple[set, set, int]] = {}
+            for u, dig in trap_log:
+                urls, digs, md = by_h.setdefault(o_host(u), (set(), set(), 0))
+                urls.add(u)
+                digs.add(dig)
+            flagged_traps = set()
+            for h, (urls, digs, _) in by_h.items():
+                maxd = max(o_path_depth(u) for u in urls)
+                if (
+                    len(urls) / len(digs) >= trap_ratio_threshold
+                    or maxd >= trap_depth_threshold
+                ):
+                    flagged_traps.add(h)
+            cand = {u: d for u, d in cand.items() if o_host(u) not in flagged_traps}
 
         # per-host admission quota: remaining = cap - host's seen-set size at
         # round start; first `remaining` candidates per host in url order
@@ -239,6 +307,14 @@ def oracle_crawl(
         for host, urls in by_host.items():
             delay = o_delay(robots_by_host.get(host))
             budget = max(1, round_duration_s // delay) if delay > 0 else math.inf
+            # soft-404 demotion: flagged hosts clamp to 1 url/round
+            if (
+                soft404_urls is not None
+                and s404_pages.get(host, 0) >= soft404_min_pages
+                and s404_hits.get(host, 0) / s404_pages[host]
+                >= soft404_rate_threshold
+            ):
+                budget = 1
             urls.sort()
             for i, u in enumerate(urls):
                 (scheduled if i < budget else deferred).append(u)
@@ -296,13 +372,25 @@ def oracle_crawl(
                     content_seen.add(dig)
         parsed_n = sum(1 for a in actions.values() if a == "parse")
 
+        # evidence logs (engine: trap_log / soft404_log appends at commit)
+        for u, a in actions.items():
+            if a != "parse":
+                continue
+            if trap_filter:
+                trap_log.append((u, hashlib.md5(pages[u]).hexdigest()))
+            if soft404_urls is not None:
+                h = o_host(u)
+                s404_pages[h] = s404_pages.get(h, 0) + 1
+                if u in soft404_urls:
+                    s404_hits[h] = s404_hits.get(h, 0) + 1
+
         new_links: dict[str, int] = {}
         for u in scheduled:
             act = actions[u]
             if act == "parse":
                 links = []
                 for href in o_extract_hrefs(pages[u]):
-                    dst = o_resolve(u, href)
+                    dst = _resolve(u, href)
                     if dst is not None:
                         links.append(dst)
                 res.docs[u] = links

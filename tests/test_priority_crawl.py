@@ -131,3 +131,86 @@ def test_indegree_priority_crawls_popular_page_earlier(
 def test_priority_mode_validation():
     with pytest.raises(ValueError):
         CrawlConfig(priority="opic")
+
+
+def _routes_ok(url: str) -> bool:
+    h = hashlib.md5(url.encode()).hexdigest()
+    return h[0] not in "01" and h[1] not in "012"
+
+
+def _find(host: str, prefix: str) -> str:
+    for n in range(1000):
+        u = f"http://{host}/{prefix}{n:03d}.html"
+        if _routes_ok(u):
+            return u
+    raise AssertionError("no routable url")
+
+
+def test_trust_priority_demotes_spam_endorsed_urls(spark, tmp_path):
+    """priority='trust' (TrustRank demotion in the pop): two hosts link into
+    a budget-1 target host — one trusted (reachable from the trusted seed
+    set in the host_edges ledger), one a spam seed with zero trust inflow.
+    The trust-endorsed target url wins the politeness slot even though the
+    spam-endorsed one sorts first lexicographically (which is exactly what
+    BFS picks). Needs resolve_mode='standard' — cross-host mentions cannot
+    exist under the quirk resolver."""
+    A, S, T = "ha-good.test", "hs-spam.test", "ht-target.test"
+    a0, a1 = _find(A, "a"), _find(A, "b")
+    s0, s1 = _find(S, "a"), _find(S, "b")
+    t_spam = _find(T, "taa")  # sorts BEFORE t_good: BFS picks it first
+    t_good = _find(T, "tzz")
+    assert t_spam < t_good
+
+    def page(url, hrefs, body="page body long enough to be ordinary content"):
+        links = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (
+            url,
+            datetime(2013, 3, 1),
+            bytearray(f"<html><body>{body}{links}</body></html>".encode()),
+            "",
+            "en",
+        )
+
+    def robots(host, extra=""):
+        return (
+            f"http://{host}/robots.txt",
+            datetime(2013, 3, 1),
+            bytearray(f"User-agent: *\nDisallow: /private\n{extra}".encode()),
+            "",
+            "en",
+        )
+
+    rows = [
+        robots(A),
+        robots(S),
+        robots(T, "Crawl-delay: 60\n"),  # budget 1/round on the target
+        page(a0, [a1.rsplit("/", 1)[1]]),  # A -> A ledger edge in round 1
+        page(a1, [t_good]),  # trusted mention, deposited round 2
+        page(s0, [s1.rsplit("/", 1)[1]]),  # S -> S
+        page(s1, [t_spam]),  # zero-trust mention
+        page(t_good, []),
+        page(t_spam, []),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def crawl(priority, sub):
+        cfg = CrawlConfig(
+            max_rounds=8,
+            priority=priority,
+            resolve_mode="standard",
+            trusted_hosts=[A],
+        )
+        store, _ = run_crawl(spark, pages, [a0, s0], str(tmp_path / sub), cfg)
+        parsed = parsed_latest(store)
+        return {r.url: r.round for r in parsed.select("url", "round").collect()}
+
+    r_trust = crawl("trust", "trust")
+    r_bfs = crawl("bfs", "bfs")
+    # identical coverage — trust changes WHEN, never WHAT
+    assert set(r_trust) == set(r_bfs)
+    # BFS pops the lexicographically-smaller spam url into the single slot;
+    # trust pops the endorsed url first and defers the spam one
+    assert r_bfs[t_spam] == 3 and r_bfs[t_good] == 4
+    assert r_trust[t_good] == 3 and r_trust[t_spam] == 4
