@@ -120,7 +120,9 @@ BENCH_QUERIES = [
 ]
 
 
-def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
+def corpus_parquet(
+    hosts: int, pages: int, hot: int, spark=None, words: tuple = (20, 60)
+) -> str:
     """Deterministic corpus cached on disk across bench runs. With a spark
     session the build is distributed (per-host seeding -> identical rows)."""
     from cis455crawler_spark.sources.corpus import (
@@ -132,13 +134,19 @@ def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
     # cache key carries the generator seed AND a generator-version tag: a
     # change to the corpus generator must invalidate pre-existing /tmp
     # caches, or benchmarks silently compare runs over different corpora
-    spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
+    spec = CorpusSpec(
+        hosts=hosts, pages_per_host=pages, hot_factor=hot,
+        words_min=words[0], words_max=words[1],
+    )
     from cis455crawler_spark.sources import corpus as corpus_mod
 
     gen_ver = getattr(corpus_mod, "GENERATOR_VERSION", 1)
+    # fat-page tiers get their own cache entries; the default tier keeps its
+    # pre-existing cache name
+    wtag = "" if words == (20, 60) else f"_w{words[0]}-{words[1]}"
     path = os.path.join(
         tempfile.gettempdir(),
-        f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}_s{spec.seed}_g{gen_ver}.parquet",
+        f"spark_graft_corpus_h{hosts}_p{pages}_x{hot}_s{spec.seed}_g{gen_ver}{wtag}.parquet",
     )
     if not os.path.exists(path):
         if spark is not None:
@@ -149,12 +157,16 @@ def corpus_parquet(hosts: int, pages: int, hot: int, spark=None) -> str:
 
 
 def crawl_throughput(
-    spark, rounds: int, hosts: int, pages: int, hot: int, recrawl: bool = True
+    spark, rounds: int, hosts: int, pages: int, hot: int, recrawl: bool = True,
+    words: tuple = (20, 60),
 ) -> tuple[dict, dict | None]:
     from cis455crawler_spark.plans.crawl import CrawlConfig, run_crawl
     from cis455crawler_spark.sources.corpus import CorpusSpec, seed_urls
 
-    spec = CorpusSpec(hosts=hosts, pages_per_host=pages, hot_factor=hot)
+    spec = CorpusSpec(
+        hosts=hosts, pages_per_host=pages, hot_factor=hot,
+        words_min=words[0], words_max=words[1],
+    )
     # pre-partition pages on the join key ONCE (the sandbox analogue of
     # Iceberg bucketing): every round's fetch join then reuses this
     # partitioning and only the small scheduled side shuffles — without it the
@@ -164,7 +176,7 @@ def crawl_throughput(
     from pyspark import StorageLevel
 
     pages_df = (
-        spark.read.parquet(corpus_parquet(hosts, pages, hot, spark=spark))
+        spark.read.parquet(corpus_parquet(hosts, pages, hot, spark=spark, words=words))
         .repartition(64, "url")
         .persist(StorageLevel.DISK_ONLY)
     )
@@ -224,6 +236,11 @@ def main() -> None:
     pages = int(os.environ.get("BENCH_PAGES", "1000"))
     hot = int(os.environ.get("BENCH_HOT", "10"))
     rounds = int(os.environ.get("BENCH_ROUNDS", "8"))
+    # BENCH_WORDS="12000,13000" -> ~100 KB html bodies (the fat-page recrawl
+    # economy tier); default keeps the tiny synthetic pages
+    words = tuple(
+        int(x) for x in os.environ.get("BENCH_WORDS", "20,60").split(",")
+    )
 
     recrawl = os.environ.get("BENCH_RECRAWL", "1") == "1"
     passes = int(os.environ.get("BENCH_PASSES", "2"))
@@ -257,7 +274,7 @@ def main() -> None:
     qtimes = {n: min(ts) for n, ts in runs.items()}
 
     crawl, crawl_gen2 = crawl_throughput(
-        spark, rounds, hosts, pages, hot, recrawl=recrawl
+        spark, rounds, hosts, pages, hot, recrawl=recrawl, words=words
     )
 
     out = {

@@ -58,6 +58,11 @@ class CorpusSpec:
     hot_factor: int = 1  # multiply host-0's page count (skew knob)
     links_min: int = 2
     links_max: int = 8
+    # body size knob: words per page body (default ~tiny synthetic pages).
+    # ~12500 words ≈ 100 KB html — the fat-page tier that shows the recrawl
+    # 304 path's parse savings beating its MERGE/compare overhead.
+    words_min: int = 20
+    words_max: int = 60
 
     @classmethod
     def smoke(cls) -> "CorpusSpec":
@@ -114,7 +119,8 @@ def generate_host_pdf(spec: CorpusSpec, i: int) -> pd.DataFrame:
         url = page_url(host, j)
         title = f"Title {i}-{j}"
         words = " ".join(
-            f"word{rng.randint(0, 999)}" for _ in range(rng.randint(20, 60))
+            f"word{rng.randint(0, 999)}"
+            for _ in range(rng.randint(spec.words_min, spec.words_max))
         )
         if j % 13 == 5:
             words += " fish &amp; chips"
