@@ -2467,162 +2467,76 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     q["anchor_consensus_graph"] = anchor_consensus_graph
 
-    # Gate rotation (VERDICT r3 next-round #3): the driver caps its oracle
-    # gate at 50 entries, so the 13 entries registered after round 3's
-    # continuation (BM25, phrase search, chunking, packing, training e2e,
-    # quantized ANN, TrustRank, degree distribution, sitemap lastmod) never
-    # received a driver row — they were strict-green only. Rotate them into
-    # the head and demote 13 multiply-proven entries (driver-green in
-    # rounds 1-3, semantics also exercised by other gated entries or
-    # pytest) to the tail. Every entry stays registered and oracled —
-    # tools/check_entry.py --strict sweeps all of them regardless of order.
-    tail = [
-        "anti_join_customers",
-        "rollup_lineitem",
-        "full_outer_nation_balance",
-        "percentiles_orders",
-        "set_ops_users",
-        "url_host_parse",
-        "url_resolve_quirk",
-        "url_shard",
-        "json_extract_props",
-        "spellcheck_suggest",
-        "window_suite_orders",
-        "agg_distinct_events",
-        "asof_last_click",
-        # round-4 continuation: four more triple-gated relational demos
-        # demoted so the new crawl-science entries sit inside the driver's
-        # ~50-entry gate window (their semantics stay covered: q3/q5 by q1
-        # + the join suite, semi_join by term_search, sessionize by the
-        # streaming suite; all remain strict-swept)
-        "q3_shipping_priority",
-        "q5_revenue_by_nation",
-        "semi_join_orders",
-        "sessionize_events",
-        # second round-4 batch: three more with 3 rounds of green driver
-        # rows each (tokenize is the token stream tfidf/meta/bm25 gate
-        # entries re-exercise; tumbling has the sliding-window twin gated
-        # + the streaming pytest suite; fetch routing has the deep crawl
-        # pytest differential) so postings_varint_size /
-        # reciprocal_link_ratio / pld_rollup_hosts get driver rows
-        "tokenize_stopwords",
-        "streaming_tumbling_counts",
-        "fetch_routing_crawl",
-        # third round-4 batch: four more multiply-proven entries demoted so
-        # the paragraph-dedup / line-dedup / NFC entries sit in the gate
-        # window. simhash (r2+r3 driver green, md5-exact, pigeonhole pytest)
-        # is covered by the five other gated dedup entries; the cuckoo
-        # anti-join twin has the gated bloom-path seen_anti_join plus the
-        # sidecar pytest suite; sliding windows have the streaming pytest
-        # suite (tumbling twin already in tail); stratified sampling is a
-        # deterministic md5-mod with 3 rounds of green rows.
-        "simhash_dups",
-        "seen_anti_join_cuckoo",
-        "sliding_window_counts",
-        "stratified_sample_docs",
-        # fourth round-4 batch: three more multiply-proven entries demoted
-        # so soft-404 / URL-template / cache-TTL sit in the gate window.
-        # Brute-force cosine top-k has the gated IVF + quantized variants
-        # (both exact-reranked against it in pytest); bigram-LM quality has
-        # r2+r3 driver rows + the gated text_quality/curate entries; HITS
-        # has r2+r3 rows and the gated pagerank/trustrank link-analysis
-        # twins plus the property-ranking suite.
-        "embedding_cosine_topk",
-        "lm_bigram_quality",
-        "hits_hubs_auth",
-        # fifth round-4 batch: three more with 2+ rounds of green driver
-        # rows each (pii counting/redaction also property-tested; CDX and
-        # boilerplate both pytest-covered with plan asserts) demoted so
-        # WAND block-max / front-coding / SALSA get driver rows.
-        "pii_redact",
-        "cdx_capture_index",
-        "boilerplate_strip",
-        # sixth round-4 batch: three more triple-proven entries demoted so
-        # mirror detection / containment / BPE stats get driver rows.
-        # Anchor postings r2+r3 green with the gated search/indexer family
-        # re-exercising the token stream; lang-id r2+r3 green with the
-        # gated text_quality twin; postings assembly r1-r3 green and its
-        # semantics ride through the gated tfidf/bm25/serve entries.
-        "anchor_text_postings",
-        "lang_id_docs",
-        "postings_assembly",
-        # seventh round-4 batch: three more multiply-proven entries demoted
-        # so redirect chains / shard plan / co-occurrence PMI get driver
-        # rows. Decontamination r2+r3 green with the gated dup_span_stats
-        # sharing the span-fingerprint machinery; robots substring filter
-        # r1-r3 green + the hypothesis property suite; n-gram Jaccard
-        # r1-r3 green with six other dedup entries still gated.
-        "decontaminate_ngram",
-        "robots_substring_filter",
-        "ngram_jaccard_dups",
-        # eighth round-4 batch: two more triple-proven entries demoted so
-        # the KMV sketch / co-citation entries get driver rows. Text
-        # quality r2+r3 green with the gated curate_corpus_e2e composing
-        # the same columns; term top-100 r1-r3 green with the gated serve
-        # e2e / phrase / BM25 family re-exercising the search path.
-        "text_quality",
-        "term_search_top100",
-        # ninth round-4 batch: two more triple-proven entries demoted so
-        # spam-mass / more-like-this get driver rows. Host budget window
-        # r1-r3 green + the exact-top-k pytest and every bench crawl round
-        # exercising the scheduler; exact dedup r1-r3 green with seven
-        # other dedup entries gated and the same md5-window logic inside
-        # the gated curate_corpus_e2e.
-        "host_budget_window",
-        "dedup_exact_docs",
-        # eleventh round-4 batch: two more demoted so the robots-delay
-        # pipeline and assortativity get driver rows. dup_span_stats has
-        # its r2+r3 rows, the round-4 aggregate+join fix pinned by pytest,
-        # and decontaminate (same span machinery) strict-swept; ann_ivf
-        # has r2+r3 rows with the quantized twin gated and the IVF
-        # recall/centroid pytest suite.
-        "dup_span_stats",
-        "ann_ivf_topk",
-        # twelfth round-4 batch: three more triple-proven entries demoted
-        # so weighted sampling / script mix / budget allocation get driver
-        # rows. MinHash r1-r3 green (brute-force-oracle proven) with seven
-        # dedup entries still gated; tfidf r1-r3 green with bm25/WAND/
-        # serve sharing the token+postings machinery and the byte-identity
-        # pytest; clusters r2+r3 green with the large/small-star designed
-        # pytest suite.
-        "minhash_lsh_dups",
-        "tfidf_postings",
-        "dedup_clusters",
-        # thirteenth round-4 batch: two more triple-proven entries demoted
-        # so the robots-compliance audit and snapshot diff get driver
-        # rows. q1 r1-r3 green (plain groupBy-agg semantics shared by the
-        # whole demoted relational suite); seen_anti_join r1-r3 green with
-        # the cuckoo twin swept, the bloom-identity pytest, and entry()'s
-        # smoke running the same anti-join every round.
-        "q1_pricing_summary",
-        "seen_anti_join",
-        # fourteenth round-4 batch: one more demoted so event burstiness
-        # gets a driver row. The LSH near-dup entry has its r3 row, the
-        # brute-force oracle construction, and the banded-hyperplane
-        # pytest recall suite.
-        "embedding_near_dups_lsh",
-        # fifteenth round-4 batch: one more demoted so the data-mix report
-        # gets a driver row. Curation e2e has r2+r3 rows and the gated
-        # training_pipeline_e2e supersedes it as the composition flagship
-        # (same quality/dedup stages plus chunk/pack).
-        "curate_corpus_e2e",
-        # sixteenth round-4 batch: two more demoted so url-structure and
-        # anchor-consensus get driver rows. meta_title_rank has its r3 row
-        # with the gated serve e2e carrying the same title/meta weights
-        # and the byte-level meta pytest; multimodal_meta has its r3 row
-        # and the extensive codec pytest suite (PPM/PNG/WAV + JPEG/MP4/MP3
-        # header parses).
-        "meta_title_rank",
-        "multimodal_meta",
-        # tenth round-4 batch: one more demoted so NDCG gets a driver row.
-        # Frame sampling has its r3 driver row, the gated multimodal_meta
-        # twin exercising the same mapInPandas decode plumbing, and the
-        # codec pytest suite.
-        "frame_sample_counts",
+    # Gate rotation, round 5 (VERDICT r4 next-round #8): the driver caps its
+    # oracle gate at the FIRST 50 registry entries. Round 4's gate covered
+    # the 50 names below (CORRECTNESS_r04.json, all green) — they rotate to
+    # the back, and the 52 entries whose newest driver rows predate round 4
+    # (every one r1-r3 driver-green AND strict-swept; rotation history with
+    # per-entry rationale lives in git for rounds 3-4) move into the gate
+    # window. Two of the 52 overflow the cap and sit at positions 51-52:
+    # q1_pricing_summary and seen_anti_join — the two most-corroborated
+    # (three rounds of green rows each; q1's groupBy-agg semantics ride the
+    # whole relational suite, seen_anti_join runs inside entry()'s smoke and
+    # every bench crawl round). COVERAGE.md records predicted-vs-actual
+    # after the r5 gate runs.
+    r4_gated = [
+        "pagerank_5iter",
+        "search_serve_e2e",
+        "bm25_postings_score",
+        "phrase_search_adjacent",
+        "chunk_documents_windows",
+        "pack_token_spans_gpt",
+        "training_pipeline_e2e",
+        "ann_quantized_topk",
+        "trustrank_seeds",
+        "degree_distribution",
+        "sitemap_lastmod_hints",
+        "semantic_dedup_docs",
+        "crawl_trap_hosts",
+        "change_rate_poisson_urls",
+        "token_zipf_coverage",
+        "shard_shuffle_train",
+        "postings_varint_size",
+        "reciprocal_link_ratio",
+        "pld_rollup_hosts",
+        "paragraph_dedup_corpus",
+        "line_dedup_docs",
+        "text_normalize_nfc",
+        "soft404_detect",
+        "url_template_mine",
+        "cache_ttl_recrawl",
+        "wand_block_maxscore",
+        "term_dict_frontcode",
+        "salsa_hub_auth",
+        "mirror_host_detect",
+        "containment_dups",
+        "bpe_pair_stats",
+        "redirect_chains",
+        "index_shard_plan16",
+        "term_cooccur_pmi",
+        "kmv_distinct_hosts",
+        "cocitation_pairs_graph",
+        "spam_mass_graph",
+        "more_like_this_docs",
+        "ndcg_eval",
+        "robots_delay_budget",
+        "degree_assortativity_graph",
+        "weighted_sample_docs",
+        "script_mix_docs",
+        "budget_allocation_hosts",
+        "robots_compliance_audit",
+        "snapshot_diff_hosts",
+        "event_burstiness_types",
+        "data_mix_report",
+        "url_structure_stats",
+        "anchor_consensus_graph",
     ]
-    head = {k: v for k, v in q.items() if k not in tail}
-    head.update({k: q[k] for k in tail})
-    return head
+    overflow = ["q1_pricing_summary", "seen_anti_join"]
+    head_names = [k for k in q if k not in set(r4_gated) and k not in overflow]
+    ordered = {k: q[k] for k in head_names}
+    ordered.update({k: q[k] for k in overflow if k in q})
+    ordered.update({k: q[k] for k in r4_gated if k in q})
+    return ordered
 
 
 # ---------------------------------------------------------------------------
