@@ -523,11 +523,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def tfidf_postings(spark, sf):
         t = _tokens(spark, sf)
         tf = t.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+        # df via groupBy+join-back, NEVER a word window (a hot term would
+        # serialize its postings into one task; same fix as operators/indexer)
         w_doc = Window.partitionBy("doc_id")
-        w_word = Window.partitionBy("word")
+        df_by_word = tf.groupBy("word").agg(F.count("*").alias("df"))
         return (
             tf.withColumn("max_tf", F.max("tf").over(w_doc))
-            .withColumn("df", F.count("*").over(w_word))
+            .join(df_by_word, "word")
             .withColumn(
                 # tf' real division, idf int division — the reference
                 # reducer's exact arithmetic (Indexer.java:218-221)
@@ -568,11 +570,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def dedup_exact_docs(spark, sf):
         docs = _load(spark, sf, "documents")
         fp = F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "))
-        w = Window.partitionBy("fp").orderBy("doc_id")
+        # min-id representative via map-side-combinable groupBy — never a
+        # fingerprint window (hot empty/boilerplate fps straggle at scale)
         return (
             docs.withColumn("fp", fp)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"))
             .select("doc_id", "fp")
             .orderBy("doc_id")
         )
@@ -655,12 +658,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nv = F.sqrt(F.aggregate(F.transform("v", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
         nq = F.sqrt(F.aggregate(F.transform("qv", lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
         scored = v.crossJoin(F.broadcast(queries_df)).withColumn("cosine", dot / (nv * nq))
-        w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), "vec_id")
-        return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 5)
-            .select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn")
-        )
+        # salted two-phase top-k: no per-query window ever sorts the corpus
+        # in one task (operators/similarity shares this exact helper)
+        from cis455crawler_spark.operators.similarity import _topk_two_phase
+
+        return _topk_two_phase(
+            scored, "q_id", [F.desc("cosine"), "vec_id"], 5, "rn", "vec_id"
+        ).select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn")
 
     q["embedding_cosine_topk"] = embedding_cosine_topk
 
@@ -814,21 +818,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             lang_id("text").alias("lang"),
             fingerprint_md5("text").alias("fp"),
         )
-        dup_rank = F.row_number().over(
-            Window.partitionBy("fp").orderBy("doc_id")
+        # duplicate flag via the skew-proof min-id aggregate + join (never a
+        # fingerprint window — hot boilerplate fps straggle at corpus scale)
+        canon = sig.groupBy("fp").agg(F.min("doc_id").alias("_canon_id"))
+        sig = sig.join(canon, "fp").withColumn(
+            "is_dup", (F.col("doc_id") != F.col("_canon_id")).cast("int")
         )
-        sig = sig.withColumn("dup_rank", dup_rank)
         kept = (
             (F.col("lang") == "en")
             & (F.col("quality") >= 0.5)
             & F.col("n_tok").between(10, 100000)
-            & (F.col("dup_rank") == 1)
+            & (F.col("is_dup") == 0)
             & (F.col("contaminated") == 0)
         )
         return (
             sig.join(contam, "doc_id")
             .select(
-                "doc_id", "n_tok", "quality", "lang", "dup_rank",
+                "doc_id", "n_tok", "quality", "lang", "is_dup",
                 "contaminated", kept.cast("int").alias("kept"),
             )
             .orderBy("doc_id")
@@ -1361,10 +1367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fingerprint_md5("text").alias("fp"),
             F.size(tokenize(F.col("text"))).alias("n_tok"),
         )
-        rn = F.row_number().over(Window.partitionBy("fp").orderBy("doc_id"))
+        # min-id dedup via aggregate + semi-join (no fingerprint window)
+        canon = sig.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
         survivors = (
-            sig.withColumn("_rn", rn)
-            .filter((F.col("_rn") == 1) & F.col("n_tok").between(10, 100000))
+            sig.join(canon, ["fp", "doc_id"], "left_semi")
+            .filter(F.col("n_tok").between(10, 100000))
             .select("doc_id", "text")
         )
         chunks = chunk_documents(survivors, size=16, stride=12)
@@ -4001,7 +4008,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         # one CTE chain reusing the verified fragments: text_quality's
         # n_tok/ratio/stopword quality, lang_id's marker CASE (same
-        # tie-break), the md5-fingerprint dup_rank, and decontaminate's
+        # tie-break), the md5-fingerprint min-id dup flag, and decontaminate's
         # 13-gram benchmark overlap
         "curate_corpus_e2e": f"""
             WITH base AS (
@@ -4034,7 +4041,8 @@ def oracle_sql() -> dict[str, str]:
                           WHEN h_es >= h_en AND h_es >= h_de THEN 'es'
                           WHEN h_en >= h_de THEN 'en'
                           ELSE 'de' END AS lang,
-                     ROW_NUMBER() OVER (PARTITION BY b.fp ORDER BY b.doc_id) AS dup_rank
+                     CASE WHEN b.doc_id = MIN(b.doc_id) OVER (PARTITION BY b.fp)
+                          THEN 0 ELSE 1 END AS is_dup
               FROM base b JOIN lng ON lng.doc_id = b.doc_id),
             sp AS (
               SELECT doc_id, u.g AS g FROM base, UNNEST(
@@ -4046,11 +4054,11 @@ def oracle_sql() -> dict[str, str]:
             bench AS (SELECT DISTINCT g FROM sp WHERE doc_id <= 5),
             contam AS (SELECT DISTINCT doc_id FROM sp
                        WHERE g IN (SELECT g FROM bench))
-            SELECT s.doc_id, s.n_tok, s.quality, s.lang, s.dup_rank,
+            SELECT s.doc_id, s.n_tok, s.quality, s.lang, s.is_dup,
                    CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS contaminated,
                    CASE WHEN s.lang = 'en' AND s.quality >= 0.5
                              AND s.n_tok BETWEEN 10 AND 100000
-                             AND s.dup_rank = 1 AND c.doc_id IS NULL
+                             AND s.is_dup = 0 AND c.doc_id IS NULL
                         THEN 1 ELSE 0 END AS kept
             FROM sig s LEFT JOIN contam c ON c.doc_id = s.doc_id
             ORDER BY s.doc_id
