@@ -574,42 +574,47 @@ def run_round(
     # or by a lexicographically-smaller URL in THIS batch (window, rn>1) —
     # become 'content_dup': still seen, never parsed/linked/persisted.
     if cfg.content_dedup:
-        from pyspark.sql import Window
+        # NULL-digest rows (misses/redirects/rejects — often the bulk) stay
+        # out of the digest shuffle entirely: hash(NULL) would pile them all
+        # into ONE partition of the join
+        with_dig = routed.filter(F.col("digest").isNotNull())
+        no_dig = routed.filter(F.col("digest").isNull())
         cs = store.read("content_seen")
         if cs is not None:
             # plain shuffle join on digest; at seen-table scale this gets the
             # same treatment as the url-seen anti-join (bucket layout below
             # co-partitions the table; a bloom sidecar would bolt on the same
-            # way). The table is digest-unique by construction (only rn=1
+            # way). The table is digest-unique by construction (only claimed
             # previously-unknown digests are appended), so the left join
             # cannot fan rows out — no distinct needed.
-            routed = routed.join(
+            with_dig = with_dig.join(
                 cs.select("digest").withColumn("_dup_known", F.lit(True)),
                 "digest",
                 "left",
             )
         else:
-            routed = routed.withColumn("_dup_known", F.lit(None).cast("boolean"))
-        # non-parse rows get a unique window key (their url) so the NULL-digest
-        # rows never pile into one skewed window partition
-        w_dig = Window.partitionBy(
-            F.coalesce(F.col("digest"), F.col("url"))
-        ).orderBy("url")
-        routed = (
-            routed.withColumn("_rn", F.row_number().over(w_dig))
+            with_dig = with_dig.withColumn(
+                "_dup_known", F.lit(None).cast("boolean")
+            )
+        # in-batch claim: the lexicographically-smallest URL per digest wins —
+        # a map-side-combinable min aggregate + join-back, NEVER a digest
+        # window (a mirror body fetched under 10^6 URLs in one round would
+        # land its whole duplicate set in one window task; AQE skew-join
+        # splits the join residue instead)
+        claims = with_dig.groupBy("digest").agg(F.min("url").alias("_claim_url"))
+        with_dig = (
+            with_dig.join(claims, "digest")
             .withColumn(
                 "action",
                 F.when(
-                    F.col("digest").isNotNull()
-                    & (
-                        F.coalesce(F.col("_dup_known"), F.lit(False))
-                        | (F.col("_rn") > 1)
-                    ),
+                    F.coalesce(F.col("_dup_known"), F.lit(False))
+                    | (F.col("url") > F.col("_claim_url")),
                     F.lit("content_dup"),
                 ).otherwise(F.col("action")),
             )
-            .drop("_rn", "_dup_known")
+            .drop("_dup_known", "_claim_url")
         )
+        routed = with_dig.unionByName(no_dig)
 
     is_parse = F.col("action") == "parse"
     if cfg.resolve_mode == "standard":
