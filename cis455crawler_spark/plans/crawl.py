@@ -909,8 +909,12 @@ def run_round(
         metrics["trap_dropped"] = stats["n_pre_trap"] - (
             stats["n_pre_quota"] if pre_quota is not None else fresh
         )
-    if flagged404 is not None:
-        metrics["soft404_hosts"] = stats["n_s404_hosts"]
+    if cfg.demote_soft404:
+        # always present when the knob is on (round 1 has no log yet) —
+        # per-round metric schema must not drift across a generation
+        metrics["soft404_hosts"] = (
+            stats["n_s404_hosts"] if flagged404 is not None else 0
+        )
     if cfg.content_dedup:
         metrics["content_dup"] = acts.get("content_dup", 0)
     if cfg.use_bloom:
