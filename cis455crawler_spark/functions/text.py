@@ -33,6 +33,21 @@ def _c(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
+def bind_once(expr: Column, fn) -> Column:
+    """Evaluate `expr` exactly once per row and pass the result to `fn` as a
+    cheap lambda variable — a 'let' binding for Column expressions.
+
+    Spark has no let: composing `fn(expensive_expr)` duplicates the
+    expression tree per reference, and a reference inside a higher-order-
+    function lambda re-evaluates it PER ARRAY ELEMENT (HOF bodies get no
+    subexpression elimination) — that turned shingles() into an O(n^2)
+    re-tokenize per document before round 5. The one-element
+    transform(array(e), fn) forces a single evaluation and binds the result
+    to a NamedLambdaVariable; Catalyst cannot inline it back. Overhead is
+    one single-element array allocation per row."""
+    return F.element_at(F.transform(F.array(expr), fn), 1)
+
+
 def tokenize(text: Column | str) -> Column:
     """lowercase -> split on non-alphanumeric -> drop empties.
     ARRAY<STRING>, JVM-side."""
@@ -187,33 +202,49 @@ def top_ngram_fraction(text: Column | str, n: int = 2) -> Column:
     whole-text shingle there, which would trivially own 100% of the
     occurrences and flag every short doc as maximally repetitive
     (ADVICE r3) — too short to repeat an n-gram means not repetitive."""
-    toks = tokenize(text)
-    grams = shingles(toks, n)
-    frac = _max_run_count(grams) / F.size(grams)
-    return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(frac.cast("double"))
+
+    def _over_toks(toks: Column) -> Column:
+        def _over_grams(grams: Column) -> Column:
+            frac = _max_run_count(grams) / F.size(grams)
+            return F.when(F.size(toks) < n, F.lit(0.0)).otherwise(frac.cast("double"))
+
+        return bind_once(shingles(toks, n), _over_grams)
+
+    return bind_once(tokenize(text), _over_toks)
 
 
 def dup_ngram_fraction(text: Column | str, n: int = 3) -> Column:
     """Fraction of n-gram occurrences that are repeats of an earlier
     occurrence (Gopher's 'duplicate n-gram fraction' family): 1 -
     distinct/total. Pure columns; 0.0 for token-less documents."""
-    toks = tokenize(text)
-    grams = shingles(toks, n)
-    frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
-    return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+    def _over_toks(toks: Column) -> Column:
+        def _over_grams(grams: Column) -> Column:
+            frac = (F.size(grams) - F.size(F.array_distinct(grams))) / F.size(grams)
+            return F.when(F.size(toks) == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+        return bind_once(shingles(toks, n), _over_grams)
+
+    return bind_once(tokenize(text), _over_toks)
 
 
 def dup_line_fraction(text: Column | str) -> Column:
     """Fraction of non-blank lines that duplicate another line (Gopher's
     'duplicate line fraction') — catches nav menus / footer spam repeated
     down a page. 0.0 for documents with no non-blank lines."""
-    lines = F.filter(
-        F.transform(F.split(_c(text), r"\n"), lambda l: F.trim(l)),
-        lambda l: l != "",
+
+    def _over_lines(lines: Column) -> Column:
+        nl = F.size(lines)
+        frac = (nl - F.size(F.array_distinct(lines))) / nl
+        return F.when(nl == 0, F.lit(0.0)).otherwise(frac.cast("double"))
+
+    return bind_once(
+        F.filter(
+            F.transform(F.split(_c(text), r"\n"), lambda l: F.trim(l)),
+            lambda l: l != "",
+        ),
+        _over_lines,
     )
-    nl = F.size(lines)
-    frac = (nl - F.size(F.array_distinct(lines))) / nl
-    return F.when(nl == 0, F.lit(0.0)).otherwise(frac.cast("double"))
 
 
 # PII patterns, restricted to regex constructs with identical semantics in
@@ -258,12 +289,28 @@ def pii_counts(text: Column | str) -> dict[str, Column]:
 
 def shingles(tokens: Column, k: int = 3) -> Column:
     """k-token shingles as strings — input to MinHash/Jaccard dedup.
-    JVM-side: transform over a sequence of start offsets."""
-    n = F.size(tokens)
-    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
-    return F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, k)))).otherwise(
-        F.array(F.concat_ws(" ", tokens))
-    )
+    JVM-side: transform over a sequence of start offsets.
+
+    The `tokens` argument is bound ONCE per row through a single-element
+    outer transform before the per-position lambda references it. Without
+    that binding, callers that pass a computed expression (the universal
+    shape is `shingles(tokenize(text), k)`) pay the expression per shingle
+    position: HOF lambda bodies are evaluated per element with no
+    subexpression elimination, so the document regexp-tokenize re-ran for
+    every one of its own n-k+1 windows — O(n^2) per document. Measured at
+    sf0.1 (5k docs, 225k grams): 3.5 s -> 0.6 s for the gram pass. A
+    caller-side `.select(tokenize(...).alias("toks"))` projection fixes
+    one call site; binding here fixes them all and survives Catalyst's
+    project-collapsing."""
+
+    def _over(t: Column) -> Column:
+        n = F.size(t)
+        idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+        return F.when(
+            n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(t, i + 1, k)))
+        ).otherwise(F.array(F.concat_ws(" ", t)))
+
+    return bind_once(tokens, _over)
 
 
 @F.pandas_udf(_T.StringType())

@@ -31,8 +31,10 @@ SURVEY.md §6 / §2.11.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..functions.text import bind_once
 
 
 def explode_paragraphs(
@@ -51,17 +53,26 @@ def explode_paragraphs(
     front-end is a one-line swap of this function.
     """
     k = tokens_per_para
-    arr = F.filter(F.split(F.col(text_col), " +"), lambda x: x != "")
-    n_para = F.ceil(F.size(arr) / F.lit(float(k))).cast("int")
-    idxs = F.when(n_para > 0, F.sequence(F.lit(0), n_para - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    pairs = F.transform(
-        idxs,
-        lambda i: F.struct(
-            i.cast("bigint").alias("para_idx"),
-            F.array_join(F.slice(arr, i * k + 1, k), " ").alias("para"),
-        ),
+
+    # bind the token array once per row: the per-window lambda below slices
+    # it, and an unbound `arr` expression would re-split the whole document
+    # per window (HOF bodies re-evaluate captured expressions per element —
+    # the shingles() O(n^2) trap, functions/text.py bind_once)
+    def _over_arr(arr: Column) -> Column:
+        n_para = F.ceil(F.size(arr) / F.lit(float(k))).cast("int")
+        idxs = F.when(n_para > 0, F.sequence(F.lit(0), n_para - 1)).otherwise(
+            F.array().cast("array<int>")
+        )
+        return F.transform(
+            idxs,
+            lambda i: F.struct(
+                i.cast("bigint").alias("para_idx"),
+                F.array_join(F.slice(arr, i * k + 1, k), " ").alias("para"),
+            ),
+        )
+
+    pairs = bind_once(
+        F.filter(F.split(F.col(text_col), " +"), lambda x: x != ""), _over_arr
     )
     return (
         docs.select(F.col(id_col), F.explode(pairs).alias("p"))
