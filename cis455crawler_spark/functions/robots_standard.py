@@ -31,6 +31,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from .text import bind_once
+
 DEFAULT_AGENT = "cis455crawler"
 
 
@@ -138,14 +140,26 @@ def url_path_of(url: Column | str) -> Column:
 def allowed_standard(path: Column, rules: Column) -> Column:
     """RFC 9309 verdict as one JVM expression: keep matching rules, fold to
     the longest (Allow wins ties), default allow. NULL rules (host without
-    robots after a left join) -> allowed."""
-    matched = F.filter(rules, lambda r: F.regexp_like(path, r["pattern"]))
-    best = F.aggregate(
-        matched,
-        F.struct(F.lit(-1).alias("rlen"), F.lit(True).alias("allow")),
-        lambda acc, r: F.when(
-            (r["rlen"] > acc["rlen"]) | ((r["rlen"] == acc["rlen"]) & r["allow"]),
-            F.struct(r["rlen"].alias("rlen"), r["allow"].alias("allow")),
-        ).otherwise(acc),
+    robots after a left join) -> allowed.
+
+    `path` is bound once per row (functions/text.py bind_once) before the
+    per-rule filter lambda references it: HOF lambda bodies re-evaluate
+    captured expressions PER ELEMENT, and the crawl plan passes the
+    url_path_of() substr/instr chain here — unbound, that chain would
+    re-run once per robots rule per URL."""
+
+    def _over_path(p: Column) -> Column:
+        matched = F.filter(rules, lambda r: F.regexp_like(p, r["pattern"]))
+        best = F.aggregate(
+            matched,
+            F.struct(F.lit(-1).alias("rlen"), F.lit(True).alias("allow")),
+            lambda acc, r: F.when(
+                (r["rlen"] > acc["rlen"]) | ((r["rlen"] == acc["rlen"]) & r["allow"]),
+                F.struct(r["rlen"].alias("rlen"), r["allow"].alias("allow")),
+            ).otherwise(acc),
+        )
+        return best["allow"]
+
+    return F.when(rules.isNull(), F.lit(True)).otherwise(
+        bind_once(path, _over_path)
     )
-    return F.when(rules.isNull(), F.lit(True)).otherwise(best["allow"])
