@@ -104,7 +104,8 @@ def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
     reference parity, useless for an open-web frontier. This resolver keeps
     the web graph connected, pure JVM columns throughout:
 
-      * absolute http(s):// hrefs     -> kept verbatim (fragment stripped)
+      * absolute http(s):// hrefs     -> kept (fragment stripped; scheme
+        matched case-insensitively per RFC 3986 and lowercased in the output)
       * other schemes (mailto:, javascript:, ftp:, data:, tel:)  -> NULL
       * protocol-relative '//h/p'     -> page scheme + href
       * root-relative '/p'            -> scheme + host(page) + href
@@ -118,7 +119,13 @@ def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
     The host keeps its port exactly like host_of (quirk O-X2), so seen-set
     hashing is consistent across both resolve modes."""
     u = _c(page_url)
-    h = F.substring_index(F.trim(_c(href)), "#", 1)
+    # HTML spec: strip ASCII whitespace around URLs before resolving —
+    # F.trim only removes 0x20, but extracted hrefs can be wrapped in
+    # tabs/newlines (href="\n/about"), which would otherwise be glued into
+    # the path as literal control bytes
+    h = F.substring_index(
+        F.regexp_replace(_c(href), r"^\s+|\s+$", ""), "#", 1
+    )
     proto = protocol_of(u)
     hostp = host_of(u)
     page_path = F.substring_index(path_of(u), "?", 1)
@@ -146,7 +153,17 @@ def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
         )
         .when(
             has_scheme,
-            F.when(h.rlike("^https?://"), h).otherwise(F.lit(None).cast("string")),
+            # RFC 3986 §3.1: schemes are case-insensitive — keep HTTP:// /
+            # Http:// links (normalizing the scheme to lowercase so the
+            # seen-set key is stable) instead of silently dropping them
+            F.when(
+                h.rlike("^(?i)https?://"),
+                F.concat(
+                    F.lower(F.substring_index(h, "://", 1)),
+                    F.lit("://"),
+                    h.substr(F.instr(h, "://") + F.lit(3), F.length(h)),
+                ),
+            ).otherwise(F.lit(None).cast("string")),
         )
         .when(
             h.startswith("?"),

@@ -573,7 +573,18 @@ def run_round(
     # digest is already claimed — by an earlier round (content_seen table)
     # or by a lexicographically-smaller URL in THIS batch (window, rn>1) —
     # become 'content_dup': still seen, never parsed/linked/persisted.
+    pre_cdup = None
     if cfg.content_dedup:
+        # the filter-split + claims aggregate below fork this lineage three
+        # ways; uncached, each fork re-runs the scheduled-pages fetch join
+        # and the md5 over html. DISK_ONLY (never in-heap: the html column
+        # in executor memory makes GC cost scale with mutator threads — the
+        # measured core-scaling inversion, BENCH.md) evaluates it once and
+        # serves all three consumers from OS-page-cached blocks.
+        from pyspark.storagelevel import StorageLevel
+
+        pre_cdup = routed.persist(StorageLevel.DISK_ONLY)
+        routed = pre_cdup
         # NULL-digest rows (misses/redirects/rejects — often the bulk) stay
         # out of the digest shuffle entirely: hash(NULL) would pile them all
         # into ONE partition of the join
@@ -794,8 +805,15 @@ def run_round(
     if cfg.trap_filter:
         # narrow per-parse evidence rows (url unique per generation, so the
         # host rollup's countDistinct(url) is exact); digests accumulate
-        # across generations — content signatures stay valid on a recrawl
-        appends_extra["trap_log"] = parsed.filter(is_parse).select("url", "digest")
+        # across generations — content signatures stay valid on a recrawl.
+        # content_dup rows MUST be logged too: they are parse-routed bodies
+        # whose digest was already claimed — exactly the infinite-URL/
+        # finite-content evidence the trap ratio feeds on. Filtering on
+        # is_parse alone would let content_dedup starve the log down to one
+        # URL per digest and the ratio trigger could never fire.
+        appends_extra["trap_log"] = parsed.filter(
+            F.col("action").isin("parse", "content_dup")
+        ).select("url", "digest")
     if cfg.demote_soft404:
         from ..operators.soft404 import soft404_signals
 
@@ -955,6 +973,8 @@ def run_round(
         host_counts.unpersist()
     if pre_trap is not None:
         pre_trap.unpersist()
+    if pre_cdup is not None:
+        pre_cdup.unpersist()
     if flagged404 is not None:
         flagged404.unpersist()
     if return_frontier:

@@ -119,7 +119,8 @@ def o_path_depth(url: str) -> int:
 def o_resolve_standard(page_url: str, href: str) -> str | None:
     """Mirror of functions/urls.resolve_href_standard (RFC 3986-style),
     same branch order and the same bounded dot-segment unroll."""
-    h = href.strip().split("#", 1)[0]
+    # Java \s set (HTML-spec ASCII whitespace), NOT Python's unicode strip
+    h = href.strip(" \t\n\x0b\f\r").split("#", 1)[0]
     if h == "":
         return None
     proto = "https://" if page_url.startswith("https") else "http://"
@@ -127,7 +128,8 @@ def o_resolve_standard(page_url: str, href: str) -> str | None:
     if h.startswith("//"):
         return proto.split("//")[0] + h
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", h):
-        return h if re.match(r"^https?://", h) else None
+        m = re.match(r"^https?://", h, re.IGNORECASE)
+        return (h[: m.end() - 3].lower() + h[m.end() - 3 :]) if m else None
     page_path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", page_url).split("?", 1)[0]
     if h.startswith("?"):
         return proto + host + (page_path if page_path else "/") + h
@@ -372,12 +374,18 @@ def oracle_crawl(
                     content_seen.add(dig)
         parsed_n = sum(1 for a in actions.values() if a == "parse")
 
-        # evidence logs (engine: trap_log / soft404_log appends at commit)
+        # evidence logs (engine: trap_log / soft404_log appends at commit).
+        # trap evidence includes content_dup rows — parse-routed bodies whose
+        # digest was already claimed are exactly the infinite-URL/finite-
+        # content signal; logging only the claim winners would pin the ratio
+        # at ~1 whenever content_dedup is on and the trigger could never fire
         for u, a in actions.items():
-            if a != "parse":
+            if a not in ("parse", "content_dup"):
                 continue
             if trap_filter:
                 trap_log.append((u, hashlib.md5(pages[u]).hexdigest()))
+            if a != "parse":
+                continue
             if soft404_urls is not None:
                 h = o_host(u)
                 s404_pages[h] = s404_pages.get(h, 0) + 1

@@ -146,6 +146,50 @@ def test_trap_filter_ratio_signal_matches_oracle(spark, tmp_path):
         assert o_sha1(v) not in _seen(store)
 
 
+def test_trap_filter_with_content_dedup_matches_oracle(spark, tmp_path):
+    """trap_filter + content_dedup together: duplicate-body rows become
+    'content_dup' BEFORE the evidence append, so the trap log must include
+    them — logging only the per-digest claim winners would pin the host's
+    urls-per-content ratio at ~1 and the ratio trigger could never fire
+    (the r5 review interaction bug). Same corpus as the ratio test; the
+    host must still get flagged and the victims never admitted."""
+    h = "htrap3.test"
+    us = [f"http://{h}/" + _pick_name(h, f"cu{i}") for i in range(6)]
+    vs = [f"http://{h}/" + _pick_name(h, f"cv{i}") for i in range(2)]
+    seed = f"http://{h}/" + _pick_name(h, "ca")
+    shell_hrefs = [v.rsplit("/", 1)[1] for v in vs]
+    rows = [_robots(h, "Crawl-delay: 30\n")]  # budget 2/round
+    rows.append(_page(seed, [u.rsplit("/", 1)[1] for u in us]))
+    shell = _page(us[0], shell_hrefs, body="the one true shell")
+    for u in us:
+        rows.append((u, TS, shell[2], "", "en"))  # byte-identical bodies
+    for v in vs:
+        rows.append(_page(v, [], body="victim page"))
+    pages = _df(spark, rows)
+    page_map = {u: bytes(b) for u, _, b, _, _ in rows}
+    cfg = CrawlConfig(
+        max_rounds=12,
+        trap_filter=True,
+        trap_ratio_threshold=3.0,
+        content_dedup=True,
+    )
+    store, metrics = run_crawl(spark, pages, [seed], str(tmp_path / "tc"), cfg)
+    want = oracle_crawl(
+        page_map,
+        [seed],
+        max_rounds=12,
+        trap_filter=True,
+        trap_ratio_threshold=3.0,
+        content_dedup=True,
+    )
+    assert _seen(store) == want.seen
+    assert _sched_rounds(metrics) == [m["scheduled"] for m in want.metrics]
+    # the ratio trigger fired even though all but one shell was content_dup
+    assert sum(m.get("trap_dropped", 0) for m in metrics) > 0
+    for v in vs:
+        assert o_sha1(v) not in _seen(store)
+
+
 def test_demote_soft404_matches_oracle(spark, tmp_path):
     """hbad's pages are error shells (decisive '404 Not Found' titles): after
     min_pages observations at >= rate the host's politeness budget clamps to
@@ -204,8 +248,10 @@ def test_resolve_standard_matches_oracle(spark, tmp_path):
     ha, hb, hc = "ha.test", "hb.test", "hc.test"
     seed = f"http://{ha}/" + _pick_name(ha, "a")
     b1 = f"http://{hb}/" + _pick_name(hb, "x")
+    b2 = f"http://{hb}/" + _pick_name(hb, "z")  # linked as HTTP:// (RFC 3986 case-insensitive scheme)
     c1 = f"http://{hc}/" + _pick_name(hc, "y")
     r1 = f"http://{ha}/" + _pick_name(ha, "r")
+    w1 = f"http://{ha}/" + _pick_name(ha, "w")  # linked wrapped in \n / \t whitespace
     # via dot-segment href; md5 routing must hold for the RESOLVED url
     deep = next(
         u
@@ -218,15 +264,17 @@ def test_resolve_standard_matches_oracle(spark, tmp_path):
             seed,
             [
                 b1,  # absolute cross-host: kept in standard, dropped in quirk
+                "HTTP://" + hb + "/" + b2.rsplit("/", 1)[1],  # uppercase scheme -> kept, lowercased
                 "//" + hc + "/" + c1.rsplit("/", 1)[1],  # protocol-relative
                 "/" + r1.rsplit("/", 1)[1],  # root-relative
+                "\n\t/" + w1.rsplit("/", 1)[1] + " ",  # whitespace-wrapped root-relative
                 "mailto:x@y.z",  # non-http scheme -> NULL
                 "javascript:void(0)",  # -> NULL
                 "sub/extra/../" + deep.rsplit("/", 1)[1],  # dot segments
             ],
         )
     )
-    for u in (b1, c1, r1, deep):
+    for u in (b1, b2, c1, r1, w1, deep):
         rows.append(_page(u, []))
     pages = _df(spark, rows)
     page_map = {u: bytes(b) for u, _, b, _, _ in rows}
@@ -238,7 +286,8 @@ def test_resolve_standard_matches_oracle(spark, tmp_path):
     assert _seen(store) == want.seen
     assert _sched_rounds(metrics) == [m["scheduled"] for m in want.metrics]
     parsed_urls = {r.url for r in parsed_latest(store).select("url").collect()}
-    assert {b1, c1, r1, deep} <= parsed_urls  # all four resolution shapes hit
+    # all resolution shapes hit, incl. uppercase-scheme and whitespace-wrapped
+    assert {b1, b2, c1, r1, w1, deep} <= parsed_urls
     # quirk mode on the same corpus never leaves the seed page's own links
     plainq = oracle_crawl(page_map, [seed], max_rounds=6)
     assert o_sha1(b1) not in plainq.seen
