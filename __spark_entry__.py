@@ -819,10 +819,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fingerprint_md5("text").alias("fp"),
         )
         # duplicate flag via the skew-proof min-id aggregate + join (never a
-        # fingerprint window — hot boilerplate fps straggle at corpus scale)
+        # fingerprint window — hot boilerplate fps straggle at corpus scale).
+        # Null-safe fp key: md5(NULL text) is NULL and NULLs form ONE dup
+        # group (the window/oracle semantics); a plain equi-join would drop
+        # every NULL-fp document from the output.
         canon = sig.groupBy("fp").agg(F.min("doc_id").alias("_canon_id"))
-        sig = sig.join(canon, "fp").withColumn(
-            "is_dup", (F.col("doc_id") != F.col("_canon_id")).cast("int")
+        canon = canon.withColumnRenamed("fp", "_cfp")
+        sig = (
+            sig.join(canon, F.col("fp").eqNullSafe(F.col("_cfp")))
+            .withColumn(
+                "is_dup", (F.col("doc_id") != F.col("_canon_id")).cast("int")
+            )
+            .drop("_cfp")
         )
         kept = (
             (F.col("lang") == "en")
@@ -1367,10 +1375,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             fingerprint_md5("text").alias("fp"),
             F.size(tokenize(F.col("text"))).alias("n_tok"),
         )
-        # min-id dedup via aggregate + semi-join (no fingerprint window)
-        canon = sig.groupBy("fp").agg(F.min("doc_id").alias("doc_id"))
+        # min-id dedup via aggregate + semi-join (no fingerprint window);
+        # null-safe fp key so NULL-text docs stay one dup group instead of
+        # being silently dropped by the equi-join (window/oracle semantics)
+        canon = sig.groupBy("fp").agg(F.min("doc_id").alias("_keep_id"))
         survivors = (
-            sig.join(canon, ["fp", "doc_id"], "left_semi")
+            sig.alias("s")
+            .join(
+                canon.alias("c"),
+                F.col("s.fp").eqNullSafe(F.col("c.fp"))
+                & (F.col("s.doc_id") == F.col("c._keep_id")),
+                "left_semi",
+            )
             .filter(F.col("n_tok").between(10, 100000))
             .select("doc_id", "text")
         )
@@ -2687,8 +2703,13 @@ def _spam_mass_sql(
                           THEN 1 ELSE 0 END) AS n_trusted
           FROM od)
         SELECT p.node, ROUND(p.rank, 6) AS pr, ROUND(t.rank, 6) AS tr,
-               ROUND((p.rank - t.rank * (n_ranked * 1.0 / n_trusted))
-                     / p.rank, 6) AS spam_mass
+               -- n_trusted=0 guard mirrors operators/pagerank.spam_mass:
+               -- no trust signal -> 0.0 (nothing demoted), never NULL/inf
+               CASE WHEN n_trusted > 0
+                    THEN ROUND((p.rank
+                                - t.rank * (n_ranked * 1.0 / n_trusted))
+                               / p.rank, 6)
+                    ELSE 0.0 END AS spam_mass
         FROM p{iterations} p JOIN t{iterations} t ON t.node = p.node, counts
         ORDER BY p.node"""
     return sql
@@ -3254,7 +3275,13 @@ def oracle_sql() -> dict[str, str]:
             p AS (
               SELECT regexp_extract(url, '^https?://([^/]+)', 1) AS host,
                      regexp_replace(url, '^[a-z][a-z0-9+.-]*://[^/]*', '')
-                       AS path
+                       AS path,
+                     -- depth strips the authority with [^/?#]* (a query
+                     -- directly after the host yields depth 0), mirroring
+                     -- functions/urls.path_depth — path/plen keep path_of's
+                     -- [^/]* (path+query portion), also mirroring the engine
+                     regexp_replace(url,
+                       '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*', '') AS dpath
               FROM doc_urls),
             m AS (
               SELECT host, CAST(length(path) AS INT) AS plen,
@@ -3262,7 +3289,7 @@ def oracle_sql() -> dict[str, str]:
                      -- stripped (mirrors functions/urls.path_depth)
                      CAST(len(list_filter(
                             string_split(string_split(
-                              string_split(path, '?')[1], '#')[1], '/'),
+                              string_split(dpath, '?')[1], '#')[1], '/'),
                             x -> x <> '')) AS INT) AS dep
               FROM p)
             SELECT host, COUNT(*) AS n_urls,

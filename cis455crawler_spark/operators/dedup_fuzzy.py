@@ -40,8 +40,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     the shuffle) and the join-back keys on (fp, id) so even the residue
     spreads; requires id_col unique, which exact dedup already assumes."""
     fp = df.withColumn("fp", fingerprint64(F.col(text_col)))
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias(id_col))
-    return fp.join(keep, ["fp", id_col], "left_semi").select(*df.columns)
+    keep = fp.groupBy("fp").agg(F.min(id_col).alias("_keep_id"))
+    # null-safe fp equality: a NULL text fingerprints to NULL, and NULLs
+    # form ONE duplicate group (the window semantics this aggregate+join
+    # replaced; a plain equi-join would silently DROP every NULL-fp row).
+    # EqualNullSafe join keys still hash-join — no plan degradation.
+    cond = F.col("l.fp").eqNullSafe(F.col("r.fp")) & (
+        F.col(f"l.{id_col}") == F.col("r._keep_id")
+    )
+    return (
+        fp.alias("l")
+        .join(keep.alias("r"), cond, "left_semi")
+        .select(*df.columns)
+    )
 
 
 _MERSENNE31 = (1 << 31) - 1

@@ -43,6 +43,18 @@ def test_exact_dedup(docs):
     assert kept == [1, 3, 4]
 
 
+def test_exact_dedup_null_text_one_group(spark):
+    """NULL text fingerprints to NULL; NULLs form ONE duplicate group (the
+    window semantics the aggregate+join replaced) — a plain equi-join on fp
+    would silently DROP every NULL-fp row instead of keeping the min id."""
+    d = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in exact_dedup(d).collect())
+    assert kept == [1, 2, 4]
+
+
 def test_minhash_lsh_finds_near_dups(spark, docs):
     sigs = minhash_signatures(docs, num_hashes=64).cache()
     pairs = minhash_lsh_pairs(sigs, bands=16, rows_per_band=4)
