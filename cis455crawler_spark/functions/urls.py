@@ -64,7 +64,28 @@ def url_hash_bucket(url_hash_hex: Column | str, num_buckets: int) -> Column:
     )
 
 
-def resolve_href(page_url: Column | str, href: Column | str) -> Column:
+def resolve_base_parts(page_url: Column | str) -> Column:
+    """STRUCT<proto, host, page_path, base_dir> — the page-URL-derived pieces
+    both resolvers need per href. Callers that resolve many hrefs per page
+    inside a higher-order function should evaluate this ONCE per row (via
+    functions/text.bind_once) and pass it as `parts=`: HOF lambda bodies get
+    no subexpression elimination, so the regex chains below would otherwise
+    re-run per array ELEMENT (hundreds of times per page on the parse path)."""
+    u = _c(page_url)
+    page_path = F.substring_index(path_of(u), "?", 1)
+    return F.struct(
+        protocol_of(u).alias("proto"),
+        host_of(u).alias("host"),
+        page_path.alias("page_path"),
+        F.when(page_path == "", F.lit("/"))
+        .otherwise(F.regexp_replace(page_path, "[^/]*$", ""))
+        .alias("base_dir"),
+    )
+
+
+def resolve_href(
+    page_url: Column | str, href: Column | str, parts: Column | None = None
+) -> Column:
     """Resolve one extracted href against its page URL, returning NULL for
     hrefs the reference drops.
 
@@ -78,16 +99,21 @@ def resolve_href(page_url: Column | str, href: Column | str) -> Column:
           page endswith .html|.htm -> proto + host(page) + '/' + href
           page endswith '/'        -> page + href
           else                     -> page + '/' + href
+
+    `parts` (resolve_base_parts output) skips re-deriving proto/host per
+    call — pass it when resolving inside a HOF lambda (see resolve_base_parts).
     """
     u = _c(page_url)
     h = _c(href)
+    proto = parts["proto"] if parts is not None else protocol_of(u)
+    hostp = parts["host"] if parts is not None else host_of(u)
     junk = (
         h.contains(":") | h.contains("#") | F.lower(h).contains("javascript")
     )
     rel = (
         F.when(
             u.endswith(".html") | u.endswith(".htm"),
-            F.concat(protocol_of(u), host_of(u), F.lit("/"), h),
+            F.concat(proto, hostp, F.lit("/"), h),
         )
         .when(u.endswith("/"), F.concat(u, h))
         .otherwise(F.concat(u, F.lit("/"), h))
@@ -95,7 +121,24 @@ def resolve_href(page_url: Column | str, href: Column | str) -> Column:
     return F.when(h.startswith("http"), F.when(junk, F.lit(None)).otherwise(h)).otherwise(rel)
 
 
-def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
+def _collapse_dot_segments(norm: Column) -> Column:
+    """RFC 3986 §5.2.4 remove_dot_segments as a bounded 8-deep regex unroll
+    (deeper chains survive un-normalized: still valid, just distinct, URLs).
+    Trailing '.'/'..' segments leave a trailing SLASH ('/a/b/..' -> '/a/',
+    '/a/.' -> '/a/'), exactly like the RFC algorithm — dropping it would
+    resolve href '..' on page '/a/b/' to '/a' and miss a corpus page stored
+    as '/a/'."""
+    for _ in range(8):
+        norm = F.regexp_replace(norm, r"/\.(?=/)", "")  # mid /./
+        norm = F.regexp_replace(norm, r"/\.$", "/")  # trailing /.
+        norm = F.regexp_replace(norm, r"/(?!\.\./)[^/]+/\.\.(?=/)", "")
+        norm = F.regexp_replace(norm, r"/(?!\.\./)[^/]+/\.\.$", "/")
+    return F.regexp_replace(norm, r"^(/\.\.)+(?=/|$)", "")  # clamp at root
+
+
+def resolve_href_standard(
+    page_url: Column | str, href: Column | str, parts: Column | None = None
+) -> Column:
     """RFC 3986-style href resolution — the CrawlConfig(resolve_mode=
     "standard") alternative to the reference-parity quirk resolver above.
 
@@ -105,19 +148,26 @@ def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
     the web graph connected, pure JVM columns throughout:
 
       * absolute http(s):// hrefs     -> kept (fragment stripped; scheme
-        matched case-insensitively per RFC 3986 and lowercased in the output)
+        matched case-insensitively per RFC 3986 and lowercased in the output;
+        dot segments collapsed per §5.2.2, which applies remove_dot_segments
+        even when the reference has its own scheme; empty path -> '/')
       * other schemes (mailto:, javascript:, ftp:, data:, tel:)  -> NULL
-      * protocol-relative '//h/p'     -> page scheme + href
+      * protocol-relative '//h/p'     -> page scheme + href (same
+        normalization as absolute — §5.2.2 network-path branch)
       * root-relative '/p'            -> scheme + host(page) + href
       * query-only '?x=1'             -> page path with the new query
       * fragment-only / empty         -> NULL (same-document reference)
       * relative 'a/b'                -> against the page's base directory
 
-    Dot segments ('/./', 'seg/../', leading '/../') are collapsed with a
-    bounded 8-deep unroll — deeper chains survive un-normalized (still
-    valid, just distinct, URLs; canonicalize_url handles alias collapse).
-    The host keeps its port exactly like host_of (quirk O-X2), so seen-set
-    hashing is consistent across both resolve modes."""
+    Dot segments ('/./', 'seg/../', leading '/../', trailing '.'/'..') are
+    collapsed with a bounded 8-deep unroll (_collapse_dot_segments); the
+    host keeps its port exactly like host_of (quirk O-X2), so seen-set
+    hashing is consistent across both resolve modes.
+
+    `parts` (resolve_base_parts output) skips re-deriving the page-URL
+    pieces per call — REQUIRED for performance when resolving inside a HOF
+    lambda (see resolve_base_parts; HOF bodies re-evaluate captured
+    expressions per array element)."""
     u = _c(page_url)
     # HTML spec: strip ASCII whitespace around URLs before resolving —
     # F.trim only removes 0x20, but extracted hrefs can be wrapped in
@@ -126,45 +176,59 @@ def resolve_href_standard(page_url: Column | str, href: Column | str) -> Column:
     h = F.substring_index(
         F.regexp_replace(_c(href), r"^\s+|\s+$", ""), "#", 1
     )
-    proto = protocol_of(u)
-    hostp = host_of(u)
-    page_path = F.substring_index(path_of(u), "?", 1)
-    base_dir = F.when(page_path == "", F.lit("/")).otherwise(
-        F.regexp_replace(page_path, "[^/]*$", "")
-    )
+    if parts is not None:
+        proto, hostp = parts["proto"], parts["host"]
+        page_path, base_dir = parts["page_path"], parts["base_dir"]
+    else:
+        proto = protocol_of(u)
+        hostp = host_of(u)
+        page_path = F.substring_index(path_of(u), "?", 1)
+        base_dir = F.when(page_path == "", F.lit("/")).otherwise(
+            F.regexp_replace(page_path, "[^/]*$", "")
+        )
     raw_path = F.when(h.startswith("/"), h).otherwise(F.concat(base_dir, h))
     pth = F.substring_index(raw_path, "?", 1)
     qry = F.when(
         raw_path.contains("?"),
         F.concat(F.lit("?"), F.substr(raw_path, F.instr(raw_path, "?") + 1)),
     ).otherwise(F.lit(""))
-    norm = pth
-    for _ in range(8):
-        norm = F.regexp_replace(norm, r"/\.(?=/|$)", "")  # /./ and trailing /.
-        norm = F.regexp_replace(norm, r"/(?!\.\./)[^/]+/\.\.(?=/|$)", "")
-    norm = F.regexp_replace(norm, r"^(/\.\.)+(?=/|$)", "")  # clamp at root
+    norm = _collapse_dot_segments(pth)
     norm = F.when(norm == "", F.lit("/")).otherwise(norm)
     same_host = F.concat(proto, hostp, norm, qry)
     has_scheme = h.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*:")
+    # absolute/network-path references: lowercase the scheme (RFC 3986 §3.1,
+    # schemes are case-insensitive — HTTP:// links must not drop), then
+    # normalize the PATH too: §5.2.2 applies remove_dot_segments even when
+    # R has its own scheme/authority, so http://h/a/../b and http://h/b must
+    # land on ONE seen-set key, not two frontier entries fetched twice
+    abs_lc = F.when(
+        h.startswith("//"),
+        F.concat(F.substring_index(proto, "//", 1), h),
+    ).otherwise(
+        F.when(
+            h.rlike("^(?i)https?://"),
+            F.concat(
+                F.lower(F.substring_index(h, "://", 1)),
+                F.lit("://"),
+                h.substr(F.instr(h, "://") + F.lit(3), F.length(h)),
+            ),
+        )
+    )
+    a_sh = F.regexp_extract(abs_lc, r"^(https?://[^/?#]*)", 1)
+    a_rest = F.regexp_replace(abs_lc, r"^https?://[^/?#]*", "")
+    a_pth = F.substring_index(a_rest, "?", 1)
+    a_qry = F.when(
+        a_rest.contains("?"),
+        F.concat(F.lit("?"), F.substr(a_rest, F.instr(a_rest, "?") + 1)),
+    ).otherwise(F.lit(""))
+    a_norm = _collapse_dot_segments(a_pth)
+    # empty path -> '/' (RFC 3986 §6.2.3 safe normalization; keeps the
+    # seen-set key identical to the same-host branch's output shape)
+    a_norm = F.when(a_norm == "", F.lit("/")).otherwise(a_norm)
+    abs_resolved = F.concat(a_sh, a_norm, a_qry)  # NULL-propagating
     return (
         F.when(h == "", F.lit(None).cast("string"))
-        .when(
-            h.startswith("//"), F.concat(F.substring_index(proto, "//", 1), h)
-        )
-        .when(
-            has_scheme,
-            # RFC 3986 §3.1: schemes are case-insensitive — keep HTTP:// /
-            # Http:// links (normalizing the scheme to lowercase so the
-            # seen-set key is stable) instead of silently dropping them
-            F.when(
-                h.rlike("^(?i)https?://"),
-                F.concat(
-                    F.lower(F.substring_index(h, "://", 1)),
-                    F.lit("://"),
-                    h.substr(F.instr(h, "://") + F.lit(3), F.length(h)),
-                ),
-            ).otherwise(F.lit(None).cast("string")),
-        )
+        .when(h.startswith("//") | has_scheme, abs_resolved)
         .when(
             h.startswith("?"),
             F.concat(

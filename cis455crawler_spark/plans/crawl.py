@@ -58,7 +58,14 @@ from ..functions.fetch import (
 )
 from ..functions.html import html_as_string, parse_page_udf, title_of
 from ..functions.robots import build_robots_df, crawl_allowed
-from ..functions.urls import host_of, resolve_href, sha1_hex, url_hash_bucket
+from ..functions.text import bind_once
+from ..functions.urls import (
+    host_of,
+    resolve_base_parts,
+    resolve_href,
+    sha1_hex,
+    url_hash_bucket,
+)
 from ..operators.dedup import anti_join_seen, build_bloom_sidecar, or_merge_sidecar
 from ..operators.scheduler import host_budget, pop_host_batches
 from ..sources.tables import SnapshotStore
@@ -639,10 +646,20 @@ def run_round(
             # 304 reuses the stored document's extracted links
             # (XPathCrawlerThread.java:231-253); everything non-parse else
             # contributes nothing
+            # page-URL parts (proto/host/base_dir regex chains) bind ONCE
+            # per row via bind_once: referenced bare inside the transform
+            # lambda they would re-evaluate per extracted HREF (HOF bodies
+            # get no subexpression elimination — the round-5 shingles bug)
             F.when(F.col("action") == "not_modified", F.col("stored_links")).otherwise(
-                F.filter(
-                    F.transform(F.col("_p.hrefs"), lambda h: _resolve(F.col("url"), h)),
-                    lambda x: x.isNotNull(),
+                bind_once(
+                    resolve_base_parts(F.col("url")),
+                    lambda rb: F.filter(
+                        F.transform(
+                            F.col("_p.hrefs"),
+                            lambda h: _resolve(F.col("url"), h, parts=rb),
+                        ),
+                        lambda x: x.isNotNull(),
+                    ),
                 )
             ),
         )

@@ -116,20 +116,42 @@ def o_path_depth(url: str) -> int:
     return len([s for s in path.split("/") if s])
 
 
+def _o_collapse_dots(norm: str) -> str:
+    """Mirror of functions/urls._collapse_dot_segments (RFC 3986 §5.2.4,
+    bounded 8-deep; trailing '.'/'..' leave a trailing slash)."""
+    for _ in range(8):
+        norm = re.sub(r"/\.(?=/)", "", norm)
+        norm = re.sub(r"/\.$", "/", norm)
+        norm = re.sub(r"/(?!\.\./)[^/]+/\.\.(?=/)", "", norm)
+        norm = re.sub(r"/(?!\.\./)[^/]+/\.\.$", "/", norm)
+    return re.sub(r"^(/\.\.)+(?=/|$)", "", norm)
+
+
 def o_resolve_standard(page_url: str, href: str) -> str | None:
     """Mirror of functions/urls.resolve_href_standard (RFC 3986-style),
-    same branch order and the same bounded dot-segment unroll."""
+    same branch order and the same bounded dot-segment unroll — including
+    §5.2.2's remove_dot_segments on absolute/protocol-relative references
+    and the empty-path -> '/' safe normalization."""
     # Java \s set (HTML-spec ASCII whitespace), NOT Python's unicode strip
     h = href.strip(" \t\n\x0b\f\r").split("#", 1)[0]
     if h == "":
         return None
     proto = "https://" if page_url.startswith("https") else "http://"
     host = o_host(page_url)
+
+    def _abs(a: str) -> str:
+        sh = re.match(r"^https?://[^/?#]*", a).group(0)
+        rest = a[len(sh):]
+        pth = rest.split("?", 1)[0]
+        qry = ("?" + rest.split("?", 1)[1]) if "?" in rest else ""
+        n = _o_collapse_dots(pth)
+        return sh + (n if n else "/") + qry
+
     if h.startswith("//"):
-        return proto.split("//")[0] + h
+        return _abs(proto.split("//")[0] + h)
     if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*:", h):
         m = re.match(r"^https?://", h, re.IGNORECASE)
-        return (h[: m.end() - 3].lower() + h[m.end() - 3 :]) if m else None
+        return _abs(h[: m.end() - 3].lower() + h[m.end() - 3 :]) if m else None
     page_path = re.sub(r"^[a-z][a-z0-9+.-]*://[^/]*", "", page_url).split("?", 1)[0]
     if h.startswith("?"):
         return proto + host + (page_path if page_path else "/") + h
@@ -137,11 +159,7 @@ def o_resolve_standard(page_url: str, href: str) -> str | None:
     raw = h if h.startswith("/") else base_dir + h
     pth = raw.split("?", 1)[0]
     qry = ("?" + raw.split("?", 1)[1]) if "?" in raw else ""
-    norm = pth
-    for _ in range(8):
-        norm = re.sub(r"/\.(?=/|$)", "", norm)
-        norm = re.sub(r"/(?!\.\./)[^/]+/\.\.(?=/|$)", "", norm)
-    norm = re.sub(r"^(/\.\.)+(?=/|$)", "", norm)
+    norm = _o_collapse_dots(pth)
     if norm == "":
         norm = "/"
     return proto + host + norm + qry

@@ -94,3 +94,44 @@ def test_bind_once_preserves_values(spark):
     # "a": one token, below the bigram floor (size < n) -> 0.0; its single
     # unigram occurrence has no repeats -> 0.0
     assert rows[2]["top2"] == 0.0 and rows[2]["dup1"] == 0.0
+
+
+def test_resolve_standard_parts_bind_once(spark):
+    """The crawl parse path resolves hundreds of hrefs per page inside
+    F.transform; the page-URL parts (proto/host/base_dir regex chains) must
+    bind ONCE per row, not re-derive per element. Structural proxy: the
+    host_of port-keeping regex appears once in the analyzed plan when parts
+    are bound via bind_once + resolve_base_parts, and once PER REFERENCE
+    SITE when resolve derives them inline inside the lambda."""
+    from cis455crawler_spark.functions.text import bind_once
+    from cis455crawler_spark.functions.urls import (
+        resolve_base_parts,
+        resolve_href_standard,
+    )
+
+    df = spark.createDataFrame(
+        [("http://h.test/a/b.html", ["x.html", "../y.html", "/z.html"])],
+        ["url", "hrefs"],
+    )
+    unbound = df.select(
+        F.transform(
+            F.col("hrefs"), lambda h: resolve_href_standard(F.col("url"), h)
+        ).alias("r")
+    )
+    bound = df.select(
+        bind_once(
+            resolve_base_parts(F.col("url")),
+            lambda rb: F.transform(
+                F.col("hrefs"),
+                lambda h: resolve_href_standard(F.col("url"), h, parts=rb),
+            ),
+        ).alias("r")
+    )
+    # host_of's authority-extraction appears in proto/host/page_path/base_dir
+    # derivations: > 1 copy inline, exactly 1 via the bound struct
+    marker = "://"  # substring of the protocol/host regexes
+    n_unbound = _plan(unbound).count(marker)
+    n_bound = _plan(bound).count(marker)
+    assert n_bound < n_unbound, (n_bound, n_unbound)
+    # value parity between the two shapes
+    assert unbound.collect()[0]["r"] == bound.collect()[0]["r"]

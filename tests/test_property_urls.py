@@ -117,3 +117,103 @@ def test_canonicalize_url_matches_oracle_batched(spark, urls):
     got = [r["c"] for r in df.select(canonicalize_url("url").alias("c")).collect()]
     for u, g in zip(urls, got):
         assert g == o_canonicalize(u), u
+
+
+# -- resolve_href_standard (RFC 3986 mode) ------------------------------------
+
+_s_page = st.sampled_from(
+    ["http://h.test/a/b.html", "https://h.test:8080/dir/", "http://h.test",
+     "http://h.test/x?q=1", "http://h.test/a/b/c/"]
+)
+_s_href = st.one_of(
+    st.sampled_from(
+        ["p.html", "dir/", "../up", "../../up2", "./same", ".", "..",
+         "a/./b", "a/b/../c", "/root", "/r/../s", "//other.test/p",
+         "//other.test/a/../b", "http://abs.test/x", "http://abs.test",
+         "HTTP://abs.test/a/../b", "https://abs.test/a/./b?q=2",
+         "http://abs.test/a/b/..", "mailto:a@b.c", "javascript:void(0)",
+         "?q=2", "", "#frag", "\n/ws.html\t", "  http://abs.test/sp  "]
+    ),
+    st.text(alphabet="ab./:?h", max_size=14),
+)
+_s_pairs = st.lists(st.tuples(_s_page, _s_href), min_size=1, max_size=150)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(pairs=_s_pairs)
+def test_resolve_standard_matches_oracle_batched(spark, pairs):
+    """Engine vs pure-Python mirror over randomized (page, href) pairs —
+    including absolute hrefs with dot segments (RFC 3986 §5.2.2 applies
+    remove_dot_segments even when R has its own scheme) and trailing
+    '.'/'..' (which must keep the trailing slash per §5.2.4). Also pins
+    parts= (resolve_base_parts) to be output-identical to the derive-inline
+    path — the crawl plan resolves with parts bound once per row."""
+    from cis455crawler_spark.functions.urls import (
+        resolve_base_parts,
+        resolve_href_standard,
+    )
+
+    from .oracle import o_resolve_standard
+
+    df = spark.createDataFrame(pairs, "url string, href string")
+    got = df.select(
+        "url",
+        "href",
+        resolve_href_standard("url", "href").alias("r"),
+        resolve_href_standard(
+            "url", "href", parts=resolve_base_parts("url")
+        ).alias("rp"),
+    ).collect()
+    for row in got:
+        want = o_resolve_standard(row["url"], row["href"])
+        assert row["r"] == want, (row["url"], row["href"], row["r"], want)
+        assert row["rp"] == row["r"], (row["url"], row["href"])
+
+
+def test_resolve_standard_rfc_values(spark):
+    """Exact RFC 3986 §5.4 reference-resolution examples (base adapted to
+    http) plus the round-5 review shapes: absolute-href dot segments and
+    trailing-dot slash retention."""
+    base = "http://a.test/b/c/d;p?q"
+    cases = [
+        # §5.4.1 normal examples (subset expressible without empty-scheme refs)
+        ("g", "http://a.test/b/c/g"),
+        ("./g", "http://a.test/b/c/g"),
+        ("g/", "http://a.test/b/c/g/"),
+        ("/g", "http://a.test/g"),
+        ("?y", "http://a.test/b/c/d;p?y"),
+        ("..", "http://a.test/b/"),
+        ("../", "http://a.test/b/"),
+        ("../g", "http://a.test/b/g"),
+        ("../..", "http://a.test/"),
+        ("../../", "http://a.test/"),
+        ("../../g", "http://a.test/g"),
+        # §5.4.2 abnormal: ".." past root clamps
+        ("../../../g", "http://a.test/g"),
+        (".", "http://a.test/b/c/"),
+        ("./", "http://a.test/b/c/"),
+        # review shapes: absolute href normalizes too (§5.2.2)
+        ("http://h.test/a/../b", "http://h.test/b"),
+        ("http://h.test/a/b/..", "http://h.test/a/"),
+        ("http://h.test", "http://h.test/"),
+        ("//h.test/x/../y", "http://h.test/y"),
+    ]
+    from cis455crawler_spark.functions.urls import resolve_href_standard
+
+    from .oracle import o_resolve_standard
+
+    df = spark.createDataFrame(
+        [(base, h) for h, _ in cases], "url string, href string"
+    )
+    got = [
+        r["r"]
+        for r in df.select(resolve_href_standard("url", "href").alias("r"))
+        .collect()
+    ]
+    for (h, want), g in zip(cases, got):
+        assert g == want, (h, g, want)
+        assert o_resolve_standard(base, h) == want, h
