@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from cis455crawler_spark.functions.text import STOPWORDS
 from cis455crawler_spark.functions.urls import host_of, resolve_href
+from cis455crawler_spark.operators.similarity import topk_two_phase
 
 # ---------------------------------------------------------------------------
 # shared synthetic-URL scaffolding (MUST stay in lockstep with the SQL below)
@@ -94,7 +95,11 @@ def _tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: one frontier-scheduling round (canonicalize -> sha1 ->
-    seen anti-join -> per-host budget window pop) over sf0.001."""
+    seen anti-join -> per-host budget pop) over sf0.001. The pop uses the
+    salted two-phase top-k (operators/similarity.topk_two_phase, same
+    pattern as scheduler.pop_host_batches) so a hot host never lands its
+    whole frontier in one window task; lossless for the (url) total order,
+    so the result is identical to a naive per-host row_number."""
     sf_dir = "/root/testdata/sf0.001"
     frontier = _doc_urls(spark, sf_dir).select("url", "doc_id")
     seen = frontier.filter(F.col("doc_id") % 5 == 0).select(F.md5("url").alias("url_hash"))
@@ -103,11 +108,8 @@ def entry(spark: SparkSession) -> DataFrame:
         .join(seen, "url_hash", "left_anti")
         .withColumn("host", host_of("url"))
     )
-    w = Window.partitionBy("host").orderBy("url")
-    return (
-        cand.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("host", "url", "rn")
+    return topk_two_phase(cand, "host", ["url"], 3, "rn", "url").select(
+        "host", "url", "rn"
     )
 
 
@@ -488,12 +490,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q["seen_anti_join_cuckoo"] = seen_anti_join_cuckoo
 
     def host_budget_window(spark, sf):
+        # salted two-phase pop (scheduler pattern): a plain per-host window
+        # puts a hot host's whole frontier in ONE task; lossless rewrite
         d = _doc_urls(spark, sf).withColumn("host", host_of("url"))
-        w = Window.partitionBy("host").orderBy("url")
-        return (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") <= 3)
-            .select("host", "url", "rn")
+        return topk_two_phase(d, "host", ["url"], 3, "rn", "url").select(
+            "host", "url", "rn"
         )
 
     q["host_budget_window"] = host_budget_window
@@ -660,9 +661,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scored = v.crossJoin(F.broadcast(queries_df)).withColumn("cosine", dot / (nv * nq))
         # salted two-phase top-k: no per-query window ever sorts the corpus
         # in one task (operators/similarity shares this exact helper)
-        from cis455crawler_spark.operators.similarity import _topk_two_phase
-
-        return _topk_two_phase(
+        return topk_two_phase(
             scored, "q_id", [F.desc("cosine"), "vec_id"], 5, "rn", "vec_id"
         ).select("q_id", "vec_id", F.round("cosine", 4).alias("cosine"), "rn")
 
@@ -876,10 +875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         scored = vocab.crossJoin(F.broadcast(terms)).select(
             "term", "word", F.levenshtein("term", "word").alias("dist")
         )
-        w = Window.partitionBy("term").orderBy("dist", "word")
+        # salted two-phase argmin: a per-term window would rank the WHOLE
+        # vocabulary in one task per query term (terms are few, vocab is not)
         return (
-            scored.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            topk_two_phase(scored, "term", ["dist", "word"], 1, "rn", "word")
             .select("term", F.col("word").alias("suggestion"), "dist")
             .orderBy("term")
         )

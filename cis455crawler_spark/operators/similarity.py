@@ -27,7 +27,7 @@ def _norm(a):
     return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda s, x: s + x))
 
 
-def _topk_two_phase(
+def topk_two_phase(
     df: DataFrame,
     part_col: str,
     order_cols: list,
@@ -81,7 +81,7 @@ def cosine_topk_bruteforce(
     )
     # salted two-phase: a plain per-query window would sort the WHOLE corpus
     # in one task per query — the exact baseline still must not straggle
-    return _topk_two_phase(
+    return topk_two_phase(
         scored, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
     ).select("q_id", "vec_id", "cosine", "rn")
 
@@ -283,7 +283,7 @@ def cosine_topk_ivf(
         "cosine", _dot(F.col("v"), F.col("qv")) / (F.col("nv") * F.col("nq"))
     )
     # probed cells can still be large (hot cluster): two-phase the rank too
-    return _topk_two_phase(
+    return topk_two_phase(
         scored, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
     ).select("q_id", "vec_id", "cosine", "rn")
 
@@ -372,7 +372,7 @@ def cosine_topk_quantized(
     )
     # candidate pass ranks the corpus per query: salted two-phase so the int8
     # scan's 4x saving isn't thrown away on a one-task-per-query global sort
-    cand = _topk_two_phase(
+    cand = topk_two_phase(
         approx, "q_id", [F.desc("approx"), "vec_id"], rerank * k, "crn", "vec_id"
     ).select("q_id", "vec_id")
     v = (
@@ -392,7 +392,7 @@ def cosine_topk_quantized(
     )
     # survivor set is rerank*k per query (bounded) — a plain window is fine,
     # but reuse the helper so every top-k in this module has one shape
-    return _topk_two_phase(
+    return topk_two_phase(
         exact, "q_id", [F.desc("cosine"), "vec_id"], k, "rn", "vec_id"
     ).select("q_id", "vec_id", "cosine", "rn")
 
