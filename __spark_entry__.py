@@ -3725,7 +3725,7 @@ def oracle_sql() -> dict[str, str]:
                     JOIN vocab vb ON vb.word = word_b, nt
             ORDER BY word_a, word_b
         """,
-        "mirror_host_detect": """
+        "mirror_host_detect": r"""
             WITH p AS (
               SELECT 'h' || CAST(doc_id % 5 AS VARCHAR) AS host,
                      -- fingerprint_md5's normalization (lower+ws-collapse)
