@@ -17,16 +17,45 @@ predicate. This implementation uses the union+window trick instead:
            over (partition by key order by ts, side rows unbounded preceding)
     keep side=1 rows
 
-Cost is O(|l| + |r|) rows through a single shuffle + sort — the plan a
-hand-written merge-asof would produce, expressed declaratively so AQE can
-still coalesce/skew-split partitions. Right rows sort before left rows at
-equal timestamps, which yields the inclusive (<=) bound.
+Cost is O(|l| + |r|) rows through a single shuffle + sort. Right rows sort
+before left rows at equal timestamps, which yields the inclusive (<=) bound.
+
+Hot keys: a window partitioned on the key alone puts a hot key's ENTIRE
+history in one task (the r4/r5 skew-sweep anti-pattern — spans, scheduler,
+indexer df, exact dedup all had it). With ``time_buckets`` set (the default),
+the fill runs as the bucketed two-phase decomposition chunking.py uses for
+its global cumsum:
+
+    phase A  window over (key, time_bucket)      — tasks bounded at
+             |key history| / buckets
+    phase B  per-(key, bucket) END-OF-BUCKET value of each carried column
+             (groupBy — map-side combinable)
+    phase C  carry-in per bucket = last non-null phase-B value over STRICTLY
+             EARLIER buckets (window per key over <= buckets rows — bounded)
+    final    coalesce(in-bucket fill, carry-in)
+
+Buckets are equal-width in time between the union's min/max timestamp (one
+1-row stats aggregate fused in via broadcast crossJoin — the repo's
+stats-fusion pattern). The decomposition is exact: buckets are monotone in
+ts, so in-bucket-last-else-previous-bucket-carry == global running last.
+A hot key bursting at ONE instant still lands in one bucket — that residue
+is inherent to as-of ordering and documented here.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
+
+
+def _ts_numeric(col, dtype):
+    """Monotone numeric image of a timestamp-ish column, for bucketing only."""
+    if isinstance(dtype, (TimestampType, TimestampNTZType)):
+        return F.unix_micros(col.cast("timestamp")).cast("double")
+    if isinstance(dtype, DateType):
+        return col.cast("timestamp").cast("double")
+    return col.cast("double")
 
 
 def asof_join_backward(
@@ -37,9 +66,17 @@ def asof_join_backward(
     right_ts: str = "ts",
     right_value_cols: list[str] | None = None,
     prefix: str = "asof_",
+    time_buckets: int | None = 64,
 ) -> DataFrame:
     """Left as-of-backward join. Returns all left columns plus
-    ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each right value column."""
+    ``{prefix}{right_ts}`` and ``{prefix}{c}`` for each right value column.
+
+    ``time_buckets``: split each key's fill into this many time ranges so no
+    single task ever sorts a hot key's whole history (see module docstring).
+    ``None`` selects the single-window path (fewer stages — fine when key
+    cardinality is known high / groups known small)."""
+    if time_buckets is not None and time_buckets < 1:
+        raise ValueError(f"time_buckets must be >= 1 or None, got {time_buckets}")
     right_value_cols = right_value_cols or []
 
     # internal working columns must not collide with caller columns
@@ -47,7 +84,7 @@ def asof_join_backward(
     taken = set(left.columns) | set(right.columns)
     while any(c.startswith(tag) for c in taken):
         tag += "x"
-    ats, side = f"{tag}_ts", f"{tag}_side"
+    ats, side, bkt = f"{tag}_ts", f"{tag}_side", f"{tag}_bkt"
 
     def rv(c: str) -> str:
         return f"{tag}_rv_{c}"
@@ -75,18 +112,102 @@ def asof_join_backward(
         *r.columns,
     )
     unioned = l.unionByName(r_full)
+    drop = [ats, side, *[rv(c) for c in carried]]
 
-    w = (
-        Window.partitionBy(*on)
+    if time_buckets is None:
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(ats, side)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        filled = unioned.select(
+            "*",
+            *[
+                F.last(rv(c), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+                for c in carried
+            ],
+        )
+        return filled.filter(F.col(side) == 1).drop(*drop)
+
+    # ---- bucketed two-phase fill -------------------------------------
+    tnum = _ts_numeric(F.col(ats), unioned.schema[ats].dataType)
+    # NULL left timestamps can never match anything; park them in bucket 0
+    # where the carry-in is NULL by construction (no earlier bucket), which
+    # reproduces the single-window nulls-first behaviour exactly.
+    stats = unioned.agg(
+        F.min(tnum).alias("_asof_tmin"), F.max(tnum).alias("_asof_tmax")
+    )
+    span = F.col("_asof_tmax") - F.col("_asof_tmin")
+    bucket = (
+        F.when(
+            tnum.isNotNull() & (span > 0),
+            F.least(
+                F.floor((tnum - F.col("_asof_tmin")) * time_buckets / span),
+                F.lit(time_buckets - 1),
+            ),
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    u = (
+        unioned.crossJoin(F.broadcast(stats))
+        .withColumn(bkt, bucket)
+        .drop("_asof_tmin", "_asof_tmax")
+    )
+
+    # phase A: running last WITHIN (key, bucket) — task size bounded
+    w_in = (
+        Window.partitionBy(*on, bkt)
         .orderBy(ats, side)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    filled = unioned.select(
-        "*",
+    infill = [
+        F.last(rv(c), ignorenulls=True).over(w_in).alias(f"{tag}_in_{c}")
+        for c in carried
+    ]
+    a = u.select("*", *infill)
+
+    # phase B: end-of-bucket value per carried column. Carried values are
+    # non-null only on right rows and travel together per row, but a right
+    # VALUE column may itself be NULL — mirror last(ignorenulls) by ranking
+    # only rows where that column is non-null (max_by skips NULL ordering).
+    summary = u.groupBy(*on, bkt).agg(
         *[
-            F.last(rv(c), ignorenulls=True).over(w).alias(f"{prefix}{c}")
+            F.max_by(
+                rv(c),
+                F.when(F.col(rv(c)).isNotNull(), F.struct(F.col(ats), F.col(side))),
+            ).alias(f"{tag}_end_{c}")
+            for c in carried
+        ]
+    )
+    # phase C: carry-in = last non-null end-of-bucket value over strictly
+    # earlier buckets; <= time_buckets rows per key, bounded by construction
+    w_carry = (
+        Window.partitionBy(*on)
+        .orderBy(bkt)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carry = summary.select(
+        *on,
+        bkt,
+        *[
+            F.last(f"{tag}_end_{c}", ignorenulls=True)
+            .over(w_carry)
+            .alias(f"{tag}_carry_{c}")
             for c in carried
         ],
     )
-    drop = [ats, side, *[rv(c) for c in carried]]
+
+    filled = a.join(carry, [*on, bkt]).select(
+        "*",
+        *[
+            F.coalesce(F.col(f"{tag}_in_{c}"), F.col(f"{tag}_carry_{c}")).alias(
+                f"{prefix}{c}"
+            )
+            for c in carried
+        ],
+    )
+    drop += [bkt] + [f"{tag}_in_{c}" for c in carried] + [
+        f"{tag}_carry_{c}" for c in carried
+    ]
     return filled.filter(F.col(side) == 1).drop(*drop)
