@@ -61,23 +61,112 @@ def dedup_stream(
     )
 
 
-def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+def sessionize(
+    events: DataFrame, gap_minutes: int = 30, time_buckets: int | None = 64
+) -> DataFrame:
     """Gap-based sessionization per user: session starts when the previous
-    event is more than `gap` away (lag window + running sum — the batch
-    equivalent of applyInPandasWithState session tracking)."""
+    event is more than `gap` away (lag + running sum — the batch equivalent
+    of applyInPandasWithState session tracking).
+
+    Hot keys: a window partitioned on user_id alone sorts a hot user's whole
+    history in ONE task. With `time_buckets` set (default) the lag and the
+    session cumsum decompose exactly into equal-width time buckets (the
+    asof/chunking two-phase pattern):
+
+      prev_ts      = in-bucket lag, else the max ts of the user's latest
+                     earlier non-empty bucket (per-user carry window over
+                     <= time_buckets summary rows)
+      session_seq  = in-bucket cumsum of is_new + sum of earlier buckets'
+                     is_new totals (same bounded carry window)
+
+    Buckets are monotone in ts and ties share a bucket, so bucket-local +
+    carry == the global running computation; ts ties contribute is_new=0
+    either way, so tie order inside a bucket cannot change the result.
+    `time_buckets=None` keeps the single-window path."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id").orderBy("ts")
     gap = gap_minutes * 60
-    with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
-    new_sess = F.when(
-        F.col("prev_ts").isNull()
-        | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap),
-        1,
-    ).otherwise(0)
-    sessed = with_prev.withColumn("is_new", new_sess).withColumn(
-        "session_seq", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    if time_buckets is None:
+        w = Window.partitionBy("user_id").orderBy("ts")
+        with_prev = events.withColumn("prev_ts", F.lag("ts").over(w))
+        new_sess = F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap),
+            1,
+        ).otherwise(0)
+        sessed = with_prev.withColumn("is_new", new_sess).withColumn(
+            "session_seq",
+            F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    else:
+        if time_buckets < 1:
+            raise ValueError(f"time_buckets must be >= 1 or None, got {time_buckets}")
+        tnum = F.unix_timestamp("ts").cast("double")
+        stats = events.agg(F.min(tnum).alias("_tmin"), F.max(tnum).alias("_tmax"))
+        span = F.col("_tmax") - F.col("_tmin")
+        # NULL ts parks in bucket 0 — nulls sort first there, and bucket 0's
+        # carry-in is NULL, reproducing the single-window nulls-first order
+        bucket = (
+            F.when(
+                tnum.isNotNull() & (span > 0),
+                F.least(
+                    F.floor((tnum - F.col("_tmin")) * time_buckets / span),
+                    F.lit(time_buckets - 1),
+                ),
+            )
+            .otherwise(0)
+            .cast("int")
+        )
+        b = (
+            events.crossJoin(F.broadcast(stats))
+            .withColumn("_bkt", bucket)
+            .drop("_tmin", "_tmax")
+        )
+        # carry: the previous event before a bucket's first row is the max
+        # ts of the user's latest earlier non-empty bucket
+        per_bkt = b.groupBy("user_id", "_bkt").agg(F.max("ts").alias("_bkt_max"))
+        w_carry = (
+            Window.partitionBy("user_id")
+            .orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_prev = per_bkt.select(
+            "user_id",
+            "_bkt",
+            F.last("_bkt_max", ignorenulls=True).over(w_carry).alias("_carry_prev"),
+        )
+        w_in = Window.partitionBy("user_id", "_bkt").orderBy("ts")
+        with_prev = (
+            b.join(carry_prev, ["user_id", "_bkt"])
+            .withColumn(
+                "prev_ts", F.coalesce(F.lag("ts").over(w_in), F.col("_carry_prev"))
+            )
+            .drop("_carry_prev")
+        )
+        new_sess = F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > gap),
+            1,
+        ).otherwise(0)
+        flagged = with_prev.withColumn("is_new", new_sess)
+        # carry: session_seq offset = total new-session flags in earlier buckets
+        totals = flagged.groupBy("user_id", "_bkt").agg(
+            F.sum("is_new").alias("_bkt_new")
+        )
+        carry_seq = totals.select(
+            "user_id",
+            "_bkt",
+            F.coalesce(F.sum("_bkt_new").over(w_carry), F.lit(0)).alias("_seq_base"),
+        )
+        sessed = (
+            flagged.join(carry_seq, ["user_id", "_bkt"])
+            .withColumn(
+                "session_seq",
+                F.col("_seq_base")
+                + F.sum("is_new").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
+            )
+            .drop("_bkt", "_seq_base")
+        )
     return sessed.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),
         F.max("ts").alias("session_end"),
