@@ -188,8 +188,8 @@ def asof_join_backward(
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     carry = summary.select(
-        *on,
-        bkt,
+        *[F.col(k).alias(f"{tag}_k_{k}") for k in on],
+        F.col(bkt).alias(f"{tag}_cbkt"),
         *[
             F.last(f"{tag}_end_{c}", ignorenulls=True)
             .over(w_carry)
@@ -198,7 +198,13 @@ def asof_join_backward(
         ],
     )
 
-    filled = a.join(carry, [*on, bkt]).select(
+    # null-safe key equality: partitionBy groups NULL keys, so a plain
+    # equi-join here would silently DROP every NULL-key left row (the
+    # fingerprint-join bug class) — eqNullSafe keys stay hash-joinable
+    cond = F.col(bkt) == F.col(f"{tag}_cbkt")
+    for k in on:
+        cond = cond & F.col(k).eqNullSafe(F.col(f"{tag}_k_{k}"))
+    filled = a.join(carry, cond).select(
         "*",
         *[
             F.coalesce(F.col(f"{tag}_in_{c}"), F.col(f"{tag}_carry_{c}")).alias(
@@ -207,7 +213,10 @@ def asof_join_backward(
             for c in carried
         ],
     )
-    drop += [bkt] + [f"{tag}_in_{c}" for c in carried] + [
-        f"{tag}_carry_{c}" for c in carried
-    ]
+    drop += (
+        [bkt, f"{tag}_cbkt"]
+        + [f"{tag}_k_{k}" for k in on]
+        + [f"{tag}_in_{c}" for c in carried]
+        + [f"{tag}_carry_{c}" for c in carried]
+    )
     return filled.filter(F.col(side) == 1).drop(*drop)

@@ -130,18 +130,24 @@ def sessionize(
             .orderBy("_bkt")
             .rowsBetween(Window.unboundedPreceding, -1)
         )
+        # null-safe user key on both carry join-backs: partitionBy groups a
+        # NULL user_id, a plain equi-join would silently drop those events
         carry_prev = per_bkt.select(
-            "user_id",
-            "_bkt",
+            F.col("user_id").alias("_cp_uid"),
+            F.col("_bkt").alias("_cp_bkt"),
             F.last("_bkt_max", ignorenulls=True).over(w_carry).alias("_carry_prev"),
         )
         w_in = Window.partitionBy("user_id", "_bkt").orderBy("ts")
         with_prev = (
-            b.join(carry_prev, ["user_id", "_bkt"])
+            b.join(
+                carry_prev,
+                F.col("user_id").eqNullSafe(F.col("_cp_uid"))
+                & (F.col("_bkt") == F.col("_cp_bkt")),
+            )
             .withColumn(
                 "prev_ts", F.coalesce(F.lag("ts").over(w_in), F.col("_carry_prev"))
             )
-            .drop("_carry_prev")
+            .drop("_carry_prev", "_cp_uid", "_cp_bkt")
         )
         new_sess = F.when(
             F.col("prev_ts").isNull()
@@ -154,12 +160,17 @@ def sessionize(
             F.sum("is_new").alias("_bkt_new")
         )
         carry_seq = totals.select(
-            "user_id",
-            "_bkt",
+            F.col("user_id").alias("_cs_uid"),
+            F.col("_bkt").alias("_cs_bkt"),
             F.coalesce(F.sum("_bkt_new").over(w_carry), F.lit(0)).alias("_seq_base"),
         )
         sessed = (
-            flagged.join(carry_seq, ["user_id", "_bkt"])
+            flagged.join(
+                carry_seq,
+                F.col("user_id").eqNullSafe(F.col("_cs_uid"))
+                & (F.col("_bkt") == F.col("_cs_bkt")),
+            )
+            .drop("_cs_uid", "_cs_bkt")
             .withColumn(
                 "session_seq",
                 F.col("_seq_base")

@@ -81,6 +81,28 @@ def test_null_left_ts_and_degenerate_span(spark):
     assert out[0]["asof_v"] == 9.0
 
 
+def test_null_key_rows_survive(spark):
+    """partitionBy groups NULL keys, so the bucketed carry join-back must be
+    null-safe — a plain equi-join would drop every NULL-key left row."""
+    left = spark.createDataFrame(
+        [(None, 10.0, 1), (None, 20.0, 2), (7, 15.0, 3)],
+        "k int, ts double, eid int",
+    )
+    right = spark.createDataFrame(
+        [(None, 9.0, 1.0), (None, 12.0, 2.0), (7, 14.0, 3.0)],
+        "k int, ts double, v double",
+    )
+    for buckets in (None, 8):
+        out = asof_join_backward(
+            left, right, on=["k"], right_value_cols=["v"], time_buckets=buckets
+        )
+        rows = {r["eid"]: (r["asof_ts"], r["asof_v"]) for r in out.collect()}
+        assert len(rows) == 3, (buckets, rows)  # NULL-key rows kept
+        assert rows[1] == (9.0, 1.0)
+        assert rows[2] == (12.0, 2.0)
+        assert rows[3] == (14.0, 3.0)
+
+
 def test_plan_has_no_bare_key_window(spark):
     """Default path: every window over the union partitions on
     (key..., bucket) or ranks <= buckets summary rows per key — no window

@@ -57,6 +57,24 @@ def test_boundary_carry(spark):
         assert sorted(n_by_seq.values()) == [5, 30]
 
 
+def test_null_user_rows_survive(spark):
+    """NULL user_id is one group under partitionBy; the bucketed carry
+    join-backs must be null-safe or those events vanish."""
+    rows = [(None, 1_700_000_000 + i * 60, 1.0) for i in range(4)]
+    rows += [(None, 1_700_000_000 + 90_000, 1.0)]  # second NULL-user session
+    rows += [(3, 1_700_000_000, 1.0)]
+    ev = spark.createDataFrame(
+        rows, "user_id long, sec long, value double"
+    ).select("user_id", F.timestamp_seconds("sec").alias("ts"), "value")
+    for buckets in (None, 16):
+        out = sessionize(ev, gap_minutes=30, time_buckets=buckets).collect()
+        by_user = {}
+        for r in out:
+            by_user.setdefault(r["user_id"], []).append(r["n_events"])
+        assert sorted(by_user[None]) == [1, 4], (buckets, out)
+        assert by_user[3] == [1]
+
+
 def test_plan_has_no_bare_user_window(spark):
     """Default path: no window spec partitions on user_id alone over event
     rows — every data window carries _bkt; user-only windows are the bounded
