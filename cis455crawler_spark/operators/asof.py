@@ -48,6 +48,13 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DateType, TimestampNTZType, TimestampType
 
+from .bucketed import (
+    assign_time_buckets,
+    carry_window,
+    internal_tag,
+    null_safe_carry_cond,
+)
+
 
 def _ts_numeric(col, dtype):
     """Monotone numeric image of a timestamp-ish column, for bucketing only."""
@@ -79,11 +86,10 @@ def asof_join_backward(
         raise ValueError(f"time_buckets must be >= 1 or None, got {time_buckets}")
     right_value_cols = right_value_cols or []
 
-    # internal working columns must not collide with caller columns
-    tag = "_asof"
-    taken = set(left.columns) | set(right.columns)
-    while any(c.startswith(tag) for c in taken):
-        tag += "x"
+    # internal working columns must not collide with caller columns — the
+    # tag prefix also covers assign_time_buckets' stats columns, which
+    # derive from bkt (operators/bucketed.py)
+    tag = internal_tag("_asof", left, right)
     ats, side, bkt = f"{tag}_ts", f"{tag}_side", f"{tag}_bkt"
 
     def rv(c: str) -> str:
@@ -129,31 +135,12 @@ def asof_join_backward(
         )
         return filled.filter(F.col(side) == 1).drop(*drop)
 
-    # ---- bucketed two-phase fill -------------------------------------
+    # ---- bucketed two-phase fill (operators/bucketed.py machinery) ----
     tnum = _ts_numeric(F.col(ats), unioned.schema[ats].dataType)
     # NULL left timestamps can never match anything; park them in bucket 0
     # where the carry-in is NULL by construction (no earlier bucket), which
     # reproduces the single-window nulls-first behaviour exactly.
-    stats = unioned.agg(
-        F.min(tnum).alias("_asof_tmin"), F.max(tnum).alias("_asof_tmax")
-    )
-    span = F.col("_asof_tmax") - F.col("_asof_tmin")
-    bucket = (
-        F.when(
-            tnum.isNotNull() & (span > 0),
-            F.least(
-                F.floor((tnum - F.col("_asof_tmin")) * time_buckets / span),
-                F.lit(time_buckets - 1),
-            ),
-        )
-        .otherwise(0)
-        .cast("int")
-    )
-    u = (
-        unioned.crossJoin(F.broadcast(stats))
-        .withColumn(bkt, bucket)
-        .drop("_asof_tmin", "_asof_tmax")
-    )
+    u = assign_time_buckets(unioned, tnum, time_buckets, bkt)
 
     # phase A: running last WITHIN (key, bucket) — task size bounded
     w_in = (
@@ -182,11 +169,7 @@ def asof_join_backward(
     )
     # phase C: carry-in = last non-null end-of-bucket value over strictly
     # earlier buckets; <= time_buckets rows per key, bounded by construction
-    w_carry = (
-        Window.partitionBy(*on)
-        .orderBy(bkt)
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
+    w_carry = carry_window(on, bkt)
     carry = summary.select(
         *[F.col(k).alias(f"{tag}_k_{k}") for k in on],
         F.col(bkt).alias(f"{tag}_cbkt"),
@@ -198,12 +181,7 @@ def asof_join_backward(
         ],
     )
 
-    # null-safe key equality: partitionBy groups NULL keys, so a plain
-    # equi-join here would silently DROP every NULL-key left row (the
-    # fingerprint-join bug class) — eqNullSafe keys stay hash-joinable
-    cond = F.col(bkt) == F.col(f"{tag}_cbkt")
-    for k in on:
-        cond = cond & F.col(k).eqNullSafe(F.col(f"{tag}_k_{k}"))
+    cond = null_safe_carry_cond(on, [f"{tag}_k_{k}" for k in on], bkt, f"{tag}_cbkt")
     filled = a.join(carry, cond).select(
         "*",
         *[

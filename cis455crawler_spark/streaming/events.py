@@ -101,53 +101,43 @@ def sessionize(
     else:
         if time_buckets < 1:
             raise ValueError(f"time_buckets must be >= 1 or None, got {time_buckets}")
+        from ..operators.bucketed import (
+            assign_time_buckets,
+            carry_window,
+            internal_tag,
+            null_safe_carry_cond,
+        )
+
+        # collision-free internal names: the tag prefix is absent from the
+        # caller's columns and also covers assign_time_buckets' stats
+        # columns, which derive from the bucket column name
+        tag = internal_tag("_sess", events)
+        bkt = f"{tag}_bkt"
         tnum = F.unix_timestamp("ts").cast("double")
-        stats = events.agg(F.min(tnum).alias("_tmin"), F.max(tnum).alias("_tmax"))
-        span = F.col("_tmax") - F.col("_tmin")
         # NULL ts parks in bucket 0 — nulls sort first there, and bucket 0's
         # carry-in is NULL, reproducing the single-window nulls-first order
-        bucket = (
-            F.when(
-                tnum.isNotNull() & (span > 0),
-                F.least(
-                    F.floor((tnum - F.col("_tmin")) * time_buckets / span),
-                    F.lit(time_buckets - 1),
-                ),
-            )
-            .otherwise(0)
-            .cast("int")
-        )
-        b = (
-            events.crossJoin(F.broadcast(stats))
-            .withColumn("_bkt", bucket)
-            .drop("_tmin", "_tmax")
-        )
+        b = assign_time_buckets(events, tnum, time_buckets, bkt)
         # carry: the previous event before a bucket's first row is the max
         # ts of the user's latest earlier non-empty bucket
-        per_bkt = b.groupBy("user_id", "_bkt").agg(F.max("ts").alias("_bkt_max"))
-        w_carry = (
-            Window.partitionBy("user_id")
-            .orderBy("_bkt")
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
+        per_bkt = b.groupBy("user_id", bkt).agg(F.max("ts").alias(f"{tag}_max"))
+        w_carry = carry_window(["user_id"], bkt)
         # null-safe user key on both carry join-backs: partitionBy groups a
         # NULL user_id, a plain equi-join would silently drop those events
         carry_prev = per_bkt.select(
-            F.col("user_id").alias("_cp_uid"),
-            F.col("_bkt").alias("_cp_bkt"),
-            F.last("_bkt_max", ignorenulls=True).over(w_carry).alias("_carry_prev"),
+            F.col("user_id").alias(f"{tag}_cp_uid"),
+            F.col(bkt).alias(f"{tag}_cp_bkt"),
+            F.last(f"{tag}_max", ignorenulls=True).over(w_carry).alias(f"{tag}_prev"),
         )
-        w_in = Window.partitionBy("user_id", "_bkt").orderBy("ts")
+        w_in = Window.partitionBy("user_id", bkt).orderBy("ts")
         with_prev = (
             b.join(
                 carry_prev,
-                F.col("user_id").eqNullSafe(F.col("_cp_uid"))
-                & (F.col("_bkt") == F.col("_cp_bkt")),
+                null_safe_carry_cond(["user_id"], [f"{tag}_cp_uid"], bkt, f"{tag}_cp_bkt"),
             )
             .withColumn(
-                "prev_ts", F.coalesce(F.lag("ts").over(w_in), F.col("_carry_prev"))
+                "prev_ts", F.coalesce(F.lag("ts").over(w_in), F.col(f"{tag}_prev"))
             )
-            .drop("_carry_prev", "_cp_uid", "_cp_bkt")
+            .drop(f"{tag}_prev", f"{tag}_cp_uid", f"{tag}_cp_bkt")
         )
         new_sess = F.when(
             F.col("prev_ts").isNull()
@@ -156,27 +146,28 @@ def sessionize(
         ).otherwise(0)
         flagged = with_prev.withColumn("is_new", new_sess)
         # carry: session_seq offset = total new-session flags in earlier buckets
-        totals = flagged.groupBy("user_id", "_bkt").agg(
-            F.sum("is_new").alias("_bkt_new")
+        totals = flagged.groupBy("user_id", bkt).agg(
+            F.sum("is_new").alias(f"{tag}_new")
         )
         carry_seq = totals.select(
-            F.col("user_id").alias("_cs_uid"),
-            F.col("_bkt").alias("_cs_bkt"),
-            F.coalesce(F.sum("_bkt_new").over(w_carry), F.lit(0)).alias("_seq_base"),
+            F.col("user_id").alias(f"{tag}_cs_uid"),
+            F.col(bkt).alias(f"{tag}_cs_bkt"),
+            F.coalesce(F.sum(f"{tag}_new").over(w_carry), F.lit(0)).alias(
+                f"{tag}_base"
+            ),
         )
         sessed = (
             flagged.join(
                 carry_seq,
-                F.col("user_id").eqNullSafe(F.col("_cs_uid"))
-                & (F.col("_bkt") == F.col("_cs_bkt")),
+                null_safe_carry_cond(["user_id"], [f"{tag}_cs_uid"], bkt, f"{tag}_cs_bkt"),
             )
-            .drop("_cs_uid", "_cs_bkt")
+            .drop(f"{tag}_cs_uid", f"{tag}_cs_bkt")
             .withColumn(
                 "session_seq",
-                F.col("_seq_base")
+                F.col(f"{tag}_base")
                 + F.sum("is_new").over(w_in.rowsBetween(Window.unboundedPreceding, 0)),
             )
-            .drop("_bkt", "_seq_base")
+            .drop(bkt, f"{tag}_base")
         )
     return sessed.groupBy("user_id", "session_seq").agg(
         F.min("ts").alias("session_start"),

@@ -123,3 +123,23 @@ def test_time_buckets_validation(spark):
     left, right = _mk(spark, n_left=10, n_right=10)
     with pytest.raises(ValueError):
         asof_join_backward(left, right, on=["user_id"], time_buckets=0)
+
+
+def test_caller_columns_cannot_collide_with_internals(spark):
+    """Regression: the bucketed path's stats/bucket columns must inherit the
+    tag collision-avoidance — callers may legitimately own columns named
+    _asof_tmin/_asof_tmax/_asof_bkt (e.g. output of a previous as-of pass)."""
+    left, right = _mk(spark, n_left=300, n_right=200)
+    left = (
+        left.withColumn("_asof_tmin", F.lit(1.0))
+        .withColumn("_asof_tmax", F.lit(2.0))
+        .withColumn("_asof_bkt", F.lit(9))
+    )
+    base = asof_join_backward(
+        left, right, on=["user_id"], right_value_cols=["v"], time_buckets=None
+    )
+    got = asof_join_backward(
+        left, right, on=["user_id"], right_value_cols=["v"], time_buckets=8
+    )
+    assert set(got.columns) == set(base.columns)
+    assert _sorted(got) == _sorted(base)

@@ -91,3 +91,18 @@ def test_plan_has_no_bare_user_window(spark):
 def test_time_buckets_validation(spark):
     with pytest.raises(ValueError):
         sessionize(_events(spark, n=10), time_buckets=0)
+
+
+def test_caller_columns_cannot_collide_with_internals(spark):
+    """Regression: internal carry columns are tag-prefixed, so an events
+    feed that already carries _tmin/_bkt/_cp_uid (say, precomputed window
+    bounds from an upstream metrics job) must not break the bucketed path."""
+    ev = (
+        _events(spark, n=400)
+        .withColumn("_tmin", F.lit(0.0))
+        .withColumn("_bkt", F.lit(7))
+        .withColumn("_cp_uid", F.lit(1))
+    )
+    base = sessionize(ev, gap_minutes=30, time_buckets=None)
+    got = sessionize(ev, gap_minutes=30, time_buckets=6)
+    assert _rows(got) == _rows(base)
