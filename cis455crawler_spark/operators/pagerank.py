@@ -53,14 +53,22 @@ def _power_iterate(
     nodes: DataFrame,
     iterations: int,
     checkpoint_every: int,
+    outdeg: DataFrame | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """Shared rank recurrence for pagerank()/trustrank(): `nodes` carries
     (node, base, rank0); rank_{i} = base + DAMPING * Σ(rank_{i-1}/outdeg)
     over inbound edges; nodes with no inbound keep their base. The one
     place the sink-free/distinct/outdeg/contribs/checkpoint machinery
-    lives — the two operators differ only in their teleport vector."""
-    edges = edges.select("src", "dst").distinct().cache()
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    lives — the two operators differ only in their teleport vector.
+
+    prepared=True means `edges` is ALREADY (src,dst)-projected, distinct
+    and cached; passing `outdeg` skips its aggregate — so a caller running
+    two chains over one graph (spam_mass) prepares the adjacency once."""
+    if not prepared:
+        edges = edges.select("src", "dst").distinct().cache()
+    if outdeg is None:
+        outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
     nodes = nodes.cache()
     ranks = nodes.select("node", F.col("rank0").alias("rank"))
     for i in range(iterations):
@@ -415,16 +423,37 @@ def spam_mass(
     ranked node (uniform base), so the division is safe by construction.
 
     One extra join over the two rank tables plus a broadcast 1-row scale
-    — the rank computations themselves are the shared _power_iterate."""
-    pr = pagerank(edges, iterations).withColumnRenamed("rank", "pr")
-    tr = trustrank(edges, trusted, iterations).withColumnRenamed(
-        "rank", "tr"
+    — the rank computations themselves are the shared _power_iterate. The
+    graph preparation is shared too: sink removal, the distinct adjacency
+    cache, the outdegree aggregate and the ranked-node set are each built
+    ONCE and feed both chains (calling pagerank()+trustrank() separately
+    would scan and shuffle the edge table twice for identical results)."""
+    edges_sf = (
+        remove_sink_edges(edges).select("src", "dst").distinct().cache()
     )
+    outdeg = (
+        edges_sf.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    )
+    srcs = edges_sf.select(F.col("src").alias("node")).distinct().cache()
     t_nodes = (
         trusted.select(F.col(trusted.columns[0]).alias("node"))
         .distinct()
         .withColumn("_t", F.lit(True))
     )
+    pr_nodes = srcs.select(
+        "node", F.lit(BASE).alias("base"), F.lit(1.0).alias("rank0")
+    )
+    tr_nodes = srcs.join(F.broadcast(t_nodes), "node", "left").select(
+        "node",
+        F.when(F.col("_t"), F.lit(BASE)).otherwise(F.lit(0.0)).alias("base"),
+        F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank0"),
+    )
+    pr = _power_iterate(
+        edges_sf, pr_nodes, iterations, 4, outdeg=outdeg, prepared=True
+    ).withColumnRenamed("rank", "pr")
+    tr = _power_iterate(
+        edges_sf, tr_nodes, iterations, 4, outdeg=outdeg, prepared=True
+    ).withColumnRenamed("rank", "tr")
     counts = (
         pr.join(F.broadcast(t_nodes), "node", "left")
         .agg(
