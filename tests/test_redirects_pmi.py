@@ -203,6 +203,40 @@ def test_spam_mass_designed_graph(spark):
     assert outz and all(v == 0.0 for v in outz.values()), outz
 
 
+def test_spam_mass_shared_prep_matches_standalone_chains(spark):
+    """spam_mass builds the sink-free adjacency / outdegree / node set ONCE
+    and feeds both power chains (_power_iterate(..., prepared=True)); its
+    pr/tr columns must be value-identical to running pagerank() and
+    trustrank() standalone on the same inputs."""
+    from pyspark.sql import functions as F
+
+    from cis455crawler_spark.operators.pagerank import (
+        pagerank,
+        spam_mass,
+        trustrank,
+    )
+
+    # ring with chords + a spam pocket + a sink (so remove_sink_edges acts)
+    edges = [(f"n{i}", f"n{(i + 1) % 9}") for i in range(9)]
+    edges += [("n0", "n4"), ("n2", "n7"), ("n5", "n1")]
+    edges += [("p", "q"), ("q", "p"), ("n3", "sink")]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    trusted = spark.createDataFrame([("n0",), ("n4",)], "node string")
+
+    sm = spam_mass(e, trusted, iterations=4).select("node", "pr", "tr")
+    ref = (
+        pagerank(e, 4)
+        .select("node", F.round("rank", 6).alias("pr"))
+        .join(
+            trustrank(e, trusted, 4).select(
+                "node", F.round("rank", 6).alias("tr")
+            ),
+            "node",
+        )
+    )
+    assert sm.exceptAll(ref).count() == 0 and ref.exceptAll(sm).count() == 0
+
+
 def test_more_like_this_sparse(spark):
     from pyspark.sql import Row
 
