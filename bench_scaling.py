@@ -89,7 +89,8 @@ def dataplane(spark, pages, dup: int = 11) -> dict:
 
     from cis455crawler_spark.functions.html import parse_page_udf
     from cis455crawler_spark.functions.robots import build_robots_df, crawl_allowed
-    from cis455crawler_spark.functions.urls import resolve_href
+    from cis455crawler_spark.functions.text import bind_once
+    from cis455crawler_spark.functions.urls import resolve_base_parts, resolve_href
     from cis455crawler_spark.operators.dedup import anti_join_seen
     from cis455crawler_spark.operators.scheduler import host_budget, pop_host_batches
     from cis455crawler_spark.plans.crawl import _with_url_cols
@@ -126,9 +127,18 @@ def dataplane(spark, pages, dup: int = 11) -> dict:
         .withColumn("_p", parse_page_udf("html"))
         .withColumn(
             "out_links",
-            F.filter(
-                F.transform(F.col("_p.hrefs"), lambda h: resolve_href(F.col("url"), h)),
-                lambda x: x.isNotNull(),
+            # the round-5 product shape (crawl.py:649-663): page-URL parts
+            # bind once per row; unbound, the base-part regex chains re-run
+            # per extracted HREF inside the HOF lambda
+            bind_once(
+                resolve_base_parts(F.col("url")),
+                lambda rb: F.filter(
+                    F.transform(
+                        F.col("_p.hrefs"),
+                        lambda h: resolve_href(F.col("url"), h, parts=rb),
+                    ),
+                    lambda x: x.isNotNull(),
+                ),
             ),
         )
     )

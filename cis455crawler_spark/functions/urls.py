@@ -214,7 +214,17 @@ def resolve_href_standard(
             ),
         )
     )
-    a_sh = F.regexp_extract(abs_lc, r"^(https?://[^/?#]*)", 1)
+    # RFC 3986 §6.2.2.1: the HOST is case-insensitive too — lowercase it
+    # (the authority after the last '@'; userinfo keeps case, like the
+    # path). Without this, Example.COM/x and example.com/x are two frontier
+    # keys: the seen-set anti-join misses and the page is fetched twice.
+    a_auth = F.regexp_extract(abs_lc, r"^https?://([^/?#]*)", 1)
+    a_sh = F.concat(
+        F.regexp_extract(abs_lc, r"^(https?)://", 1),
+        F.lit("://"),
+        F.regexp_replace(a_auth, r"[^@]*$", ""),
+        F.lower(F.regexp_extract(a_auth, r"([^@]*)$", 1)),
+    )
     a_rest = F.regexp_replace(abs_lc, r"^https?://[^/?#]*", "")
     a_pth = F.substring_index(a_rest, "?", 1)
     a_qry = F.when(

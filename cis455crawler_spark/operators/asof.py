@@ -158,6 +158,15 @@ def asof_join_backward(
     # non-null only on right rows and travel together per row, but a right
     # VALUE column may itself be NULL — mirror last(ignorenulls) by ranking
     # only rows where that column is non-null (max_by skips NULL ordering).
+    # NOTE the union/bucketing lineage is EVALUATED PER PHASE (window,
+    # summary, and the two 1-row stats broadcasts): column pruning gives
+    # each consumer a different projection, so no exchange is reusable, and
+    # materializing instead was MEASURED slower at bench scale (lazy
+    # localCheckpoint of the union: 2.79 s vs 1.56 s recompute, 2M x 200k
+    # rows — re-scanning a columnar source is cheaper than writing blocks,
+    # the same verdict as dedup_fuzzy's cache-vs-checkpoint measurement).
+    # Callers composing as-of AFTER an expensive non-scan pipeline should
+    # pre-materialize their inputs (localCheckpoint) before calling.
     summary = u.groupBy(*on, bkt).agg(
         *[
             F.max_by(

@@ -38,15 +38,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     docs) would land its whole duplicate set in ONE window task. The groupBy
     min is map-side combinable (the hot key collapses per partition before
     the shuffle) and the join-back keys on (fp, id) so even the residue
-    spreads; requires id_col unique, which exact dedup already assumes."""
-    fp = df.withColumn("fp", fingerprint64(F.col(text_col)))
-    keep = fp.groupBy("fp").agg(F.min(id_col).alias("_keep_id"))
+    spreads; requires id_col unique, which exact dedup already assumes.
+
+    Internal columns use a collision-free prefix (operators/bucketed
+    internal_tag): a caller whose frame already carries an 'fp' column must
+    get it back untouched, not silently overwritten with these hashes."""
+    from .bucketed import internal_tag
+
+    tag = internal_tag("_xd", df)
+    fpc, keep_id = f"{tag}_fp", f"{tag}_keep_id"
+    fp = df.withColumn(fpc, fingerprint64(F.col(text_col)))
+    keep = fp.groupBy(fpc).agg(F.min(id_col).alias(keep_id))
     # null-safe fp equality: a NULL text fingerprints to NULL, and NULLs
     # form ONE duplicate group (the window semantics this aggregate+join
     # replaced; a plain equi-join would silently DROP every NULL-fp row).
     # EqualNullSafe join keys still hash-join — no plan degradation.
-    cond = F.col("l.fp").eqNullSafe(F.col("r.fp")) & (
-        F.col(f"l.{id_col}") == F.col("r._keep_id")
+    cond = F.col(f"l.{fpc}").eqNullSafe(F.col(f"r.{fpc}")) & (
+        F.col(f"l.{id_col}") == F.col(f"r.{keep_id}")
     )
     return (
         fp.alias("l")

@@ -55,6 +55,7 @@ def _power_iterate(
     checkpoint_every: int,
     outdeg: DataFrame | None = None,
     prepared: bool = False,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Shared rank recurrence for pagerank()/trustrank(): `nodes` carries
     (node, base, rank0); rank_{i} = base + DAMPING * Σ(rank_{i-1}/outdeg)
@@ -64,12 +65,23 @@ def _power_iterate(
 
     prepared=True means `edges` is ALREADY (src,dst)-projected, distinct
     and cached; passing `outdeg` skips its aggregate — so a caller running
-    two chains over one graph (spam_mass) prepares the adjacency once."""
+    two chains over one graph (spam_mass) prepares the adjacency once.
+
+    eager_release=True materializes the final ranks (eager localCheckpoint)
+    and unpersists every cache THIS call created before returning — for
+    long-lived sessions that invoke the recurrence repeatedly (the crawl
+    loop's priority='trust' knob runs it every round; .cache() entries are
+    CacheManager strong references that no GC ever frees, so without the
+    release each round would pin three more cached frames forever)."""
+    created = []
     if not prepared:
         edges = edges.select("src", "dst").distinct().cache()
+        created.append(edges)
     if outdeg is None:
         outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+        created.append(outdeg)
     nodes = nodes.cache()
+    created.append(nodes)
     ranks = nodes.select("node", F.col("rank0").alias("rank"))
     for i in range(iterations):
         contribs = (
@@ -89,6 +101,13 @@ def _power_iterate(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             ranks = ranks.localCheckpoint()  # cut lineage across iterations
+    if eager_release:
+        # eager: materializes the result THROUGH the caches, then frees them
+        # (localCheckpoint blocks are RDD-scoped — the ContextCleaner drops
+        # them once the result is unreferenced, unlike CacheManager entries)
+        ranks = ranks.localCheckpoint()
+        for df in created:
+            df.unpersist()
     return ranks
 
 
@@ -98,6 +117,7 @@ def trustrank(
     iterations: int = 5,
     drop_sinks: bool = True,
     checkpoint_every: int = 4,
+    eager_release: bool = False,
 ) -> DataFrame:
     """Personalized PageRank over a trusted seed set (TrustRank, Gyöngyi et
     al., VLDB'04) — the link-spam demotion signal the reference's global
@@ -127,7 +147,9 @@ def trustrank(
             F.when(F.col("_t"), F.lit(1.0)).otherwise(F.lit(0.0)).alias("rank0"),
         )
     )
-    return _power_iterate(edges, nodes, iterations, checkpoint_every)
+    return _power_iterate(
+        edges, nodes, iterations, checkpoint_every, eager_release=eager_release
+    )
 
 
 def trustrank_py_oracle(

@@ -37,7 +37,13 @@ from pyspark.sql import functions as F
 
 from cis455crawler_spark.functions.urls import host_of, path_depth
 
-__all__ = ["path_depth", "has_query", "trap_host_stats", "trap_filter_frontier"]
+__all__ = [
+    "path_depth",
+    "has_query",
+    "trap_host_stats",
+    "trap_filter_frontier",
+    "is_trap_cond",
+]
 
 
 def has_query(url: Column | str) -> Column:
@@ -86,12 +92,17 @@ def trap_host_stats(
         "max_depth",
         "avg_depth",
         "query_frac",
-        (
-            (F.col("n_urls") / F.col("n_content") >= F.lit(ratio_threshold))
-            | (F.col("max_depth") >= F.lit(depth_threshold))
-        )
-        .cast("int")
-        .alias("is_trap"),
+        is_trap_cond(ratio_threshold, depth_threshold).cast("int").alias("is_trap"),
+    )
+
+
+def is_trap_cond(ratio_threshold: float, depth_threshold: int) -> Column:
+    """The trap verdict over (n_urls, n_content, max_depth) columns — THE
+    one definition of what flags a host, shared by trap_host_stats and the
+    crawl loop's incrementally-maintained trap_counts rollup so the two
+    paths cannot drift."""
+    return (F.col("n_urls") / F.col("n_content") >= F.lit(ratio_threshold)) | (
+        F.col("max_depth") >= F.lit(depth_threshold)
     )
 
 

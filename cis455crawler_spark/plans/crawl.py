@@ -410,23 +410,38 @@ def run_round(
     # again for as long as the host stays flagged, and admit again if the
     # host's ratio recovers.
     pre_trap = None
+    trap_counts = None
+    trap_rollup_fresh = False  # True -> commit rebuilds the pair tables too
     if cfg.trap_filter:
         pre_trap = fresh_cand.cache()
-        tlog = store.read("trap_log")
-        if tlog is not None:
-            from ..operators.traps import trap_host_stats
+        # INCREMENTALLY maintained (host, n_urls, n_content, max_depth)
+        # rollup — the gate never rescans the growing trap_log (per-round
+        # aggregate cost would grow linearly with total pages crawled; the
+        # exact shape the host_counts rollup below was built to avoid).
+        # Rebuilt from the log only when the rollup is missing (store
+        # predates it) — the rollup and the log otherwise move in the same
+        # atomic commits and cannot diverge.
+        trap_counts = store.read("trap_counts")
+        if trap_counts is None:
+            tlog = store.read("trap_log")
+            if tlog is not None:
+                from ..operators.traps import path_depth as _trap_depth
 
-            trap_hosts = (
-                trap_host_stats(
-                    tlog,
-                    url_col="url",
-                    fp_col="digest",
-                    ratio_threshold=cfg.trap_ratio_threshold,
-                    depth_threshold=cfg.trap_depth_threshold,
+                trap_counts = tlog.groupBy(
+                    host_of(F.col("url")).alias("host")
+                ).agg(
+                    F.countDistinct("url").alias("n_urls"),
+                    F.countDistinct("digest").alias("n_content"),
+                    F.max(_trap_depth(F.col("url"))).alias("max_depth"),
                 )
-                .filter(F.col("is_trap") == 1)
-                .select("host")
-            )
+                trap_rollup_fresh = True
+        if trap_counts is not None:
+            from ..operators.traps import is_trap_cond
+
+            trap_counts = trap_counts.cache()
+            trap_hosts = trap_counts.filter(
+                is_trap_cond(cfg.trap_ratio_threshold, cfg.trap_depth_threshold)
+            ).select("host")
             fresh_cand = pre_trap.join(F.broadcast(trap_hosts), "host", "left_anti")
         else:
             fresh_cand = pre_trap
@@ -496,18 +511,28 @@ def run_round(
     # politeness overflow and the rate can recover). The flag list is a
     # per-host aggregate of a narrow log: tiny, broadcast.
     flagged404 = None
+    s404_counts = None
     if cfg.demote_soft404:
-        slog = store.read("soft404_log")
-        if slog is not None:
-            flagged404 = (
-                slog.groupBy("host")
-                .agg(
-                    F.count(F.lit(1)).alias("_n"),
-                    F.sum("soft404").alias("_s"),
+        # per-host (n, s) verdict counts from an INCREMENTALLY maintained
+        # rollup (sum-mergeable, merged with each round's delta at commit) —
+        # never a per-round aggregate over the whole accumulated log, whose
+        # cost would grow linearly with total pages crawled. Rebuilt from
+        # the log only when the rollup is missing (store predates it).
+        s404_counts = store.read("soft404_counts")
+        if s404_counts is None:
+            slog = store.read("soft404_log")
+            if slog is not None:
+                s404_counts = slog.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum("soft404").cast("long").alias("s"),
                 )
-                .filter(
-                    (F.col("_n") >= cfg.soft404_min_pages)
-                    & (F.col("_s") / F.col("_n") >= cfg.soft404_rate_threshold)
+        if s404_counts is not None:
+            # cached: consumed by the flag filter now, the merge at commit
+            s404_counts = s404_counts.cache()
+            flagged404 = (
+                s404_counts.filter(
+                    (F.col("n") >= cfg.soft404_min_pages)
+                    & (F.col("s") / F.col("n") >= cfg.soft404_rate_threshold)
                 )
                 .select("host", F.lit(True).alias("_demote"))
                 .cache()  # consumed by the clamp join and the stats count
@@ -749,10 +774,22 @@ def run_round(
         if hedges is not None and seed_hosts is not None:
             from ..operators.pagerank import trustrank
 
+            # drop_sinks=False: sink-dropping is global-PageRank parity, but
+            # here it is actively wrong — during frontier expansion a trusted
+            # host's ledger edges often ALL point to not-yet-crawled hosts
+            # (sinks by definition), and remove_sink_edges would empty the
+            # graph: trustrank returns no rows, every deposit coalesces to
+            # 0.0, and trust ordering silently degenerates to BFS exactly
+            # when the knob matters. Keeping sink edges only leaks some rank
+            # mass into unranked hosts — harmless for a relative ordering.
+            # eager_release: this runs EVERY round in a long-lived session;
+            # without it each call pins 3 more CacheManager entries forever.
             trust = trustrank(
                 hedges.select("src", "dst").distinct(),
                 seed_hosts,
                 iterations=cfg.trust_iterations,
+                drop_sinks=False,
+                eager_release=True,
             ).select(
                 F.col("node").alias("_src_host"), F.col("rank").alias("_trust")
             )
@@ -819,6 +856,7 @@ def run_round(
             .groupBy("host")
             .agg(F.sum("n").alias("n"))
         )
+    trap_pair_caches: list[DataFrame] = []
     if cfg.trap_filter:
         # narrow per-parse evidence rows (url unique per generation, so the
         # host rollup's countDistinct(url) is exact); digests accumulate
@@ -828,15 +866,122 @@ def run_round(
         # finite-content evidence the trap ratio feeds on. Filtering on
         # is_parse alone would let content_dedup starve the log down to one
         # URL per digest and the ratio trigger could never fire.
-        appends_extra["trap_log"] = parsed.filter(
+        from ..operators.traps import path_depth as _trap_depth
+
+        evidence = parsed.filter(
             F.col("action").isin("parse", "content_dup")
         ).select("url", "digest")
+        appends_extra["trap_log"] = evidence
+        ev = evidence.select(
+            host_of(F.col("url")).alias("host"),
+            "url",
+            "digest",
+            _trap_depth(F.col("url")).cast("long").alias("_depth"),
+        )
+        if trap_rollup_fresh:
+            # one-time migration (store predating the rollup): REPLACE the
+            # pair sets and counts with the full history + this round —
+            # incremental thereafter
+            all_ev = (
+                store.read("trap_log")
+                .select("url", "digest")
+                .unionByName(evidence)
+                .select(
+                    host_of(F.col("url")).alias("host"),
+                    "url",
+                    "digest",
+                    _trap_depth(F.col("url")).cast("long").alias("_depth"),
+                )
+            )
+            round_replaces["trap_url_pairs"] = all_ev.select("host", "url").distinct()
+            round_replaces["trap_digest_pairs"] = (
+                all_ev.filter(F.col("digest").isNotNull())
+                .select("host", "digest")
+                .distinct()
+            )
+            round_replaces["trap_counts"] = all_ev.groupBy("host").agg(
+                F.countDistinct("url").alias("n_urls"),
+                F.countDistinct("digest").alias("n_content"),
+                F.max("_depth").alias("max_depth"),
+            )
+        else:
+            # incremental: this round's NEW (host,url)/(host,digest) pairs
+            # via anti-join against the pair sets — the same delta-probe
+            # shape as the url-seen anti-join; the counts rollup then merges
+            # sum-mergeable deltas (countDistinct over the full log never
+            # reruns, so per-round gate cost stays O(delta), not O(history))
+            old_u = store.read("trap_url_pairs")
+            old_d = store.read("trap_digest_pairs")
+            # urls are unique in-round (scheduled is url-deduped); digests
+            # are not — in-round distinct before the probe
+            u_pairs = ev.select("host", "url")
+            d_pairs = (
+                ev.filter(F.col("digest").isNotNull())
+                .select("host", "digest")
+                .distinct()
+            )
+            u_new = (
+                u_pairs
+                if old_u is None
+                else u_pairs.join(old_u, ["host", "url"], "left_anti")
+            ).cache()
+            d_new = (
+                d_pairs
+                if old_d is None
+                else d_pairs.join(old_d, ["host", "digest"], "left_anti")
+            ).cache()
+            trap_pair_caches += [u_new, d_new]
+            appends_extra["trap_url_pairs"] = u_new
+            appends_extra["trap_digest_pairs"] = d_new
+            zero = F.lit(0).cast("long")
+            parts = [
+                u_new.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("n_urls")
+                ).select("host", "n_urls", zero.alias("n_content"), zero.alias("max_depth")),
+                d_new.groupBy("host").agg(
+                    F.count(F.lit(1)).alias("n_content")
+                ).select("host", zero.alias("n_urls"), "n_content", zero.alias("max_depth")),
+                ev.groupBy("host").agg(F.max("_depth").alias("max_depth")).select(
+                    "host", zero.alias("n_urls"), zero.alias("n_content"), "max_depth"
+                ),
+            ]
+            if trap_counts is not None:
+                parts.append(
+                    trap_counts.select(
+                        "host",
+                        F.col("n_urls").cast("long"),
+                        F.col("n_content").cast("long"),
+                        F.col("max_depth").cast("long"),
+                    )
+                )
+            merged = parts[0]
+            for p in parts[1:]:
+                merged = merged.unionByName(p)
+            round_replaces["trap_counts"] = merged.groupBy("host").agg(
+                F.sum("n_urls").alias("n_urls"),
+                F.sum("n_content").alias("n_content"),
+                F.max("max_depth").alias("max_depth"),
+            )
     if cfg.demote_soft404:
         from ..operators.soft404 import soft404_signals
 
-        appends_extra["soft404_log"] = soft404_signals(
+        s404_delta = soft404_signals(
             parsed.filter(is_parse).select("host", "title", "text")
         ).select("host", F.col("soft404").cast("int").alias("soft404"))
+        appends_extra["soft404_log"] = s404_delta
+        # merge this round's delta into the (host, n, s) rollup — the gate's
+        # counts never rescan the accumulated log (host_counts pattern)
+        delta_counts = s404_delta.groupBy("host").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("soft404").cast("long").alias("s")
+        )
+        round_replaces["soft404_counts"] = (
+            delta_counts
+            if s404_counts is None
+            else s404_counts.select("host", F.col("n").cast("long"), F.col("s").cast("long"))
+            .unionByName(delta_counts.select("host", F.col("n").cast("long"), "s"))
+            .groupBy("host")
+            .agg(F.sum("n").alias("n"), F.sum("s").alias("s"))
+        )
     if cfg.priority == "trust":
         # this round's DISTINCT host pairs (parse + 304-reused adjacency) —
         # the ledger the next round's TrustRank runs over
@@ -990,10 +1135,16 @@ def run_round(
         host_counts.unpersist()
     if pre_trap is not None:
         pre_trap.unpersist()
+    if trap_counts is not None:
+        trap_counts.unpersist()
+    for df in trap_pair_caches:
+        df.unpersist()
     if pre_cdup is not None:
         pre_cdup.unpersist()
     if flagged404 is not None:
         flagged404.unpersist()
+    if s404_counts is not None:
+        s404_counts.unpersist()
     if return_frontier:
         # new_frontier is already (url, depth); checkpoint blocks are freed by
         # the context cleaner once the caller drops the reference

@@ -142,6 +142,11 @@ def o_resolve_standard(page_url: str, href: str) -> str | None:
     def _abs(a: str) -> str:
         sh = re.match(r"^https?://[^/?#]*", a).group(0)
         rest = a[len(sh):]
+        # RFC 3986 §6.2.2.1 host-case normalization (after the last '@';
+        # userinfo keeps case) — mirrors resolve_href_standard
+        scheme, auth = sh.split("://", 1)
+        i = auth.rfind("@")
+        sh = scheme + "://" + auth[: i + 1] + auth[i + 1 :].lower()
         pth = rest.split("?", 1)[0]
         qry = ("?" + rest.split("?", 1)[1]) if "?" in rest else ""
         n = _o_collapse_dots(pth)

@@ -214,3 +214,84 @@ def test_trust_priority_demotes_spam_endorsed_urls(spark, tmp_path):
     # trust pops the endorsed url first and defers the spam one
     assert r_bfs[t_spam] == 3 and r_bfs[t_good] == 4
     assert r_trust[t_good] == 3 and r_trust[t_spam] == 4
+
+
+def test_trust_deposits_survive_expansion_only_ledger(spark, tmp_path):
+    """priority='trust' with a ledger whose edges ALL point to not-yet-
+    crawled hosts (pure frontier expansion — every recorded dst is a sink).
+    remove_sink_edges over such a ledger returns an EMPTY graph, so with
+    drop_sinks=True trustrank would rank nobody, every deposit would
+    coalesce to 0.0, and trust ordering would silently degenerate to BFS
+    exactly when the knob matters — the crawl wiring must therefore pass
+    drop_sinks=False (the r5 review finding). The trusted host's own
+    teleport base (0.15) must survive an expansion-only ledger and win the
+    budget-1 slot for its endorsed url."""
+    A, S, T = "ka-trust.test", "ks-spam.test", "kt-target.test"
+    X, Y = "kx-ext.test", "ky-ext.test"
+    a0, a1 = _find(A, "aa"), _find(A, "ab")
+    s0, s1 = _find(S, "aa"), _find(S, "ab")
+    x0, y0 = _find(X, "x"), _find(Y, "y")
+    t_spam = _find(T, "taa")  # sorts BEFORE t_good: BFS picks it first
+    t_good = _find(T, "tzz")
+    assert a0 < a1 and s0 < s1 and t_spam < t_good
+
+    def page(url, hrefs):
+        links = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (
+            url,
+            datetime(2013, 3, 1),
+            bytearray(
+                f"<html><body>ordinary page body content{links}</body></html>".encode()
+            ),
+            "",
+            "en",
+        )
+
+    def robots(host, extra=""):
+        return (
+            f"http://{host}/robots.txt",
+            datetime(2013, 3, 1),
+            bytearray(f"User-agent: *\nDisallow: /private\n{extra}".encode()),
+            "",
+            "en",
+        )
+
+    rows = [
+        # budget 1/round on A and S: the second seed arrives in round 2,
+        # AFTER the expansion-only ledger {A->X, S->Y} is committed
+        robots(A, "Crawl-delay: 60\n"),
+        robots(S, "Crawl-delay: 60\n"),
+        robots(T, "Crawl-delay: 60\n"),  # budget 1 on the target
+        robots(X),
+        robots(Y),
+        page(a0, [x0]),  # round 1: ledger edge A->X (X uncrawled = sink)
+        page(s0, [y0]),  # round 1: ledger edge S->Y
+        page(a1, [t_good]),  # round 2: trusted mention, needs rank(A) > 0
+        page(s1, [t_spam]),  # round 2: zero-trust mention
+        page(x0, []),
+        page(y0, []),
+        page(t_good, []),
+        page(t_spam, []),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+    def crawl(priority, sub):
+        cfg = CrawlConfig(
+            max_rounds=8,
+            priority=priority,
+            resolve_mode="standard",
+            trusted_hosts=[A],
+        )
+        store, _ = run_crawl(spark, pages, [a0, a1, s0, s1], str(tmp_path / sub), cfg)
+        parsed = parsed_latest(store)
+        return {r.url: r.round for r in parsed.select("url", "round").collect()}
+
+    r_trust = crawl("trust", "trust")
+    r_bfs = crawl("bfs", "bfs")
+    assert set(r_trust) == set(r_bfs)
+    # at deposit time (round 2) the ledger is {A->X, S->Y} — all-sink edges;
+    # A's teleport base must still endorse t_good into round 3's single slot
+    assert r_bfs[t_spam] == 3 and r_bfs[t_good] == 4
+    assert r_trust[t_good] == 3 and r_trust[t_spam] == 4
