@@ -176,8 +176,12 @@ class CrawlConfig:
     # marked seen (re-mentions drop again while the host stays flagged;
     # metric `trap_dropped`). Evidence accumulates in the narrow trap_log
     # append table (url, md5(html)) from the round the knob turns on;
-    # toggling mid-crawl simply starts with less history. Default off —
-    # the parity gate admits every host like the reference.
+    # toggling mid-crawl simply starts with less history. The GATE reads
+    # the incrementally-maintained trap_counts rollup (merged with each
+    # round's new (host,url)/(host,digest) pairs at commit) — never a
+    # per-round countDistinct over the whole log, whose cost would grow
+    # with total pages crawled. Default off — the parity gate admits every
+    # host like the reference.
     trap_filter: bool = False
     trap_ratio_threshold: float = 5.0
     trap_depth_threshold: int = 12
@@ -186,8 +190,9 @@ class CrawlConfig:
     # observations at >= rate_threshold) get their politeness budget clamped
     # to 1 url/round — demoted, not banned (the rate can recover; clamped
     # candidates defer like any politeness overflow). Observations accumulate
-    # in the soft404_log append table (host, verdict) per parsed page.
-    # Default off for parity.
+    # in the soft404_log append table (host, verdict) per parsed page; the
+    # gate reads the sum-merged soft404_counts rollup, never a per-round
+    # aggregate over the whole log. Default off for parity.
     demote_soft404: bool = False
     soft404_min_pages: int = 3
     soft404_rate_threshold: float = 0.5
