@@ -101,7 +101,15 @@ def dataplane(spark, pages, dup: int = 11) -> dict:
         cand = cand.unionAll(urls.sample(1.0, seed=s))
     cand = cand.withColumn("depth", F.lit(0))
     n_cand = cand.count()
-    seen = urls.sample(0.3, seed=99).select(F.sha1("url").alias("url_hash"))
+    # deterministic hash-mod membership, NOT df.sample: sample() seeds per
+    # PARTITION, and file-split packing scales with default parallelism, so
+    # a sampled seen set differs between local[lo] and local[hi] — the two
+    # levels would schedule slightly different workloads (measured: 1 304
+    # rows apart at 1.6M scheduled). md5-prefix selection is identical at
+    # any parallelism.
+    seen = urls.filter(F.substring(F.md5("url"), 1, 2) < "4d").select(
+        F.sha1("url").alias("url_hash")
+    )
     robots = build_robots_df(spark, pages).cache()
     robots.count()
     # warmup: spin up every python worker before timing — noop sink, a
