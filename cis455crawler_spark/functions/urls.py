@@ -186,6 +186,19 @@ def resolve_href_standard(
         base_dir = F.when(page_path == "", F.lit("/")).otherwise(
             F.regexp_replace(page_path, "[^/]*$", "")
         )
+    # the PAGE host must get the same §6.2.2.1 case normalization as the
+    # absolute branch below: a seed (or pre-upgrade frontier entry) with an
+    # uppercase host would otherwise emit case-variant keys for every
+    # relative/root-relative/query-only link while absolute inlinks to the
+    # same pages emit lowercase — the exact duplicate-fetch split this
+    # function exists to prevent. Lowercase after the last '@' (userinfo
+    # keeps case, port digits are case-free). resolve_base_parts stays
+    # untouched — it is shared with the quirk resolver, which must keep
+    # reference-exact (case-preserving) behavior.
+    hostp = F.concat(
+        F.regexp_replace(hostp, r"[^@]*$", ""),
+        F.lower(F.regexp_extract(hostp, r"([^@]*)$", 1)),
+    )
     raw_path = F.when(h.startswith("/"), h).otherwise(F.concat(base_dir, h))
     pth = F.substring_index(raw_path, "?", 1)
     qry = F.when(

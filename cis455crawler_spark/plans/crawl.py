@@ -430,15 +430,9 @@ def run_round(
         if trap_counts is None:
             tlog = store.read("trap_log")
             if tlog is not None:
-                from ..operators.traps import path_depth as _trap_depth
+                from ..operators.traps import trap_counts_of
 
-                trap_counts = tlog.groupBy(
-                    host_of(F.col("url")).alias("host")
-                ).agg(
-                    F.countDistinct("url").alias("n_urls"),
-                    F.countDistinct("digest").alias("n_content"),
-                    F.max(_trap_depth(F.col("url"))).alias("max_depth"),
-                )
+                trap_counts = trap_counts_of(tlog)
                 trap_rollup_fresh = True
         if trap_counts is not None:
             from ..operators.traps import is_trap_cond
@@ -872,6 +866,7 @@ def run_round(
         # is_parse alone would let content_dedup starve the log down to one
         # URL per digest and the ratio trigger could never fire.
         from ..operators.traps import path_depth as _trap_depth
+        from ..operators.traps import trap_counts_of
 
         evidence = parsed.filter(
             F.col("action").isin("parse", "content_dup")
@@ -883,6 +878,14 @@ def run_round(
             "digest",
             _trap_depth(F.col("url")).cast("long").alias("_depth"),
         )
+        # the pair sets carry the seen-table bucket layout (hash-bucket
+        # column, one file per bucket dir per round, partition_by below):
+        # their per-round anti-join probe is delta-vs-bucketed-set, and on
+        # the real cluster the Iceberg storage-partitioned-join mapping
+        # (README "Scale design") removes the history-side Exchange exactly
+        # as for `seen`
+        u_bkt = url_hash_bucket(F.md5(F.col("url")), cfg.num_buckets).alias("bucket")
+        d_bkt = url_hash_bucket(F.col("digest"), cfg.num_buckets).alias("bucket")
         if trap_rollup_fresh:
             # one-time migration (store predating the rollup): REPLACE the
             # pair sets and counts with the full history + this round —
@@ -891,53 +894,67 @@ def run_round(
                 store.read("trap_log")
                 .select("url", "digest")
                 .unionByName(evidence)
-                .select(
-                    host_of(F.col("url")).alias("host"),
-                    "url",
-                    "digest",
-                    _trap_depth(F.col("url")).cast("long").alias("_depth"),
-                )
+                .select(host_of(F.col("url")).alias("host"), "url", "digest")
             )
-            round_replaces["trap_url_pairs"] = all_ev.select("host", "url").distinct()
+            round_replaces["trap_url_pairs"] = (
+                all_ev.select("host", "url", u_bkt)
+                .distinct()
+                .repartition(cfg.num_buckets, "bucket")
+            )
             round_replaces["trap_digest_pairs"] = (
                 all_ev.filter(F.col("digest").isNotNull())
-                .select("host", "digest")
+                .select("host", "digest", d_bkt)
                 .distinct()
+                .repartition(cfg.num_buckets, "bucket")
             )
-            round_replaces["trap_counts"] = all_ev.groupBy("host").agg(
-                F.countDistinct("url").alias("n_urls"),
-                F.countDistinct("digest").alias("n_content"),
-                F.max("_depth").alias("max_depth"),
-            )
+            round_replaces["trap_counts"] = trap_counts_of(all_ev)
         else:
             # incremental: this round's NEW (host,url)/(host,digest) pairs
             # via anti-join against the pair sets — the same delta-probe
             # shape as the url-seen anti-join; the counts rollup then merges
             # sum-mergeable deltas (countDistinct over the full log never
-            # reruns, so per-round gate cost stays O(delta), not O(history))
+            # reruns, so per-round GATE cost stays O(delta); the probe pays
+            # one bucketed join against the pair history, like `seen`)
             old_u = store.read("trap_url_pairs")
             old_d = store.read("trap_digest_pairs")
-            # urls are unique in-round (scheduled is url-deduped); digests
-            # are not — in-round distinct before the probe
-            u_pairs = ev.select("host", "url")
+            # pair dirs written before the bucket column gained it lazily
+            if old_u is not None and "bucket" not in old_u.columns:
+                old_u = old_u.withColumn(
+                    "bucket", url_hash_bucket(F.md5(F.col("url")), cfg.num_buckets)
+                )
+            if old_d is not None and "bucket" not in old_d.columns:
+                old_d = old_d.withColumn(
+                    "bucket", url_hash_bucket(F.col("digest"), cfg.num_buckets)
+                )
+            # in-round distinct on BOTH pair sets: a corpus with duplicate
+            # url rows fans out the fetch join, and double-counted pairs
+            # would permanently inflate the rollup away from the
+            # countDistinct contract
+            u_pairs = ev.select("host", "url", u_bkt).distinct()
             d_pairs = (
                 ev.filter(F.col("digest").isNotNull())
-                .select("host", "digest")
+                .select("host", "digest", d_bkt)
                 .distinct()
             )
+            join_u = ["bucket", "host", "url"]
+            join_d = ["bucket", "host", "digest"]
             u_new = (
                 u_pairs
                 if old_u is None
-                else u_pairs.join(old_u, ["host", "url"], "left_anti")
+                else u_pairs.join(old_u, join_u, "left_anti")
             ).cache()
             d_new = (
                 d_pairs
                 if old_d is None
-                else d_pairs.join(old_d, ["host", "digest"], "left_anti")
+                else d_pairs.join(old_d, join_d, "left_anti")
             ).cache()
             trap_pair_caches += [u_new, d_new]
-            appends_extra["trap_url_pairs"] = u_new
-            appends_extra["trap_digest_pairs"] = d_new
+            appends_extra["trap_url_pairs"] = u_new.repartition(
+                cfg.num_buckets, "bucket"
+            )
+            appends_extra["trap_digest_pairs"] = d_new.repartition(
+                cfg.num_buckets, "bucket"
+            )
             zero = F.lit(0).cast("long")
             parts = [
                 u_new.groupBy("host").agg(
@@ -1030,6 +1047,11 @@ def run_round(
         partition_by={
             "seen": ["bucket"],
             **({"content_seen": ["bucket"]} if cfg.content_dedup else {}),
+            **(
+                {"trap_url_pairs": ["bucket"], "trap_digest_pairs": ["bucket"]}
+                if cfg.trap_filter
+                else {}
+            ),
         },
     )
 

@@ -138,6 +138,10 @@ def o_resolve_standard(page_url: str, href: str) -> str | None:
         return None
     proto = "https://" if page_url.startswith("https") else "http://"
     host = o_host(page_url)
+    # page-host case normalization, mirroring resolve_href_standard (RFC
+    # 3986 §6.2.2.1: lowercase after the last '@'; userinfo keeps case)
+    i = host.rfind("@")
+    host = host[: i + 1] + host[i + 1 :].lower()
 
     def _abs(a: str) -> str:
         sh = re.match(r"^https?://[^/?#]*", a).group(0)

@@ -43,6 +43,12 @@ def test_standard_resolver_lowercases_host(spark):
         ("https://h.test/", "//CDN.Example.COM/lib.js", "https://cdn.example.com/lib.js"),
         # path/query case is untouched
         ("http://h.test/", "http://A.B/Path?Q=V", "http://a.b/Path?Q=V"),
+        # the PAGE host normalizes too: relative/root-relative/query-only
+        # links from an uppercase-host page must land on the same seen-set
+        # key as lowercase absolute inlinks (second-pass review finding)
+        ("http://Seed.EXAMPLE/dir/p.html", "a.html", "http://seed.example/dir/a.html"),
+        ("http://Seed.EXAMPLE/dir/", "/root.html", "http://seed.example/root.html"),
+        ("http://Seed.EXAMPLE/dir/p", "?q=1", "http://seed.example/dir/p?q=1"),
     ]
     df = spark.createDataFrame(cases, "url string, href string, want string")
     got = df.select(
@@ -224,3 +230,97 @@ def test_trustrank_eager_release_frees_caches(spark):
     # at most the final localCheckpoint RDD remains — the three power-
     # iteration caches (edges/outdeg/nodes) must all be gone
     assert after - base <= 1, (base, after)
+
+
+def test_rollup_migration_rebuild_from_log(spark, tmp_path):
+    """Upgrade path (second-pass review finding): a store whose evidence
+    logs predate the rollup tables must rebuild them exactly. Simulated by
+    crawling a few rounds with both knobs on, DROPPING the rollup/pair
+    tables, and resuming — the gate's rebuild path and the commit-side
+    migration then run for real, and the final rollups must again equal the
+    full-log aggregates."""
+    from cis455crawler_spark.functions.urls import host_of
+    from cis455crawler_spark.operators.traps import trap_counts_of
+
+    trap_h = "mtrap.test"
+    us = [f"http://{trap_h}/" + _pick_name(trap_h, f"u{i}") for i in range(6)]
+    seed_t = f"http://{trap_h}/" + _pick_name(trap_h, "a")
+
+    def page(url, hrefs, title="A Page", body="ordinary content of a page"):
+        links = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        html = f"<html><head><title>{title}</title></head><body>{body}{links}</body></html>"
+        return (url, TS, bytearray(html.encode()), "", "en")
+
+    rows = [
+        (
+            f"http://{trap_h}/robots.txt",
+            TS,
+            bytearray(b"User-agent: *\nDisallow: /private\nCrawl-delay: 30\n"),
+            "",
+            "en",
+        )
+    ]
+    rows.append(page(seed_t, [u.rsplit("/", 1)[1] for u in us], title="404 Not Found"))
+    shell = page(us[0], [], title="404 Not Found", body="the one true shell")
+    for u in us:
+        rows.append((u, TS, shell[2], "", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg1 = CrawlConfig(
+        max_rounds=2,
+        trap_filter=True,
+        trap_ratio_threshold=3.0,
+        demote_soft404=True,
+        soft404_min_pages=2,
+        soft404_rate_threshold=0.5,
+    )
+    store, m1 = run_crawl(spark, pages, [seed_t], str(tmp_path / "m"), cfg1)
+    assert m1[-1]["frontier_next"] > 0  # not drained — resume has work left
+    for t in ("trap_counts", "trap_url_pairs", "trap_digest_pairs", "soft404_counts"):
+        assert store.read(t) is not None
+        store.drop_table(t)
+        assert store.read(t) is None
+
+    cfg2 = CrawlConfig(
+        max_rounds=6,
+        trap_filter=True,
+        trap_ratio_threshold=3.0,
+        demote_soft404=True,
+        soft404_min_pages=2,
+        soft404_rate_threshold=0.5,
+    )
+    store, m2 = run_crawl(
+        spark, pages, [seed_t], str(tmp_path / "m"), cfg2, resume=True
+    )
+    assert len(m2) > len(m1)  # migration rounds actually committed
+
+    tlog = store.read("trap_log")
+    want = {
+        r.host: (r.n_urls, r.n_content, r.max_depth)
+        for r in trap_counts_of(tlog).collect()
+    }
+    got = {
+        r.host: (r.n_urls, r.n_content, r.max_depth)
+        for r in store.read("trap_counts").collect()
+    }
+    assert got == want
+    want_u = {
+        (r.host, r.url)
+        for r in tlog.select(host_of(F.col("url")).alias("host"), "url")
+        .distinct()
+        .collect()
+    }
+    assert {
+        (r.host, r.url) for r in store.read("trap_url_pairs").collect()
+    } == want_u
+    slog = store.read("soft404_log")
+    want_s = {
+        r.host: (r.n, r.s)
+        for r in slog.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("soft404").cast("long").alias("s"))
+        .collect()
+    }
+    assert {
+        r.host: (r.n, r.s) for r in store.read("soft404_counts").collect()
+    } == want_s
