@@ -1006,14 +1006,23 @@ def run_round(
         )
     if cfg.priority == "trust":
         # this round's DISTINCT host pairs (parse + 304-reused adjacency) —
-        # the ledger the next round's TrustRank runs over
-        appends_extra["host_edges"] = (
+        # the ledger the next round's TrustRank runs over. Appends are
+        # deduped against the existing ledger (anti-join, the pair-set
+        # pattern): a stable host graph re-mentioned every round would
+        # otherwise grow the table linearly with ROUNDS, and the per-round
+        # trustrank distinct would rescan ever more duplicate rows.
+        round_edges = (
             parsed.filter(F.col("action").isin("parse", "not_modified"))
             .select(
                 F.col("host").alias("src"), F.explode("out_links").alias("_dst")
             )
             .select("src", host_of(F.col("_dst")).alias("dst"))
             .distinct()
+        )
+        appends_extra["host_edges"] = (
+            round_edges
+            if hedges is None
+            else round_edges.join(hedges, ["src", "dst"], "left_anti")
         )
     if cfg.content_dedup:
         # the digests that actually parsed this round — each unique in-batch

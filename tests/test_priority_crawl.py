@@ -286,10 +286,17 @@ def test_trust_deposits_survive_expansion_only_ledger(spark, tmp_path):
         )
         store, _ = run_crawl(spark, pages, [a0, a1, s0, s1], str(tmp_path / sub), cfg)
         parsed = parsed_latest(store)
-        return {r.url: r.round for r in parsed.select("url", "round").collect()}
+        return store, {
+            r.url: r.round for r in parsed.select("url", "round").collect()
+        }
 
-    r_trust = crawl("trust", "trust")
-    r_bfs = crawl("bfs", "bfs")
+    store_t, r_trust = crawl("trust", "trust")
+    _, r_bfs = crawl("bfs", "bfs")
+    # the ledger stays a duplicate-free pair SET across rounds (appends are
+    # anti-joined against the existing table — re-mentions of a stable host
+    # graph must not grow it linearly with rounds)
+    ledger = store_t.read("host_edges")
+    assert ledger.count() == ledger.distinct().count()
     assert set(r_trust) == set(r_bfs)
     # at deposit time (round 2) the ledger is {A->X, S->Y} — all-sink edges;
     # A's teleport base must still endorse t_good into round 3's single slot
