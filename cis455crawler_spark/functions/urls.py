@@ -73,9 +73,18 @@ def resolve_base_parts(page_url: Column | str) -> Column:
     re-run per array ELEMENT (hundreds of times per page on the parse path)."""
     u = _c(page_url)
     page_path = F.substring_index(path_of(u), "?", 1)
+    hostp = host_of(u)
     return F.struct(
         protocol_of(u).alias("proto"),
-        host_of(u).alias("host"),
+        hostp.alias("host"),
+        # §6.2.2.1-normalized page host (lowercase after the last '@') for
+        # the STANDARD resolver — precomputed here so the HOF hot path pays
+        # the regex chains once per row, not per href; the quirk resolver
+        # keeps reading the case-preserving 'host' field
+        F.concat(
+            F.regexp_replace(hostp, r"[^@]*$", ""),
+            F.lower(F.regexp_extract(hostp, r"([^@]*)$", 1)),
+        ).alias("host_lc"),
         page_path.alias("page_path"),
         F.when(page_path == "", F.lit("/"))
         .otherwise(F.regexp_replace(page_path, "[^/]*$", ""))
@@ -176,29 +185,30 @@ def resolve_href_standard(
     h = F.substring_index(
         F.regexp_replace(_c(href), r"^\s+|\s+$", ""), "#", 1
     )
-    if parts is not None:
-        proto, hostp = parts["proto"], parts["host"]
-        page_path, base_dir = parts["page_path"], parts["base_dir"]
-    else:
-        proto = protocol_of(u)
-        hostp = host_of(u)
-        page_path = F.substring_index(path_of(u), "?", 1)
-        base_dir = F.when(page_path == "", F.lit("/")).otherwise(
-            F.regexp_replace(page_path, "[^/]*$", "")
-        )
-    # the PAGE host must get the same §6.2.2.1 case normalization as the
+    # the PAGE host gets the same §6.2.2.1 case normalization as the
     # absolute branch below: a seed (or pre-upgrade frontier entry) with an
     # uppercase host would otherwise emit case-variant keys for every
     # relative/root-relative/query-only link while absolute inlinks to the
     # same pages emit lowercase — the exact duplicate-fetch split this
     # function exists to prevent. Lowercase after the last '@' (userinfo
-    # keeps case, port digits are case-free). resolve_base_parts stays
-    # untouched — it is shared with the quirk resolver, which must keep
-    # reference-exact (case-preserving) behavior.
-    hostp = F.concat(
-        F.regexp_replace(hostp, r"[^@]*$", ""),
-        F.lower(F.regexp_extract(hostp, r"([^@]*)$", 1)),
-    )
+    # keeps case, port digits are case-free). With `parts` the normalized
+    # host comes PRECOMPUTED (struct field host_lc) so the HOF hot path
+    # pays the regex chains once per row, not per href; the quirk resolver
+    # keeps reading the case-preserving 'host' field.
+    if parts is not None:
+        proto, hostp = parts["proto"], parts["host_lc"]
+        page_path, base_dir = parts["page_path"], parts["base_dir"]
+    else:
+        proto = protocol_of(u)
+        raw_host = host_of(u)
+        hostp = F.concat(
+            F.regexp_replace(raw_host, r"[^@]*$", ""),
+            F.lower(F.regexp_extract(raw_host, r"([^@]*)$", 1)),
+        )
+        page_path = F.substring_index(path_of(u), "?", 1)
+        base_dir = F.when(page_path == "", F.lit("/")).otherwise(
+            F.regexp_replace(page_path, "[^/]*$", "")
+        )
     raw_path = F.when(h.startswith("/"), h).otherwise(F.concat(base_dir, h))
     pth = F.substring_index(raw_path, "?", 1)
     qry = F.when(

@@ -883,8 +883,15 @@ def run_round(
         # their per-round anti-join probe is delta-vs-bucketed-set, and on
         # the real cluster the Iceberg storage-partitioned-join mapping
         # (README "Scale design") removes the history-side Exchange exactly
-        # as for `seen`
-        u_bkt = url_hash_bucket(F.md5(F.col("url")), cfg.num_buckets).alias("bucket")
+        # as for `seen`. The url bucket uses the CANONICAL url keying
+        # (sha1, like _with_url_cols/seen) so the pair set really is
+        # co-partitioned with seen; bucket is WRITE LAYOUT ONLY and never a
+        # join key — dedup correctness must survive a num_buckets change
+        # across resumes (the same contract as the seen anti-join, whose
+        # bloom sidecar self-heals on re-bucketing)
+        u_bkt = url_hash_bucket(sha1_hex(F.col("url")), cfg.num_buckets).alias(
+            "bucket"
+        )
         d_bkt = url_hash_bucket(F.col("digest"), cfg.num_buckets).alias("bucket")
         if trap_rollup_fresh:
             # one-time migration (store predating the rollup): REPLACE the
@@ -917,15 +924,6 @@ def run_round(
             # one bucketed join against the pair history, like `seen`)
             old_u = store.read("trap_url_pairs")
             old_d = store.read("trap_digest_pairs")
-            # pair dirs written before the bucket column gained it lazily
-            if old_u is not None and "bucket" not in old_u.columns:
-                old_u = old_u.withColumn(
-                    "bucket", url_hash_bucket(F.md5(F.col("url")), cfg.num_buckets)
-                )
-            if old_d is not None and "bucket" not in old_d.columns:
-                old_d = old_d.withColumn(
-                    "bucket", url_hash_bucket(F.col("digest"), cfg.num_buckets)
-                )
             # in-round distinct on BOTH pair sets: a corpus with duplicate
             # url rows fans out the fetch join, and double-counted pairs
             # would permanently inflate the rollup away from the
@@ -936,25 +934,48 @@ def run_round(
                 .select("host", "digest", d_bkt)
                 .distinct()
             )
-            join_u = ["bucket", "host", "url"]
-            join_d = ["bucket", "host", "digest"]
+            # anti-join on the NATURAL keys only — never the bucket column
+            # (see the layout note above)
             u_new = (
                 u_pairs
                 if old_u is None
-                else u_pairs.join(old_u, join_u, "left_anti")
+                else u_pairs.join(
+                    old_u.select("host", "url"), ["host", "url"], "left_anti"
+                )
             ).cache()
             d_new = (
                 d_pairs
                 if old_d is None
-                else d_pairs.join(old_d, join_d, "left_anti")
+                else d_pairs.join(
+                    old_d.select("host", "digest"), ["host", "digest"], "left_anti"
+                )
             ).cache()
             trap_pair_caches += [u_new, d_new]
-            appends_extra["trap_url_pairs"] = u_new.repartition(
-                cfg.num_buckets, "bucket"
-            )
-            appends_extra["trap_digest_pairs"] = d_new.repartition(
-                cfg.num_buckets, "bucket"
-            )
+            # pair dirs written before the bucket column existed cannot take
+            # a mixed-schema append (store reads union dirs with strict
+            # unionByName — a 2-col dir + a 3-col dir wedges every later
+            # read of the table). One-time REPLACE with the backfilled
+            # history + this round's delta instead; plain appends after.
+            if old_u is not None and "bucket" not in old_u.columns:
+                round_replaces["trap_url_pairs"] = (
+                    old_u.select("host", "url", u_bkt)
+                    .unionByName(u_new)
+                    .repartition(cfg.num_buckets, "bucket")
+                )
+            else:
+                appends_extra["trap_url_pairs"] = u_new.repartition(
+                    cfg.num_buckets, "bucket"
+                )
+            if old_d is not None and "bucket" not in old_d.columns:
+                round_replaces["trap_digest_pairs"] = (
+                    old_d.select("host", "digest", d_bkt)
+                    .unionByName(d_new)
+                    .repartition(cfg.num_buckets, "bucket")
+                )
+            else:
+                appends_extra["trap_digest_pairs"] = d_new.repartition(
+                    cfg.num_buckets, "bucket"
+                )
             zero = F.lit(0).cast("long")
             parts = [
                 u_new.groupBy("host").agg(
@@ -1248,6 +1269,27 @@ def run_crawl(
         spark, pages, with_standard=(cfg.robots_mode == "standard")
     ).cache()
     robots.count()
+
+    # one-time legacy self-heal (per invocation, not per round): ledgers
+    # written before deduped appends hold one copy of the stable host graph
+    # per round — the per-round trustrank distinct would rescan those
+    # duplicates forever. A cheap existence probe on the (small, host-pair)
+    # table; rewrite only when duplicates actually exist.
+    if cfg.priority == "trust" and store.current_round() >= 0:
+        led = store.read("host_edges")
+        if led is not None:
+            has_dups = (
+                led.groupBy("src", "dst")
+                .count()
+                .filter(F.col("count") > 1)
+                .limit(1)
+                .count()
+                > 0
+            )
+            if has_dups:
+                store.replace_with(
+                    "host_edges", led.select("src", "dst").distinct()
+                )
 
     sitemap_seed_df: DataFrame | None = None
     if cfg.seed_from_sitemaps and (store.current_round() < 0 or recrawl):

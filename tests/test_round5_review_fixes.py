@@ -324,3 +324,148 @@ def test_rollup_migration_rebuild_from_log(spark, tmp_path):
     assert {
         r.host: (r.n, r.s) for r in store.read("soft404_counts").collect()
     } == want_s
+
+
+def test_legacy_pair_dirs_upgrade(spark, tmp_path):
+    """Third-pass review finding (reproduced live by the reviewer): a store
+    whose pair dirs predate the bucket column must not be wedged by a
+    mixed-schema append — the store reads a table's dirs with strict
+    unionByName, so a (host,url) dir + a (host,url,bucket) dir would crash
+    every later read. The commit must REPLACE legacy pair tables with the
+    backfilled history instead. Simulated by stripping the bucket column
+    after two rounds, then resuming."""
+    from cis455crawler_spark.functions.urls import host_of
+    from cis455crawler_spark.operators.traps import trap_counts_of
+
+    trap_h = "ltrap.test"
+    us = [f"http://{trap_h}/" + _pick_name(trap_h, f"u{i}") for i in range(6)]
+    seed_t = f"http://{trap_h}/" + _pick_name(trap_h, "a")
+
+    def page(url, hrefs, body="ordinary content of a page"):
+        links = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        html = f"<html><body>{body}{links}</body></html>"
+        return (url, TS, bytearray(html.encode()), "", "en")
+
+    rows = [
+        (
+            f"http://{trap_h}/robots.txt",
+            TS,
+            bytearray(b"User-agent: *\nDisallow: /private\nCrawl-delay: 30\n"),
+            "",
+            "en",
+        ),
+        page(seed_t, [u.rsplit("/", 1)[1] for u in us]),
+    ]
+    shell = page(us[0], [], body="the one true shell")
+    for u in us:
+        rows.append((u, TS, shell[2], "", "en"))
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = CrawlConfig(max_rounds=2, trap_filter=True, trap_ratio_threshold=3.0)
+    store, m1 = run_crawl(spark, pages, [seed_t], str(tmp_path / "l"), cfg)
+    assert m1[-1]["frontier_next"] > 0
+    # strip the bucket column — the pre-layout on-disk schema
+    store.replace_with(
+        "trap_url_pairs", store.read("trap_url_pairs").select("host", "url")
+    )
+    store.replace_with(
+        "trap_digest_pairs",
+        store.read("trap_digest_pairs").select("host", "digest"),
+    )
+
+    cfg2 = CrawlConfig(max_rounds=6, trap_filter=True, trap_ratio_threshold=3.0)
+    store, m2 = run_crawl(
+        spark, pages, [seed_t], str(tmp_path / "l"), cfg2, resume=True
+    )
+    assert len(m2) > len(m1)
+    # reads work (no mixed-schema union), the upgraded table carries the
+    # bucket column, and the rollup contract still holds
+    pairs = store.read("trap_url_pairs")
+    assert "bucket" in pairs.columns
+    tlog = store.read("trap_log")
+    want = {
+        r.host: (r.n_urls, r.n_content, r.max_depth)
+        for r in trap_counts_of(tlog).collect()
+    }
+    got = {
+        r.host: (r.n_urls, r.n_content, r.max_depth)
+        for r in store.read("trap_counts").collect()
+    }
+    assert got == want
+    want_u = {
+        (r.host, r.url)
+        for r in tlog.select(host_of(F.col("url")).alias("host"), "url")
+        .distinct()
+        .collect()
+    }
+    assert {(r.host, r.url) for r in pairs.collect()} == want_u
+
+
+def test_host_edges_legacy_dedup_self_heal(spark, tmp_path):
+    """A trust ledger written before deduped appends (one copy of the host
+    graph per round) is rewritten to its distinct ONCE at the next
+    run_crawl invocation — the per-round trustrank distinct must not
+    rescan accumulated duplicates forever."""
+    A, X = "sheal-a.test", "sheal-x.test"
+    a0 = f"http://{A}/" + _pick_name(A, "a")
+    x0 = f"http://{X}/" + _pick_name(X, "x")
+
+    def page(url, hrefs):
+        links = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return (
+            url,
+            TS,
+            bytearray(f"<html><body>body{links}</body></html>".encode()),
+            "",
+            "en",
+        )
+
+    rows = [
+        (
+            f"http://{A}/robots.txt",
+            TS,
+            bytearray(b"User-agent: *\nDisallow: /private\n"),
+            "",
+            "en",
+        ),
+        (
+            f"http://{X}/robots.txt",
+            TS,
+            bytearray(b"User-agent: *\nDisallow: /private\n"),
+            "",
+            "en",
+        ),
+        page(a0, [x0]),
+        page(x0, []),
+    ]
+    pages = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+    cfg = CrawlConfig(
+        max_rounds=2,
+        priority="trust",
+        resolve_mode="standard",
+        trusted_hosts=[A],
+    )
+    store, _ = run_crawl(spark, pages, [a0], str(tmp_path / "h"), cfg)
+    led = store.read("host_edges")
+    assert led is not None
+    n_unique = led.count()
+    assert n_unique == led.distinct().count()
+    # simulate a pre-dedup ledger: three copies of every pair (replace_with
+    # deletes the old dirs, so count BEFORE the swap — the lazy `led` plan
+    # reads them)
+    store.replace_with("host_edges", led.unionByName(led).unionByName(led))
+    dup = store.read("host_edges")
+    assert dup.count() == 3 * n_unique
+
+    cfg2 = CrawlConfig(
+        max_rounds=4,
+        priority="trust",
+        resolve_mode="standard",
+        trusted_hosts=[A],
+    )
+    store, _ = run_crawl(spark, pages, [a0], str(tmp_path / "h"), cfg2, resume=True)
+    healed = store.read("host_edges")
+    assert healed.count() == healed.distinct().count()
