@@ -64,6 +64,18 @@ def url_hash_bucket(url_hash_hex: Column | str, num_buckets: int) -> Column:
     )
 
 
+def _host_lc(host: Column) -> Column:
+    """RFC 3986 §6.2.2.1 host-case normalization: lowercase the authority
+    after the LAST '@' (userinfo keeps case; port digits are case-free).
+    THE one definition — used by resolve_base_parts (host_lc field) and
+    resolve_href_standard's inline fallback, so parts-mode and inline-mode
+    can never emit different seen-set keys."""
+    return F.concat(
+        F.regexp_replace(host, r"[^@]*$", ""),
+        F.lower(F.regexp_extract(host, r"([^@]*)$", 1)),
+    )
+
+
 def resolve_base_parts(page_url: Column | str) -> Column:
     """STRUCT<proto, host, page_path, base_dir> — the page-URL-derived pieces
     both resolvers need per href. Callers that resolve many hrefs per page
@@ -77,14 +89,11 @@ def resolve_base_parts(page_url: Column | str) -> Column:
     return F.struct(
         protocol_of(u).alias("proto"),
         hostp.alias("host"),
-        # §6.2.2.1-normalized page host (lowercase after the last '@') for
-        # the STANDARD resolver — precomputed here so the HOF hot path pays
-        # the regex chains once per row, not per href; the quirk resolver
-        # keeps reading the case-preserving 'host' field
-        F.concat(
-            F.regexp_replace(hostp, r"[^@]*$", ""),
-            F.lower(F.regexp_extract(hostp, r"([^@]*)$", 1)),
-        ).alias("host_lc"),
+        # §6.2.2.1-normalized page host for the STANDARD resolver —
+        # precomputed here so the HOF hot path pays the regex chains once
+        # per row, not per href; the quirk resolver keeps reading the
+        # case-preserving 'host' field
+        _host_lc(hostp).alias("host_lc"),
         page_path.alias("page_path"),
         F.when(page_path == "", F.lit("/"))
         .otherwise(F.regexp_replace(page_path, "[^/]*$", ""))
@@ -200,11 +209,7 @@ def resolve_href_standard(
         page_path, base_dir = parts["page_path"], parts["base_dir"]
     else:
         proto = protocol_of(u)
-        raw_host = host_of(u)
-        hostp = F.concat(
-            F.regexp_replace(raw_host, r"[^@]*$", ""),
-            F.lower(F.regexp_extract(raw_host, r"([^@]*)$", 1)),
-        )
+        hostp = _host_lc(host_of(u))
         page_path = F.substring_index(path_of(u), "?", 1)
         base_dir = F.when(page_path == "", F.lit("/")).otherwise(
             F.regexp_replace(page_path, "[^/]*$", "")

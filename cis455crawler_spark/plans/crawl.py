@@ -888,15 +888,29 @@ def run_round(
         # co-partitioned with seen; bucket is WRITE LAYOUT ONLY and never a
         # join key — dedup correctness must survive a num_buckets change
         # across resumes (the same contract as the seen anti-join, whose
-        # bloom sidecar self-heals on re-bucketing)
+        # bloom sidecar self-heals on re-bucketing). Dirs written under an
+        # earlier bucket keying keep their old values harmlessly (layout
+        # hint only); full co-partition parity for old files comes back
+        # after a maintenance rewrite, never a correctness concern.
         u_bkt = url_hash_bucket(sha1_hex(F.col("url")), cfg.num_buckets).alias(
             "bucket"
         )
         d_bkt = url_hash_bucket(F.col("digest"), cfg.num_buckets).alias("bucket")
+        old_u = old_d = None
+        if not trap_rollup_fresh:
+            try:
+                old_u = store.read("trap_url_pairs")
+                old_d = store.read("trap_digest_pairs")
+            except Exception:
+                # a store WEDGED by a pre-fix mixed-schema append (a 2-col
+                # pair dir + a 3-col dir cannot even be read together):
+                # fall through to the full rebuild-from-log below, whose
+                # REPLACE swaps the unreadable dirs out
+                trap_rollup_fresh = True
         if trap_rollup_fresh:
-            # one-time migration (store predating the rollup): REPLACE the
-            # pair sets and counts with the full history + this round —
-            # incremental thereafter
+            # one-time migration (store predating the rollup, or a wedged
+            # pair table): REPLACE the pair sets and counts with the full
+            # history + this round — incremental thereafter
             all_ev = (
                 store.read("trap_log")
                 .select("url", "digest")
@@ -922,8 +936,14 @@ def run_round(
             # sum-mergeable deltas (countDistinct over the full log never
             # reruns, so per-round GATE cost stays O(delta); the probe pays
             # one bucketed join against the pair history, like `seen`)
-            old_u = store.read("trap_url_pairs")
-            old_d = store.read("trap_digest_pairs")
+            # legacy (pre-bucket) tables are consumed twice below (anti-join
+            # build side + backfill REPLACE) — cache for the migration round
+            if old_u is not None and "bucket" not in old_u.columns:
+                old_u = old_u.cache()
+                trap_pair_caches.append(old_u)
+            if old_d is not None and "bucket" not in old_d.columns:
+                old_d = old_d.cache()
+                trap_pair_caches.append(old_d)
             # in-round distinct on BOTH pair sets: a corpus with duplicate
             # url rows fans out the fetch join, and double-counted pairs
             # would permanently inflate the rollup away from the
@@ -1158,6 +1178,10 @@ def run_round(
         metrics["bloom_delta"] = True  # _bloom_lags reads this from history
     if pre_quota is not None:
         metrics["host_counts_delta"] = True  # _host_counts_lag continuity
+    if cfg.priority == "trust":
+        # ledger appends this round were anti-joined (deduped); the marker
+        # lets future run_crawl invocations skip the legacy duplicate probe
+        metrics["host_edges_dedup"] = True
 
     # per-partition lineage (north_rule) + 1-row metrics: observed above —
     # written driver-side, no Spark job per tiny table
@@ -1270,26 +1294,30 @@ def run_crawl(
     ).cache()
     robots.count()
 
-    # one-time legacy self-heal (per invocation, not per round): ledgers
-    # written before deduped appends hold one copy of the stable host graph
-    # per round — the per-round trustrank distinct would rescan those
-    # duplicates forever. A cheap existence probe on the (small, host-pair)
-    # table; rewrite only when duplicates actually exist.
+    # one-time legacy self-heal: ledgers written before deduped appends
+    # hold one copy of the stable host graph per round — the per-round
+    # trustrank distinct would rescan those duplicates forever. Gated by a
+    # history marker (every new-code trust round stamps host_edges_dedup,
+    # the host_counts_delta pattern): once any round carries it, the heal
+    # already ran at that invocation's start and every append since is
+    # anti-joined — steady state pays NO probe job at all.
     if cfg.priority == "trust" and store.current_round() >= 0:
-        led = store.read("host_edges")
-        if led is not None:
-            has_dups = (
-                led.groupBy("src", "dst")
-                .count()
-                .filter(F.col("count") > 1)
-                .limit(1)
-                .count()
-                > 0
-            )
-            if has_dups:
-                store.replace_with(
-                    "host_edges", led.select("src", "dst").distinct()
+        hist = store.manifest().get("history", [])
+        if not any(h.get("host_edges_dedup") for h in hist):
+            led = store.read("host_edges")
+            if led is not None:
+                has_dups = (
+                    led.groupBy("src", "dst")
+                    .count()
+                    .filter(F.col("count") > 1)
+                    .limit(1)
+                    .count()
+                    > 0
                 )
+                if has_dups:
+                    store.replace_with(
+                        "host_edges", led.select("src", "dst").distinct()
+                    )
 
     sitemap_seed_df: DataFrame | None = None
     if cfg.seed_from_sitemaps and (store.current_round() < 0 or recrawl):

@@ -455,8 +455,18 @@ def test_host_edges_legacy_dedup_self_heal(spark, tmp_path):
     assert n_unique == led.distinct().count()
     # simulate a pre-dedup ledger: three copies of every pair (replace_with
     # deletes the old dirs, so count BEFORE the swap — the lazy `led` plan
-    # reads them)
+    # reads them) AND strip the host_edges_dedup history markers a real
+    # pre-upgrade store would not have (the probe is marker-gated: once any
+    # round carries the marker, the steady state pays no probe job)
     store.replace_with("host_edges", led.unionByName(led).unionByName(led))
+    import json as _json
+
+    with open(store._manifest_path) as f:
+        manifest = _json.load(f)
+    for h in manifest.get("history", []):
+        h.pop("host_edges_dedup", None)
+    with open(store._manifest_path, "w") as f:
+        _json.dump(manifest, f)
     dup = store.read("host_edges")
     assert dup.count() == 3 * n_unique
 
